@@ -1,0 +1,190 @@
+"""Hit grouping, CALL emission, and OTU accounting.
+
+Faithful re-expression of the reference's sequential state machine:
+gatherHits (/root/reference/lib/src/kmergutsjava/KmerGutsJava.java:457-514),
+processSetOfHits (:385-455), tabulateOtuDataForContig (:516-524), and the
+per-sequence drivers processAASeq (:526-536) / processSeq (:538-558).
+
+Semantics preserved exactly, including the non-obvious ones:
+
+- a gap > maxGap closes the current run, but processSetOfHits may leave a
+  trailing same-function pair in the list as the seed of the next run — so
+  a seed pair can survive across a gap and a CALL's start coordinate can be
+  a pre-gap seed position (ref :441-450);
+- two consecutive hits sharing a *new* function index trigger mid-run
+  processing (ref :503-508);
+- hit weights accumulate in float32 in position order and are formatted with
+  Java's HALF_UP "%f" (see utils/javafmt);
+- the OTU counter is a capped top-5 move-to-front list whose bubble pass
+  swaps on <= (ref :432-437) and overwrites the last entry when full
+  (ref :419-421);
+- the reference crashes (IndexOutOfBounds) when processSetOfHits sees fewer
+  than 2 hits, which can only happen with minHits < 2; we raise the same way.
+
+Hits are 5-tuples (from0_in_prot, oI, avg_off_from_end, fI, functionWt) with
+functionWt an np.float32.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, TextIO
+
+import numpy as np
+
+from ..constants import K, MAX_HITS_PER_SEQ, OI_BUFSZ
+from ..utils.javafmt import jformat
+
+
+@dataclass
+class GroupingParams:
+    min_hits: int = 5
+    min_weighted_hits: int = 0
+    max_gap: int = 200
+    order_constraint: bool = False
+    debug: bool = False
+
+
+class Report:
+    """Line-oriented report writer (Java PrintWriter with '\\n' separators)."""
+
+    def __init__(self, stream: TextIO):
+        self.stream = stream
+
+    def print(self, text: str) -> None:
+        self.stream.write(text)
+
+    def println(self, text: str = "") -> None:
+        self.stream.write(text)
+        self.stream.write("\n")
+
+    def flush(self) -> None:
+        self.stream.flush()
+
+
+def display_hits(hits, out: Report) -> None:
+    """Debug dump (ref displayHits :375-383)."""
+    parts = ["hits: "]
+    for h in hits:
+        parts.append("%d/%s/%d " % (h[0], jformat(h[4]), h[3]))
+    out.println("".join(parts))
+
+
+def process_set_of_hits(hits: List[tuple], functions: Sequence[str], current_fi: int,
+                        oi_counts: List[List[int]], out: Report,
+                        p: GroupingParams) -> int:
+    """ref processSetOfHits :385-455. Mutates ``hits`` and ``oi_counts``."""
+    fi_count = 0
+    weighted = np.float32(0.0)
+    last_hit = 0
+    for i, h in enumerate(hits):
+        if h[3] == current_fi:
+            last_hit = i
+            fi_count += 1
+            weighted = np.float32(weighted + h[4])
+    if fi_count >= p.min_hits and weighted >= p.min_weighted_hits:
+        out.println("CALL\t%d\t%d\t%d\t%d\t%s\t%s" % (
+            hits[0][0], hits[last_hit][0] + (K - 1), fi_count, current_fi,
+            functions[current_fi], jformat(weighted)))
+        if p.debug:
+            out.print("after-call: ")
+            display_hits(hits, out)
+        # fold the called hits into the top-5 OTU counter (ref :411-439)
+        for i in range(last_hit + 1):
+            if hits[i][3] == current_fi:
+                oi = hits[i][1]
+                j = 0
+                while j < len(oi_counts) and oi_counts[j][0] != oi:
+                    j += 1
+                if j == len(oi_counts):
+                    if len(oi_counts) == OI_BUFSZ:
+                        j -= 1  # overwrite the last entry
+                    else:
+                        oi_counts.append([0, 0])
+                    oi_counts[j][0] = oi
+                    oi_counts[j][1] = 1
+                else:
+                    oi_counts[j][1] += 1
+                while j > 0 and oi_counts[j - 1][1] <= oi_counts[j][1]:
+                    oi_counts[j - 1], oi_counts[j] = oi_counts[j], oi_counts[j - 1]
+                    j -= 1
+    num = len(hits)
+    if num < 2:
+        raise IndexError(
+            "processSetOfHits with <2 hits (the reference throws here too; "
+            "use minHits >= 2)")
+    if hits[num - 2][3] != current_fi and hits[num - 2][3] == hits[num - 1][3]:
+        current_fi = hits[num - 1][3]
+        seed = [hits[num - 2], hits[num - 1]]
+        hits.clear()
+        hits.extend(seed)
+    else:
+        hits.clear()
+    return current_fi
+
+
+def gather_hits(all_hits: List[tuple], functions: Sequence[str],
+                oi_counts: List[List[int]], out: Report, p: GroupingParams) -> None:
+    """ref gatherHits :457-514 for one (query, strand, frame) container."""
+    all_hits.sort(key=lambda h: h[0])
+    hits: List[tuple] = []
+    current_fi = 0
+    for ph in all_hits:
+        avg_off_end = ph[2]
+        fi = ph[3]
+        if p.debug:
+            out.println("HIT\t%d\t%d\t%d\t%d\t%s\t%d" % (
+                ph[0], 0, avg_off_end, fi, jformat(ph[4], 3), ph[1]))
+        if hits and hits[-1][0] + p.max_gap < ph[0]:
+            if len(hits) >= p.min_hits:
+                current_fi = process_set_of_hits(hits, functions, current_fi,
+                                                 oi_counts, out, p)
+            else:
+                hits.clear()
+        if not hits:
+            current_fi = fi
+        if (not p.order_constraint) or (len(hits) == 0) or (
+                fi == hits[-1][3]
+                and abs((ph[0] - hits[-1][0]) - (hits[-1][2] - avg_off_end)) <= 20):
+            if len(hits) < MAX_HITS_PER_SEQ - 2:
+                hits.append(ph)
+                if p.debug:
+                    out.print("after-hit: ")
+                    display_hits(hits, out)
+            if len(hits) > 1 and current_fi != fi and hits[-2][3] == hits[-1][3]:
+                current_fi = process_set_of_hits(hits, functions, current_fi,
+                                                 oi_counts, out, p)
+    if len(hits) >= p.min_hits:
+        process_set_of_hits(hits, functions, current_fi, oi_counts, out, p)
+
+
+def tabulate_otu_data(current_id: str, length: int, oi_counts: List[List[int]],
+                      out: Report) -> None:
+    """ref tabulateOtuDataForContig :516-524."""
+    parts = ["OTU-COUNTS\t%s[%d]" % (current_id, length)]
+    for oi, count in oi_counts:
+        parts.append("\t%d-%d" % (count, oi))
+    out.println("".join(parts))
+    oi_counts.clear()
+
+
+def process_aa_seq(query_id: str, protein_len: int, container_hits: dict,
+                   functions: Sequence[str], out: Report, p: GroupingParams) -> None:
+    """ref processAASeq :526-536."""
+    oi_counts: List[List[int]] = []
+    out.println("PROTEIN-ID\t%s\t%d" % (query_id, protein_len))
+    gather_hits(container_hits[(query_id, "+", 0)], functions, oi_counts, out, p)
+    tabulate_otu_data(query_id, protein_len, oi_counts, out)
+
+
+def process_dna_seq(query_id: str, contig_len: int, container_hits: dict,
+                    functions: Sequence[str], out: Report, p: GroupingParams) -> None:
+    """ref processSeq :538-558."""
+    oi_counts: List[List[int]] = []
+    out.println("processing %s[%d]" % (query_id, contig_len))
+    for strand in ("+", "-"):
+        for frame in range(3):
+            out.println("TRANSLATION\t%s\t%d\t%s\t%d" % (query_id, contig_len,
+                                                         strand, frame))
+            gather_hits(container_hits[(query_id, strand, frame)], functions,
+                        oi_counts, out, p)
+    tabulate_otu_data(query_id, contig_len, oi_counts, out)

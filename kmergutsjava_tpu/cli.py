@@ -1,0 +1,114 @@
+"""Command-line driver.
+
+Covers the reference CLI surface (ref /root/reference/lib/src/kmergutsjava/
+KmerGutsJava.java:560-654) with the same single-char flags, fixed rather than
+bug-compatible: -t/-l actually work (the reference's switch falls through,
+ref :605-610) and omitting -q really reads stdin (the reference NPEs,
+ref :647). TPU-native extensions use long flags.
+
+Usage: python -m kmergutsjava_tpu.cli [options] -D DataDir
+"""
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from .config import EngineConfig
+
+USAGE = """Usage: kmer_guts [options] -D DataDir
+Arguments:
+ -a - (optional) amino acids in input FASTA (default is DNA)
+ -d - (optional) print debug messages
+ -m - (optional) min. number of hits in result (integer, default = 5)
+ -M - (optional) min. sum of hit weights (integer, default = 0)
+ -O - (optional) order constraint (don't use order by default)
+ -g - (optional) max. gap between hits to be joined (integer, default = 200)
+ -D - (required) data directory with kmer-table and function-index files
+ -q - (optional) query fasta file (STDIN if not defined)
+ -o - (optional) output file (STDOUT if not defined)
+ -t - (optional) temporary directory (system one is used by default)
+ -l - (optional) limit for input Kmer array (long, default = 20,000,000)
+ --backend NAME - (optional) lookup backend: xla (default), pallas, parity
+ --probe-window N - (optional) override table-derived probe window
+ --chunk N - (optional) queries per device dispatch (default 524288)
+"""
+
+
+def parse_args(argv: List[str]):
+    cfg = EngineConfig()
+    data_dir: Optional[str] = None
+    query: Optional[str] = None
+    output: Optional[str] = None
+    params = list(argv)
+    while params:
+        param = params.pop(0)
+        if not param.startswith("-"):
+            raise ValueError("Parameter name should start from '-': " + param)
+        if param.startswith("--"):
+            name = param[2:]
+            if name == "backend":
+                cfg.backend = params.pop(0)
+            elif name == "probe-window":
+                cfg.probe_window = int(params.pop(0))
+            elif name == "chunk":
+                cfg.lookup_chunk = int(params.pop(0))
+            else:
+                raise ValueError("Unknown parameter: --" + name)
+            continue
+        name = param[1:]
+        if len(name) != 1:
+            raise ValueError("Unknown parameter: -" + name)
+        c = name[0]
+        if c == "a":
+            cfg.aa = True
+        elif c == "d":
+            cfg.debug = True
+        elif c == "m":
+            cfg.min_hits = int(params.pop(0))
+        elif c == "M":
+            cfg.min_weighted_hits = int(params.pop(0))
+        elif c == "O":
+            cfg.order_constraint = True
+        elif c == "g":
+            cfg.max_gap = int(params.pop(0))
+        elif c == "D":
+            data_dir = params.pop(0)
+        elif c == "q":
+            query = params.pop(0)
+        elif c == "o":
+            output = params.pop(0)
+        elif c == "t":
+            cfg.temp_dir = params.pop(0)
+        elif c == "l":
+            cfg.input_size_limit = int(params.pop(0))
+        else:
+            raise ValueError("Unknown parameter: -" + name)
+    if data_dir is None:
+        raise ValueError("-D parameter is required")
+    return cfg, data_dir, query, output
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        cfg, data_dir, query, output = parse_args(argv)
+    except (ValueError, IndexError) as ex:
+        print("Error: " + str(ex))
+        print(USAGE, end="")
+        return 2
+    from .models.pipeline import Engine
+
+    engine = Engine(cfg)
+    if output is not None:
+        with open(output, "w") as out:
+            engine.run(data_dir, query, out, stdout=False,
+                       query_stream=None if query else sys.stdin)
+    else:
+        engine.run(data_dir, query, sys.stdout, stdout=True,
+                   query_stream=None if query else sys.stdin)
+        sys.stdout.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,37 @@
+"""Typed engine configuration.
+
+One dataclass covering the reference's CLI surface (ref
+/root/reference/lib/src/kmergutsjava/KmerGutsJava.java:560-654: flags
+-a -d -m -M -O -g -D -q -o -t -l) plus TPU-native extensions (backend
+selection, probe/chunk sizing, mesh shape). The reference's -t/-l flags are
+unusable there due to a switch fall-through defect (ref :605-610); here they
+work as documented.
+"""
+from __future__ import annotations
+
+import tempfile
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class EngineConfig:
+    # reference-equivalent parameters (ref :102-109)
+    aa: bool = False
+    order_constraint: bool = False
+    min_hits: int = 5
+    min_weighted_hits: int = 0
+    max_gap: int = 200
+    debug: bool = False
+    input_size_limit: int = 20 * 1000 * 1000  # max query k-mers in RAM
+    temp_dir: Optional[str] = None
+
+    # TPU-native extensions
+    backend: str = "xla"  # "parity" | "xla" | "pallas"
+    lookup_chunk: int = 1 << 19  # queries per device dispatch
+    probe_window: Optional[int] = None  # override table-derived window
+    length_bucket_base: int = 256  # smallest padded batch length for aa mode
+    mesh_shape: Optional[Tuple[int, int]] = None  # (data, table) shards
+
+    def resolved_temp_dir(self) -> str:
+        return self.temp_dir if self.temp_dir is not None else tempfile.gettempdir()

@@ -1,0 +1,245 @@
+"""Signature k-mer table: binary format reader, writer, and builder.
+
+Binary layout (consumed by the reference at
+/root/reference/lib/src/kmergutsjava/KmerGutsJava.java:924-942 header and
+:995-999 slots):
+
+    header: int64le numSigs | int64le entrySize(=24) | int64le version
+    slots : numSigs entries of 24 bytes each:
+            int64le whichKmer | int32le otuIndex | int32le avgFromEnd
+            | int32le functionIndex | float32le functionWt
+    empty : whichKmer > MAX_ENCODED (ref :1000)
+    home  : whichKmer % numSigs, linear probing upward (ref :969, :991-1018)
+
+The reference repo ships no table and no builder; the builder here is new
+capability required to create fixtures and production tables. Two builder
+guarantees make the table safe for every backend:
+
+- no probe chain ever wraps past the last slot (the reference's streaming
+  reader is forward-only and cannot wrap, ref :991-994);
+- the final slot is always empty, so the reference reader never hits EOF
+  mid-probe.
+
+Insertion order is deterministic: ascending (home, value). Under that order
+linear probing admits a closed-form vectorized placement:
+``pos[i] = max(home[i], pos[i-1] + 1)`` over the sorted sequence, which we
+compute with a running maximum instead of a per-item Python loop.
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..constants import (
+    EMPTY_HI,
+    EMPTY_KMER,
+    ENTRY_SIZE,
+    KMER_LO_BITS,
+    KMER_LO_MASK,
+    MAX_ENCODED,
+    TABLE_VERSION,
+)
+
+SLOT_DTYPE = np.dtype(
+    [
+        ("kmer", "<i8"),
+        ("otu", "<i4"),
+        ("avg_from_end", "<i4"),
+        ("fi", "<i4"),
+        ("wt", "<f4"),
+    ]
+)
+assert SLOT_DTYPE.itemsize == ENTRY_SIZE
+
+HEADER_DTYPE = np.dtype([("num_sigs", "<i8"), ("entry_size", "<i8"), ("version", "<i8")])
+
+TABLE_FILE = "kmer.table.mem_map"
+FUNCTION_INDEX_FILE = "function.index"
+META_FILE = "kmer.table.meta.json"
+
+
+class TableError(ValueError):
+    pass
+
+
+@dataclass
+class KmerTable:
+    """In-memory signature table as a structure-of-arrays over all slots."""
+
+    slots: np.ndarray  # structured SLOT_DTYPE array of length num_sigs
+    num_sigs: int
+    version: int = TABLE_VERSION
+    max_probe: Optional[int] = None  # longest probe chain (slots touched)
+
+    @property
+    def occupied(self) -> np.ndarray:
+        return self.slots["kmer"] <= MAX_ENCODED
+
+    def compute_max_probe(self) -> int:
+        occ = self.occupied
+        if not occ.any():
+            self.max_probe = 1
+            return 1
+        pos = np.nonzero(occ)[0]
+        home = self.slots["kmer"][pos] % np.int64(self.num_sigs)
+        probe = pos - home + 1
+        if (probe < 1).any():
+            raise TableError("table contains an entry placed before its home slot")
+        self.max_probe = int(probe.max())
+        return self.max_probe
+
+
+def _next_odd_prime(n: int) -> int:
+    if n <= 2:
+        return 2
+    if n % 2 == 0:
+        n += 1
+    while True:
+        for p in range(3, int(n ** 0.5) + 1, 2):
+            if n % p == 0:
+                break
+        else:
+            return n
+        n += 2
+
+
+def build_table(
+    kmers: np.ndarray,
+    otu: np.ndarray,
+    avg_from_end: np.ndarray,
+    fi: np.ndarray,
+    wt: np.ndarray,
+    num_sigs: Optional[int] = None,
+    load_factor: float = 0.6,
+) -> KmerTable:
+    """Build an open-addressed table from parallel arrays of signatures."""
+    kmers = np.asarray(kmers, dtype=np.int64)
+    n = len(kmers)
+    if n != len(set(kmers.tolist())):
+        raise TableError("duplicate k-mer values in signature set")
+    if n and (kmers.min() < 0 or kmers.max() > MAX_ENCODED):
+        raise TableError("k-mer value out of range")
+    if num_sigs is None:
+        num_sigs = _next_odd_prime(max(int(n / load_factor) + 1, n + 2, 11))
+
+    while True:
+        home = kmers % np.int64(num_sigs)
+        order = np.lexsort((kmers, home))
+        home_s = home[order]
+        # pos[i] = max(home_s[i], pos[i-1] + 1)  ==  running max of home_s[i]-i, plus i
+        shifted = home_s - np.arange(n, dtype=np.int64)
+        pos = np.maximum.accumulate(shifted) + np.arange(n, dtype=np.int64)
+        # Grow until no chain reaches the final slot (keeps last slot empty and
+        # rules out wraparound).
+        if n == 0 or pos[-1] < num_sigs - 1:
+            break
+        num_sigs = _next_odd_prime(int(num_sigs * 1.3) + 2)
+
+    slots = np.empty(num_sigs, dtype=SLOT_DTYPE)
+    slots["kmer"] = EMPTY_KMER
+    slots["otu"] = 0
+    slots["avg_from_end"] = 0
+    slots["fi"] = 0
+    slots["wt"] = 0.0
+    slots["kmer"][pos] = kmers[order]
+    slots["otu"][pos] = np.asarray(otu, dtype=np.int32)[order]
+    slots["avg_from_end"][pos] = np.asarray(avg_from_end, dtype=np.int32)[order]
+    slots["fi"][pos] = np.asarray(fi, dtype=np.int32)[order]
+    slots["wt"][pos] = np.asarray(wt, dtype=np.float32)[order]
+
+    table = KmerTable(slots=slots, num_sigs=int(num_sigs))
+    table.max_probe = int((pos - home_s).max()) + 1 if n else 1
+    return table
+
+
+def write_table(path: str, table: KmerTable, write_meta: bool = True) -> None:
+    header = np.zeros(1, dtype=HEADER_DTYPE)
+    header["num_sigs"] = table.num_sigs
+    header["entry_size"] = ENTRY_SIZE
+    header["version"] = table.version
+    raw = header.tobytes() + table.slots.tobytes()
+    if path.endswith(".gz"):
+        with gzip.open(path, "wb") as fh:
+            fh.write(raw)
+    else:
+        with open(path, "wb") as fh:
+            fh.write(raw)
+    if write_meta:
+        if table.max_probe is None:
+            table.compute_max_probe()
+        meta_path = os.path.join(os.path.dirname(path) or ".", META_FILE)
+        with open(meta_path, "w") as fh:
+            json.dump(
+                {"num_sigs": table.num_sigs, "max_probe": table.max_probe,
+                 "version": table.version},
+                fh,
+            )
+
+
+def read_table(path: str) -> KmerTable:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as fh:
+            raw = fh.read()
+    else:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+    header = np.frombuffer(raw[: HEADER_DTYPE.itemsize], dtype=HEADER_DTYPE)[0]
+    num_sigs = int(header["num_sigs"])
+    entry_size = int(header["entry_size"])
+    if entry_size != ENTRY_SIZE:
+        raise TableError(f"unsupported entrySize {entry_size} (expected {ENTRY_SIZE})")
+    slots = np.frombuffer(
+        raw, dtype=SLOT_DTYPE, count=num_sigs, offset=HEADER_DTYPE.itemsize
+    ).copy()
+    table = KmerTable(slots=slots, num_sigs=num_sigs, version=int(header["version"]))
+    meta_path = os.path.join(os.path.dirname(path) or ".", META_FILE)
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            if meta.get("num_sigs") == num_sigs:
+                table.max_probe = int(meta["max_probe"])
+        except (OSError, ValueError, KeyError):
+            pass
+    if table.max_probe is None:
+        table.compute_max_probe()
+    return table
+
+
+def resolve_table_files(data_dir: str) -> Tuple[str, str]:
+    """Resolve table/function files with .gz fallback (ref run() :749-758)."""
+    table = os.path.join(data_dir, TABLE_FILE)
+    if os.path.exists(table + ".gz"):
+        table = table + ".gz"
+    func = os.path.join(data_dir, FUNCTION_INDEX_FILE)
+    if os.path.exists(func + ".gz"):
+        func = func + ".gz"
+    return table, func
+
+
+def device_planes(table: KmerTable, probe_pad: int) -> dict:
+    """Split the table into int32/float32 planes for TPU kernels.
+
+    k-mer values (< 20^8 < 2^35) are split into hi/lo int32 planes
+    (value = hi * 2^20 + lo) so kernels never need 64-bit arithmetic. Planes
+    are padded by ``probe_pad`` empty slots so a probe window starting at any
+    real slot is a contiguous in-bounds read.
+    """
+    n = table.num_sigs + probe_pad
+    kmer = table.slots["kmer"]
+    occ = table.occupied
+    hi = np.full(n, EMPTY_HI, dtype=np.int32)
+    lo = np.zeros(n, dtype=np.int32)
+    hi[: table.num_sigs][occ] = (kmer[occ] >> KMER_LO_BITS).astype(np.int32)
+    lo[: table.num_sigs][occ] = (kmer[occ] & KMER_LO_MASK).astype(np.int32)
+    meta = np.zeros((n, 4), dtype=np.int32)
+    meta[: table.num_sigs, 0] = table.slots["otu"]
+    meta[: table.num_sigs, 1] = table.slots["avg_from_end"]
+    meta[: table.num_sigs, 2] = table.slots["fi"]
+    meta[: table.num_sigs, 3] = table.slots["wt"].view(np.int32)
+    return {"hi": hi, "lo": lo, "meta": meta, "num_sigs": table.num_sigs}

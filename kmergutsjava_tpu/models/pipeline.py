@@ -1,0 +1,153 @@
+"""End-to-end annotation engine (the reference's run(), re-phased for TPU).
+
+Three phases with wall-clock info lines, mirroring
+/root/reference/lib/src/kmergutsjava/KmerGutsJava.java:742-820:
+
+1. prepare  — FASTA -> device-batched encode/translate/kmerize -> query store
+2. lookup   — probe the signature table (parity | xla | pallas backend)
+3. group    — sequential call state machine -> report text
+
+Report text is bit-identical to the reference in non-debug mode; info lines
+(temp dir, phase timings, progress) follow the reference's printInfoLine
+routing (ref :891-898): into the report only when debug, to stdout only when
+the report goes to a file.
+"""
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+from typing import Dict, List, Optional, TextIO
+
+import numpy as np
+
+from ..calls.grouping import (GroupingParams, Report, process_aa_seq,
+                              process_dna_seq)
+from ..config import EngineConfig
+from ..constants import ENTRY_SIZE
+from ..formats.fasta import read_fasta
+from ..formats.function_index import load_function_index
+from ..formats.kmer_table import read_table, resolve_table_files
+from ..lookup.parity import LookupHits, TableTruncatedError, lookup_stream
+from ..lookup.store import QueryKmerStore
+from ..lookup.xla import XlaLookup
+from .prepare import Prepared, prepare_aa, prepare_dna
+
+
+class Engine:
+    def __init__(self, config: Optional[EngineConfig] = None):
+        self.config = config or EngineConfig()
+
+    def _info(self, message: str, report: Report, stdout: bool) -> None:
+        # ref printInfoLine :891-898
+        if self.config.debug:
+            report.println(message)
+        if not stdout:
+            print(message)
+
+    def run(self, data_dir: str, query: Optional[str], out_stream: TextIO,
+            stdout: bool = False, query_stream: Optional[TextIO] = None) -> None:
+        cfg = self.config
+        report = Report(out_stream)
+        import os
+        self._info("Temp. directory: " + os.path.realpath(cfg.resolved_temp_dir()),
+                   report, stdout)
+        table_path, func_path = resolve_table_files(data_dir)
+        functions = load_function_index(func_path)
+        table = read_table(table_path)
+
+        # --- phase 1: prepare (ref :776-795) ---
+        t1 = time.time()
+        store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
+                               cfg.resolved_temp_dir())
+        try:
+            records = read_fasta(query if query is not None else query_stream)
+            if cfg.aa:
+                prep = prepare_aa(records, store,
+                                  min_bucket=cfg.length_bucket_base)
+            else:
+                prep = prepare_dna(records, store)
+            rec = store.finalize(require_sorted=(cfg.backend == "parity"))
+        except Exception:
+            store.close()
+            raise
+        self._info("Preparation time: %d ms." % int((time.time() - t1) * 1000),
+                   report, stdout)
+
+        # --- phase 2: lookup (ref :796-803) ---
+        t2 = time.time()
+        if cfg.debug:
+            report.println("Kmer-table info: numSigs=%d, entrySize=%d, version=%d"
+                           % (table.num_sigs, ENTRY_SIZE, table.version))
+        hits: LookupHits
+        try:
+            hits = self._lookup(table, rec)
+        except TableTruncatedError as ex:
+            # ref :797-802 — EOFException: partial results + "Error: null"
+            traceback.print_exc(file=sys.stderr)
+            self._info("Error: null", report, stdout)
+            hits = ex.partial
+        finally:
+            store.close()
+        self._info("Lookup time: %d ms." % int((time.time() - t2) * 1000),
+                   report, stdout)
+        if cfg.debug:
+            report.println("Kmers found: %d (pos-count=%d)"
+                           % (hits.kmers_found, len(hits)))
+
+        # --- phase 3: group (ref :804-819) ---
+        t3 = time.time()
+        container_hits = self._bucket_hits(prep, hits)
+        params = GroupingParams(
+            min_hits=cfg.min_hits, min_weighted_hits=cfg.min_weighted_hits,
+            max_gap=cfg.max_gap, order_constraint=cfg.order_constraint,
+            debug=cfg.debug)
+        for query_id, seq_len in prep.id_len.items():
+            if cfg.aa:
+                process_aa_seq(query_id, seq_len, container_hits, functions,
+                               report, params)
+            else:
+                process_dna_seq(query_id, seq_len, container_hits, functions,
+                                report, params)
+            report.flush()
+        self._info("Grouping time: %d ms." % int((time.time() - t3) * 1000),
+                   report, stdout)
+
+    def _lookup(self, table, rec) -> LookupHits:
+        cfg = self.config
+        if cfg.backend == "parity":
+            return lookup_stream(table, rec["value"], rec["cnt"], rec["pos"])
+        if cfg.backend == "xla":
+            lk = XlaLookup(table, probe_window=cfg.probe_window,
+                           chunk=cfg.lookup_chunk)
+            return lk.lookup(rec["value"], rec["cnt"], rec["pos"])
+        if cfg.backend == "pallas":
+            from ..lookup.pallas_kernel import PallasLookup
+            lk = PallasLookup(table, probe_window=cfg.probe_window,
+                              chunk=cfg.lookup_chunk)
+            return lk.lookup(rec["value"], rec["cnt"], rec["pos"])
+        raise ValueError(f"unknown lookup backend: {cfg.backend}")
+
+    @staticmethod
+    def _bucket_hits(prep: Prepared, hits: LookupHits) -> Dict[tuple, List[tuple]]:
+        """Distribute flat hit records into per-container lists.
+
+        Mirrors the reference's container map semantics (ref :805-809): for
+        duplicate (id, strand, frame) keys the LAST container wins, dropping
+        hits of earlier same-key containers.
+        """
+        key_to_cnt = {}
+        for cid, key in enumerate(prep.containers):
+            key_to_cnt[key] = cid  # last wins
+        by_container: Dict[tuple, List[tuple]] = {k: [] for k in key_to_cnt}
+        cnt_to_key = {cid: key for key, cid in key_to_cnt.items()}
+        order = np.argsort(hits.cnt_id, kind="stable")
+        wt32 = hits.wt.astype(np.float32)
+        for i in order:
+            key = cnt_to_key.get(int(hits.cnt_id[i]))
+            if key is None:
+                continue  # superseded duplicate container
+            by_container[key].append((int(hits.pos[i]), int(hits.otu[i]),
+                                      int(hits.avg_from_end[i]),
+                                      int(hits.fi[i]), wt32[i]))
+        return by_container

@@ -1,0 +1,165 @@
+"""End-to-end: fixture data dir -> CLI/engine -> report. Cross-backend
+byte-identity plus a hand-computed golden."""
+import io
+import random
+
+import numpy as np
+import pytest
+
+from kmergutsjava_tpu.cli import main as cli_main
+from kmergutsjava_tpu.config import EngineConfig
+from kmergutsjava_tpu.formats.table_tools import (signatures_from_proteins,
+                                                  write_data_dir)
+from kmergutsjava_tpu.models.pipeline import Engine
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+DNA = "ACGT"
+
+
+def run_engine(data_dir, fasta_text, backend="xla", **cfg_kw):
+    cfg = EngineConfig(backend=backend, **cfg_kw)
+    out = io.StringIO()
+    Engine(cfg).run(str(data_dir), None, out, stdout=True,
+                    query_stream=io.StringIO(fasta_text))
+    return out.getvalue()
+
+
+def test_hand_golden_aa(tmp_path):
+    prot = AA  # 20 residues: 13 full windows, 12 query windows (i < len-K)
+    write_data_dir(tmp_path / "d", signatures_from_proteins(
+        [(prot, 0, 3)], weight=0.5), ["funcA", "funcB"])
+    fasta = ">P1 description\n" + prot + "\n"
+    want = ("PROTEIN-ID\tP1\t20\n"
+            "CALL\t0\t18\t12\t0\tfuncA\t6.000000\n"
+            "OTU-COUNTS\tP1[20]\t12-3\n")
+    for backend in ("parity", "xla"):
+        assert run_engine(tmp_path / "d", fasta, backend=backend, aa=True) == want
+
+
+def _random_corpus(rng, n_prot=40, n_funcs=6):
+    prots = []
+    for i in range(n_prot):
+        length = rng.randint(12, 120)
+        prots.append("".join(rng.choice(AA) for _ in range(length)))
+    triples = [(p, rng.randrange(n_funcs), rng.randrange(10)) for p in prots]
+    funcs = [f"function {i} description" for i in range(n_funcs)]
+    return prots, triples, funcs
+
+
+@pytest.mark.parametrize("min_hits,max_gap", [(5, 200), (2, 30), (3, 10)])
+def test_cross_backend_aa_random(tmp_path, min_hits, max_gap):
+    rng = random.Random(min_hits * 100 + max_gap)
+    prots, triples, funcs = _random_corpus(rng)
+    sig = signatures_from_proteins(triples, weights={i: 0.1 + 0.3 * i
+                                                     for i in range(len(funcs))})
+    # thin the signature set so some windows miss
+    keep = np.asarray([rng.random() < 0.7 for _ in sig["kmers"]])
+    sig = {k: v[keep] for k, v in sig.items()}
+    write_data_dir(tmp_path / "d", sig, funcs, load_factor=0.9)
+    fasta = "".join(f">p{i} d{i}\n{p}\n" for i, p in enumerate(prots))
+    kw = dict(aa=True, min_hits=min_hits, max_gap=max_gap)
+    r_parity = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
+    r_xla = run_engine(tmp_path / "d", fasta, backend="xla", **kw)
+    assert r_parity == r_xla
+    assert r_parity.count("PROTEIN-ID") == len(prots)
+    assert "CALL\t" in r_parity
+
+
+def test_cross_backend_dna_random(tmp_path):
+    rng = random.Random(77)
+    prots, triples, funcs = _random_corpus(rng, n_prot=20)
+    sig = signatures_from_proteins(triples)
+    write_data_dir(tmp_path / "d", sig, funcs)
+    # DNA contigs: some random, some reverse-translated proteins so '+' and
+    # '-' frames both get real hits
+    from java_oracle import rev_comp
+    codon = {"A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT",
+             "G": "GGT", "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTT",
+             "M": "ATG", "N": "AAT", "P": "CCT", "Q": "CAA", "R": "CGT",
+             "S": "TCT", "T": "ACT", "V": "GTT", "W": "TGG", "Y": "TAT"}
+    contigs = []
+    for i, p in enumerate(prots[:8]):
+        dna = "".join(codon[c] for c in p)
+        prefix = "".join(rng.choice(DNA) for _ in range(rng.randrange(0, 5)))
+        if i % 2:
+            dna = rev_comp(dna)
+        contigs.append(prefix + dna)
+    for _ in range(4):
+        contigs.append("".join(rng.choice(DNA + "nN")
+                               for _ in range(rng.randint(30, 600))))
+    fasta = "".join(f">c{i}\n{c}\n" for i, c in enumerate(contigs))
+    kw = dict(aa=False, min_hits=3, max_gap=200)
+    r_parity = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
+    r_xla = run_engine(tmp_path / "d", fasta, backend="xla", **kw)
+    assert r_parity == r_xla
+    assert r_parity.count("processing ") == len(contigs)
+    assert r_parity.count("TRANSLATION") == 6 * len(contigs)
+    assert "CALL\t" in r_parity
+
+
+def test_duplicate_ids_last_container_wins(tmp_path):
+    prot1, prot2 = AA, AA[::-1]
+    write_data_dir(tmp_path / "d", signatures_from_proteins(
+        [(prot1, 0, 1), (prot2, 1, 2)]), ["fA", "fB"])
+    fasta = f">dup\n{prot1}\n>dup\n{prot2}\n"
+    for backend in ("parity", "xla"):
+        out = run_engine(tmp_path / "d", fasta, backend=backend, aa=True)
+        # one PROTEIN-ID line (first-seen order), length/hits of the LAST record
+        assert out.count("PROTEIN-ID\tdup\t20") == 1
+        assert "fB" in out and "fA" not in out
+
+
+def test_cli_file_output(tmp_path, capsys):
+    prot = AA
+    write_data_dir(tmp_path / "d", signatures_from_proteins(
+        [(prot, 0, 3)], weight=0.5), ["funcA"])
+    q = tmp_path / "q.faa"
+    q.write_text(">P1\n" + prot + "\n")
+    out_file = tmp_path / "out.txt"
+    rc = cli_main(["-a", "-m", "5", "-D", str(tmp_path / "d"),
+                   "-q", str(q), "-o", str(out_file)])
+    assert rc == 0
+    text = out_file.read_text()
+    assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000\n" in text
+    # info lines go to stdout when output is a file (ref :891-898)
+    captured = capsys.readouterr()
+    assert "Preparation time:" in captured.out
+    assert "Preparation time:" not in text
+
+
+def test_cli_gz_inputs(tmp_path):
+    import gzip
+    prot = AA
+    write_data_dir(tmp_path / "d", signatures_from_proteins(
+        [(prot, 0, 3)], weight=0.5), ["funcA"], gz=True)
+    q = tmp_path / "q.faa.gz"
+    with gzip.open(q, "wt") as fh:
+        fh.write(">P1\n" + prot + "\n")
+    out_file = tmp_path / "out.txt"
+    rc = cli_main(["-a", "-D", str(tmp_path / "d"), "-q", str(q),
+                   "-o", str(out_file)])
+    assert rc == 0
+    assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000\n" in out_file.read_text()
+
+
+def test_cli_usage_on_error(capsys):
+    rc = cli_main(["-Z"])
+    assert rc == 2
+    out = capsys.readouterr().out
+    assert "Usage: kmer_guts" in out
+
+
+def test_spill_path_end_to_end(tmp_path):
+    """Tiny input_size_limit forces the external sort/merge path."""
+    rng = random.Random(5)
+    prots, triples, funcs = _random_corpus(rng, n_prot=10)
+    write_data_dir(tmp_path / "d", signatures_from_proteins(triples), funcs)
+    fasta = "".join(f">p{i}\n{p}\n" for i, p in enumerate(prots))
+    base = run_engine(tmp_path / "d", fasta, backend="xla", aa=True, min_hits=2)
+    spilled = run_engine(tmp_path / "d", fasta, backend="xla", aa=True,
+                         min_hits=2, input_size_limit=50,
+                         temp_dir=str(tmp_path / "tmp"))
+    spilled_parity = run_engine(tmp_path / "d", fasta, backend="parity", aa=True,
+                                min_hits=2, input_size_limit=50,
+                                temp_dir=str(tmp_path / "tmp2"))
+    assert base == spilled == spilled_parity

@@ -1,0 +1,139 @@
+"""Differential tests: parity scan vs vectorized XLA lookup, plus the parity
+scan's reference-exact edge behaviors."""
+import numpy as np
+import pytest
+
+from kmergutsjava_tpu.constants import EMPTY_KMER, MAX_ENCODED
+from kmergutsjava_tpu.formats.kmer_table import KmerTable, build_table
+from kmergutsjava_tpu.lookup.parity import (TableTruncatedError, lookup_stream,
+                                            sort_queries)
+from kmergutsjava_tpu.lookup.store import QueryKmerStore
+from kmergutsjava_tpu.lookup.xla import XlaLookup
+from test_table import random_signatures
+
+
+def make_queries(rng, sig_kmers, n_queries, hit_fraction=0.5):
+    n_hit = int(n_queries * hit_fraction)
+    hit_vals = rng.choice(sig_kmers, size=n_hit) if len(sig_kmers) else np.array([], np.int64)
+    miss_vals = rng.choice(MAX_ENCODED, size=n_queries - n_hit).astype(np.int64)
+    values = np.concatenate([hit_vals, miss_vals]).astype(np.int64)
+    rng.shuffle(values)
+    cnt = rng.integers(0, 7, n_queries).astype(np.int64)
+    pos = np.arange(n_queries, dtype=np.int64)
+    return values, cnt, pos
+
+
+def canon(hits):
+    """Order-independent canonical multiset of hit records."""
+    return sorted(zip(hits.cnt_id.tolist(), hits.pos.tolist(), hits.otu.tolist(),
+                      hits.avg_from_end.tolist(), hits.fi.tolist(),
+                      hits.wt.tolist()))
+
+
+@pytest.mark.parametrize("seed,load", [(0, 0.5), (1, 0.7), (2, 0.95), (3, 0.3)])
+def test_parity_vs_xla_random(seed, load):
+    rng = np.random.default_rng(seed)
+    sig = random_signatures(rng, 1500)
+    table = build_table(**sig, load_factor=load)
+    values, cnt, pos = make_queries(rng, sig["kmers"], 5000)
+    a = lookup_stream(table, values, cnt, pos)
+    b = XlaLookup(table, chunk=1024).lookup(values, cnt, pos)
+    assert canon(a) == canon(b)
+    assert a.kmers_found == b.kmers_found
+
+
+def test_all_hits_and_all_misses():
+    rng = np.random.default_rng(10)
+    sig = random_signatures(rng, 400)
+    table = build_table(**sig)
+    # every signature queried once -> every one found
+    v = sig["kmers"].copy()
+    a = lookup_stream(table, v, np.zeros(len(v)), np.arange(len(v)))
+    b = XlaLookup(table).lookup(v, np.zeros(len(v)), np.arange(len(v)))
+    assert len(a) == len(v) and canon(a) == canon(b)
+    assert a.kmers_found == len(v)
+    # misses only
+    misses = np.setdiff1d(np.arange(20000, dtype=np.int64), v)[:500]
+    a = lookup_stream(table, misses, np.zeros(500), np.arange(500))
+    b = XlaLookup(table).lookup(misses, np.zeros(500), np.arange(500))
+    assert len(a) == 0 and len(b) == 0
+
+
+def test_duplicate_query_values_fan_out():
+    rng = np.random.default_rng(11)
+    sig = random_signatures(rng, 50)
+    table = build_table(**sig)
+    v = np.repeat(sig["kmers"][:3], 4)
+    cnt = np.arange(12) % 5
+    pos = np.arange(12) * 10
+    a = lookup_stream(table, v, cnt, pos)
+    b = XlaLookup(table).lookup(v, cnt, pos)
+    assert len(a) == 12
+    assert canon(a) == canon(b)
+    assert a.kmers_found == 3  # distinct matched values, ref kmersFound
+
+
+def test_empty_query_set():
+    rng = np.random.default_rng(12)
+    table = build_table(**random_signatures(rng, 10))
+    empty = np.array([], dtype=np.int64)
+    a = lookup_stream(table, empty, empty, empty)
+    b = XlaLookup(table).lookup(empty, empty, empty)
+    assert len(a) == 0 and len(b) == 0
+
+
+def test_truncated_table_raises_with_partial():
+    """A probe walking off the table end = Java EOFException (ref :797-802)."""
+    # handcrafted pathological table: last slot occupied by a non-matching
+    # value whose chain forces the scan past the end
+    num_sigs = 11
+    slots = np.zeros(num_sigs, dtype=build_table(
+        np.array([], np.int64), [], [], [], []).slots.dtype)
+    slots["kmer"] = EMPTY_KMER
+    slots["kmer"][0] = 0  # value 0, home 0 -> matches query 0
+    slots["kmer"][10] = 21  # home 21 % 11 = 10; occupies last slot
+    table = KmerTable(slots=slots, num_sigs=num_sigs)
+    table.max_probe = 1
+    # query value 32 has home 10; slot 10 holds 21 (non-match, non-empty),
+    # scan advances past the last slot -> truncation, partial keeps value 0 hit
+    values = np.array([0, 32], dtype=np.int64)
+    with pytest.raises(TableTruncatedError) as ei:
+        lookup_stream(table, values, np.array([0, 0]), np.array([5, 6]))
+    partial = ei.value.partial
+    assert partial.pos.tolist() == [5]
+
+
+def test_sort_queries_matches_reference_comparator():
+    values = np.array([23, 1, 12, 12, 3], dtype=np.int64)  # num_sigs 11
+    v, c, p, h = sort_queries(values, np.arange(5), np.arange(5), 11)
+    # homes: 23->1, 1->1, 12->1, 12->1, 3->3 ; order by (home, value)
+    assert v.tolist() == [1, 12, 12, 23, 3]
+
+
+def test_store_spill_and_merge(tmp_path):
+    rng = np.random.default_rng(13)
+    num_sigs = 101
+    store = QueryKmerStore(num_sigs, input_size_limit=500, temp_dir=str(tmp_path))
+    all_vals = []
+    for _ in range(10):
+        v = rng.integers(0, 10**6, 300).astype(np.int64)
+        all_vals.append(v)
+        store.add_batch(v, 1, np.arange(300))
+    rec = store.finalize()
+    vals = np.concatenate(all_vals)
+    assert len(rec) == len(vals)
+    home = rec["value"] % num_sigs
+    key = np.stack([home, rec["value"]])
+    assert np.all((np.diff(home) > 0) | ((np.diff(home) == 0) &
+                                         (np.diff(rec["value"]) >= 0)))
+    assert sorted(rec["value"].tolist()) == sorted(vals.tolist())
+    store.close()
+
+
+def test_store_in_ram_no_sort(tmp_path):
+    store = QueryKmerStore(11, input_size_limit=10**9, temp_dir=str(tmp_path))
+    v = np.array([5, 3, 9], dtype=np.int64)
+    store.add_batch(v, 0, np.arange(3))
+    rec = store.finalize()
+    assert rec["value"].tolist() == [5, 3, 9]  # insertion order preserved
+    store.close()
