@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark: TPU probe-window lookup vs single-core streaming baseline.
+
+Prints ONE JSON line:
+  {"metric": "aa_8mer_lookups_per_sec_per_chip", "value": N,
+   "unit": "lookups/s", "vs_baseline": R, ...}
+
+The baseline is the reference engine's forward-only streaming merge-join
+(KmerGutsJava.java:944-1034) reimplemented single-threaded in C++
+(native/kmer_guts_baseline.cpp) — this image has no JVM, and C++ is strictly
+faster than the Java original, so vs_baseline is conservative.
+
+Env knobs: BENCH_SIGS (default 4M), BENCH_QUERIES (default 4M),
+BENCH_REPS (default 3), BENCH_HIT_FRACTION (default 0.5).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def build_fixture(n_sigs: int, seed: int = 0):
+    from kmergutsjava_tpu.constants import MAX_ENCODED
+    from kmergutsjava_tpu.formats.kmer_table import build_table
+
+    rng = np.random.default_rng(seed)
+    # sample without replacement from a sparse space via oversampled unique
+    kmers = np.unique(rng.integers(0, MAX_ENCODED, size=int(n_sigs * 1.05),
+                                   dtype=np.int64))[:n_sigs]
+    table = build_table(
+        kmers,
+        rng.integers(0, 1000, len(kmers)).astype(np.int32),
+        rng.integers(0, 500, len(kmers)).astype(np.int32),
+        rng.integers(0, 5000, len(kmers)).astype(np.int32),
+        rng.random(len(kmers)).astype(np.float32),
+        load_factor=0.6,
+    )
+    return table, kmers
+
+
+def make_queries(kmers: np.ndarray, n_queries: int, hit_fraction: float,
+                 seed: int = 1):
+    from kmergutsjava_tpu.constants import MAX_ENCODED
+
+    rng = np.random.default_rng(seed)
+    n_hit = int(n_queries * hit_fraction)
+    hit = rng.choice(kmers, size=n_hit)
+    miss = rng.integers(0, MAX_ENCODED, size=n_queries - n_hit, dtype=np.int64)
+    values = np.concatenate([hit, miss])
+    rng.shuffle(values)
+    return values
+
+
+def bench_tpu(table, values, reps: int, chunk: int = 1 << 20):
+    import jax
+    import jax.numpy as jnp
+
+    from kmergutsjava_tpu.lookup.xla import XlaLookup
+
+    lk = XlaLookup(table, chunk=chunk)
+    homes = (values % np.int64(table.num_sigs)).astype(np.int32)
+    n = len(values)
+    n_pad = -(-n // chunk) * chunk
+    v = np.zeros(n_pad, np.int64)
+    v[:n] = values
+    h = np.zeros(n_pad, np.int32)
+    h[:n] = homes
+    v_chunks = [jax.device_put(jnp.asarray(v[i: i + chunk]))
+                for i in range(0, n_pad, chunk)]
+    h_chunks = [jax.device_put(jnp.asarray(h[i: i + chunk]))
+                for i in range(0, n_pad, chunk)]
+
+    from kmergutsjava_tpu.lookup.xla import probe_first_pass
+
+    def device_pass():
+        outs = []
+        for vc, hc in zip(v_chunks, h_chunks):
+            outs.append(probe_first_pass(*lk._planes, vc, hc, lk.w1))
+        jax.block_until_ready(outs)
+        return outs
+
+    device_pass()  # compile + warm
+    t0 = time.time()
+    for _ in range(reps):
+        outs = device_pass()
+    device_secs = (time.time() - t0) / reps
+
+    # end-to-end host-level lookup (includes transfers, pass 2, compaction)
+    cnt = np.zeros(n, np.int64)
+    pos = np.arange(n, dtype=np.int64)
+    lk.lookup(values, cnt, pos)  # warm
+    t0 = time.time()
+    hits = lk.lookup(values, cnt, pos)
+    e2e_secs = time.time() - t0
+    resolved = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
+    unresolved = int((~resolved).sum())
+    return {
+        "device_lookups_per_sec": n_pad / device_secs,
+        "e2e_lookups_per_sec": n / e2e_secs,
+        "hits": len(hits),
+        "first_pass_unresolved": unresolved,
+        "probe_w1": lk.w1,
+        "probe_full": lk.full_window,
+    }
+
+
+def bench_baseline(table, values, reps: int):
+    from kmergutsjava_tpu.formats.kmer_table import write_table
+    from kmergutsjava_tpu.lookup.store import REC_DTYPE, sort_records
+
+    binary = os.path.join(REPO, "native", "kmer_guts_baseline")
+    src = os.path.join(REPO, "native", "kmer_guts_baseline.cpp")
+    if (not os.path.exists(binary)
+            or os.path.getmtime(binary) < os.path.getmtime(src)):
+        subprocess.run(["g++", "-O2", "-o", binary, src], check=True)
+    with tempfile.TemporaryDirectory() as td:
+        tpath = os.path.join(td, "kmer.table.mem_map")
+        write_table(tpath, table, write_meta=False)
+        rec = np.zeros(len(values), dtype=REC_DTYPE)
+        rec["value"] = values
+        rec["pos"] = np.arange(len(values))
+        rec = sort_records(rec, table.num_sigs)
+        qpath = os.path.join(td, "queries.bin")
+        rec.tofile(qpath)
+        out = subprocess.run([binary, tpath, qpath, str(reps)],
+                             check=True, capture_output=True, text=True)
+    return json.loads(out.stdout)
+
+
+def main():
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    n_sigs = int(os.environ.get("BENCH_SIGS", 4_000_000))
+    n_queries = int(os.environ.get("BENCH_QUERIES", 4_000_000))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    hit_fraction = float(os.environ.get("BENCH_HIT_FRACTION", 0.5))
+
+    table, kmers = build_fixture(n_sigs)
+    values = make_queries(kmers, n_queries, hit_fraction)
+
+    base = bench_baseline(table, values, reps)
+    tpu = bench_tpu(table, values, reps)
+
+    if abs(base["hits"] - tpu["hits"]) > 0:
+        print(f"WARNING: hit mismatch tpu={tpu['hits']} baseline={base['hits']}",
+              file=sys.stderr)
+
+    value = tpu["e2e_lookups_per_sec"]
+    result = {
+        "metric": "aa_8mer_lookups_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "lookups/s",
+        "vs_baseline": round(value / base["lookups_per_sec"], 3),
+        "device_only_lookups_per_sec": round(tpu["device_lookups_per_sec"], 1),
+        "baseline_lookups_per_sec": round(base["lookups_per_sec"], 1),
+        "baseline": "single-core C++ streaming merge-join (reference algorithm)",
+        "num_sigs": table.num_sigs,
+        "queries": n_queries,
+        "hits": tpu["hits"],
+        "probe_windows": [tpu["probe_w1"], tpu["probe_full"]],
+        "first_pass_unresolved": tpu["first_pass_unresolved"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

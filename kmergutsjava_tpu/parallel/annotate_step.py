@@ -1,0 +1,71 @@
+"""Full sharded annotation step: encode -> kmerize -> probe -> hit merge.
+
+One jitted SPMD program over a (data, table) mesh — the framework's
+"training step" analog. Protein batches are sharded over the data axis,
+the signature table over the table axis; each device encodes its local
+sequences, packs 8-mers, probes the slot range it owns, and a psum over the
+table axis assembles complete per-window hit answers on every data shard.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..constants import AA_OFF_LUT, K, POW20
+from ..formats.kmer_table import KmerTable
+from .mesh import DATA_AXIS, TABLE_AXIS
+from .sharded_lookup import _local_probe, shard_table_planes
+
+
+def _encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
+                      *, s_loc, probe_window, num_sigs):
+    """Per-device body (runs inside shard_map)."""
+    offs = jnp.asarray(AA_OFF_LUT)[ascii_u8.astype(jnp.int32)]
+    b, n = offs.shape
+    w = n - K + 1
+    values = jnp.zeros((b, w), dtype=jnp.int64)
+    ok = jnp.ones((b, w), dtype=bool)
+    for k in range(K):
+        seg = offs[:, k: k + w].astype(jnp.int64)
+        values = values + seg * int(POW20[k])
+        ok = ok & (seg < 20)
+    # reference window bound: i < len - K (ref KmerGutsJava.java:912)
+    ok = ok & (jnp.arange(w) < (lengths - K)[:, None])
+    flat_v = values.reshape(-1)
+    flat_ok = ok.reshape(-1)
+    homes = (flat_v % num_sigs).astype(jnp.int32)
+    found, otu, avg, fi, wt = _local_probe(
+        tk, t_otu, t_avg, t_fi, t_wt, flat_v, homes,
+        s_loc=s_loc, probe_window=probe_window)
+    found = found * flat_ok.astype(jnp.int32)
+    shape = (b, w)
+    return (found.reshape(shape), otu.reshape(shape), avg.reshape(shape),
+            fi.reshape(shape), wt.reshape(shape))
+
+
+def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
+                               ) -> Tuple[Callable, dict]:
+    """Returns (step, device_planes). step(kmer, otu, avg, fi, wt,
+    ascii_u8[B, L], lengths[B]) -> per-window (found, otu, avg, fi, wt),
+    with B sharded over the data axis."""
+    n_shards = mesh.shape[TABLE_AXIS]
+    planes = shard_table_planes(table, n_shards, probe_window)
+    fn = partial(_encode_and_probe, s_loc=planes["s_loc"],
+                 probe_window=probe_window, num_sigs=table.num_sigs)
+    table_spec = P(TABLE_AXIS, None)
+    step = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(table_spec,) * 5 + (P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS, None),) * 5,
+        )
+    )
+    device_planes = {
+        k: jax.device_put(planes[k], NamedSharding(mesh, table_spec))
+        for k in ("kmer", "otu", "avg", "fi", "wt")
+    }
+    return step, device_planes

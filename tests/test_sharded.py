@@ -1,0 +1,42 @@
+"""Sharded lookup over a virtual 8-device CPU mesh vs single-device answers."""
+import numpy as np
+import pytest
+
+from kmergutsjava_tpu.formats.kmer_table import build_table
+from kmergutsjava_tpu.parallel.mesh import make_mesh
+from kmergutsjava_tpu.parallel.sharded_lookup import (make_sharded_lookup,
+                                                      sharded_lookup_queries)
+from kmergutsjava_tpu.lookup.xla import XlaLookup
+from test_table import random_signatures
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (1, 8), (8, 1), (2, 2)])
+def test_sharded_matches_single_device(mesh_shape):
+    rng = np.random.default_rng(sum(mesh_shape))
+    sig = random_signatures(rng, 2000)
+    table = build_table(**sig, load_factor=0.8)
+    mesh = make_mesh(*mesh_shape)
+    probe_window = max(8, table.max_probe)
+    step, planes = make_sharded_lookup(mesh, table, probe_window)
+
+    from test_lookup import make_queries
+    values, cnt, pos = make_queries(rng, sig["kmers"], 4096)
+    found, otu, avg, fi, wt = sharded_lookup_queries(
+        mesh, step, planes, values, table.num_sigs, pad_multiple=8)
+
+    ref = XlaLookup(table).lookup(values, cnt, pos)
+    mask = found.astype(bool)
+    got = sorted(zip(values[mask].tolist(), otu[mask].tolist(),
+                     avg[mask].tolist(), fi[mask].tolist(), wt[mask].tolist()))
+    want = sorted(zip(values[np.isin(np.arange(len(values)), np.nonzero(
+        _found_mask(ref, values))[0])].tolist(), ref.otu.tolist(),
+        ref.avg_from_end.tolist(), ref.fi.tolist(), ref.wt.tolist()))
+    assert int(mask.sum()) == len(ref)
+    assert got == want
+
+
+def _found_mask(ref, values):
+    # reconstruct per-query found mask from the compacted LookupHits via pos
+    mask = np.zeros(len(values), dtype=bool)
+    mask[ref.pos] = True  # pos was arange(n) in make_queries
+    return mask
