@@ -1,0 +1,21 @@
+# Build/test entry points (counterpart of the reference's Makefile/build.xml)
+.PHONY: all test bench baseline clean
+
+all: baseline
+
+baseline: native/kmer_guts_baseline
+
+native/kmer_guts_baseline: native/kmer_guts_baseline.cpp
+	g++ -O2 -o $@ $<
+
+test:
+	python -m pytest tests/ -x -q
+
+test-full:
+	KMER_ECOLI_FULL=1 python -m pytest tests/ -x -q
+
+bench: baseline
+	python bench.py
+
+clean:
+	rm -f native/kmer_guts_baseline

@@ -65,7 +65,8 @@ def bench_tpu(table, values, reps: int, chunk: int = 1 << 20):
 
     from kmergutsjava_tpu.lookup.xla import XlaLookup
 
-    lk = XlaLookup(table, chunk=chunk)
+    lk = XlaLookup(table, chunk=chunk,
+                   use_fingerprint=os.environ.get("BENCH_MODE") != "int64")
     homes = (values % np.int64(table.num_sigs)).astype(np.int32)
     n = len(values)
     n_pad = -(-n // chunk) * chunk
@@ -78,12 +79,10 @@ def bench_tpu(table, values, reps: int, chunk: int = 1 << 20):
     h_chunks = [jax.device_put(jnp.asarray(h[i: i + chunk]))
                 for i in range(0, n_pad, chunk)]
 
-    from kmergutsjava_tpu.lookup.xla import probe_first_pass
-
     def device_pass():
         outs = []
         for vc, hc in zip(v_chunks, h_chunks):
-            outs.append(probe_first_pass(*lk._planes, vc, hc, lk.w1))
+            outs.append(lk.probe_chunk(vc, hc))
         jax.block_until_ready(outs)
         return outs
 

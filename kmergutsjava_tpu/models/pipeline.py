@@ -37,6 +37,8 @@ from .prepare import Prepared, prepare_aa, prepare_dna
 class Engine:
     def __init__(self, config: Optional[EngineConfig] = None):
         self.config = config or EngineConfig()
+        self._report: Optional[Report] = None
+        self._stdout = True
 
     def _info(self, message: str, report: Report, stdout: bool) -> None:
         # ref printInfoLine :891-898
@@ -45,10 +47,20 @@ class Engine:
         if not stdout:
             print(message)
 
+    def _progress(self, total: int):
+        from ..utils.timing import ProgressReporter
+
+        report, stdout = self._report, self._stdout
+        if report is None or (not self.config.debug and stdout):
+            return None
+        return ProgressReporter(total,
+                                lambda msg: self._info(msg, report, stdout))
+
     def run(self, data_dir: str, query: Optional[str], out_stream: TextIO,
             stdout: bool = False, query_stream: Optional[TextIO] = None) -> None:
         cfg = self.config
         report = Report(out_stream)
+        self._report, self._stdout = report, stdout
         import os
         self._info("Temp. directory: " + os.path.realpath(cfg.resolved_temp_dir()),
                    report, stdout)
@@ -120,7 +132,9 @@ class Engine:
         if cfg.backend == "xla":
             lk = XlaLookup(table, probe_window=cfg.probe_window,
                            chunk=cfg.lookup_chunk)
-            return lk.lookup(rec["value"], rec["cnt"], rec["pos"])
+            return lk.lookup(rec["value"], rec["cnt"], rec["pos"],
+                             progress=self._progress(len(rec)),
+                             compute_kmers_found=cfg.debug)
         if cfg.backend == "pallas":
             from ..lookup.pallas_kernel import PallasLookup
             lk = PallasLookup(table, probe_window=cfg.probe_window,

@@ -1,0 +1,150 @@
+"""JSON-RPC service front-end.
+
+Re-creation of the reference's L3 layer (KmerGutsJavaServer.java — a KBase
+JsonServerServlet whose only method is ``status()``, ref :33-45; the KIDL
+spec is an empty module so the engine is unreachable over RPC). We keep the
+same wire shape (JSON-RPC 1.1-style: {"method": "KmerGutsJava.<m>",
+"params": [...], "id", "version"}) and expose:
+
+- ``KmerGutsJava.status``  — same payload keys as the reference;
+- ``KmerGutsJava.annotate`` — the engine itself (an extension the reference
+  advertises in its docs but never wires up): params
+  [{"fasta": text | "fasta_path": path, "aa": bool, "min_hits": int,
+    "min_weighted_hits": int, "max_gap": int, "order_constraint": bool,
+    "debug": bool, "backend": str}] -> [{"report": text}].
+
+Run: python -m kmergutsjava_tpu.service.server -D <data_dir> [-p port]
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .. import __version__
+from ..config import EngineConfig
+
+GIT_URL = "https://github.com/kbaseapps/KmerGutsJava"
+
+
+class RpcError(Exception):
+    def __init__(self, message: str, code: int = -32000):
+        super().__init__(message)
+        self.code = code
+
+
+class KmerGutsService:
+    """Method registry; one instance owns one data directory."""
+
+    def __init__(self, data_dir: Optional[str] = None):
+        self.data_dir = data_dir
+        self._lock = threading.Lock()
+
+    def status(self, params):
+        # Same keys as the reference servlet's status map (ref :35-44)
+        return [{
+            "state": "OK",
+            "message": "",
+            "version": __version__,
+            "git_url": GIT_URL,
+            "git_commit_hash": "",
+        }]
+
+    def annotate(self, params):
+        if self.data_dir is None:
+            raise RpcError("server started without a data directory (-D)")
+        if not params or not isinstance(params[0], dict):
+            raise RpcError("annotate expects one object parameter")
+        p = params[0]
+        cfg = EngineConfig(
+            aa=bool(p.get("aa", False)),
+            min_hits=int(p.get("min_hits", 5)),
+            min_weighted_hits=int(p.get("min_weighted_hits", 0)),
+            max_gap=int(p.get("max_gap", 200)),
+            order_constraint=bool(p.get("order_constraint", False)),
+            debug=bool(p.get("debug", False)),
+            backend=str(p.get("backend", "xla")),
+        )
+        from ..models.pipeline import Engine
+
+        out = io.StringIO()
+        with self._lock:  # device-resident table planes are per-call state
+            if "fasta" in p:
+                Engine(cfg).run(self.data_dir, None, out, stdout=True,
+                                query_stream=io.StringIO(p["fasta"]))
+            elif "fasta_path" in p:
+                Engine(cfg).run(self.data_dir, p["fasta_path"], out, stdout=True)
+            else:
+                raise RpcError("annotate needs 'fasta' or 'fasta_path'")
+        return [{"report": out.getvalue()}]
+
+    def dispatch(self, method: str, params):
+        short = method.split(".", 1)[-1]
+        fn = {"status": self.status, "annotate": self.annotate}.get(short)
+        if fn is None:
+            raise RpcError(f"Method {method} is not a valid method", -32601)
+        return fn(params)
+
+
+def make_handler(service: KmerGutsService):
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            rpc_id = None
+            try:
+                req = json.loads(body)
+                rpc_id = req.get("id")
+                result = service.dispatch(req.get("method", ""),
+                                          req.get("params", []))
+                resp = {"version": "1.1", "result": result, "id": rpc_id}
+                code = 200
+            except RpcError as ex:
+                resp = {"version": "1.1", "id": rpc_id,
+                        "error": {"name": "JSONRPCError", "code": ex.code,
+                                  "message": str(ex)}}
+                code = 500
+            except Exception as ex:  # noqa: BLE001 — servlet-style catch-all
+                resp = {"version": "1.1", "id": rpc_id,
+                        "error": {"name": "JSONRPCError", "code": -32603,
+                                  "message": f"{type(ex).__name__}: {ex}"}}
+                code = 500
+            payload = json.dumps(resp).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def serve(data_dir: Optional[str], port: int = 5000):
+    service = KmerGutsService(data_dir)
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
+    return server
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="KmerGuts JSON-RPC server")
+    ap.add_argument("-D", "--data-dir", default=None)
+    ap.add_argument("-p", "--port", type=int, default=5000)
+    args = ap.parse_args(argv)
+    server = serve(args.data_dir, args.port)
+    print(f"serving on :{args.port} (data_dir={args.data_dir})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,46 @@
+"""JSON-RPC service round-trip over a live local server."""
+import threading
+
+import pytest
+
+from kmergutsjava_tpu.formats.table_tools import (signatures_from_proteins,
+                                                  write_data_dir)
+from kmergutsjava_tpu.service.client import KmerGutsClient, ServerError
+from kmergutsjava_tpu.service.server import serve
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+@pytest.fixture()
+def server(tmp_path):
+    write_data_dir(str(tmp_path / "d"), signatures_from_proteins(
+        [(AA, 0, 3)], weight=0.5), ["funcA"])
+    srv = serve(str(tmp_path / "d"), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_status(server):
+    st = KmerGutsClient(server).status()
+    assert st["state"] == "OK"
+    assert "version" in st
+
+
+def test_annotate_roundtrip(server):
+    report = KmerGutsClient(server).annotate(
+        fasta=">P1\n" + AA + "\n", aa=True, min_hits=5)
+    assert "PROTEIN-ID\tP1\t20" in report
+    assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000" in report
+
+
+def test_unknown_method(server):
+    client = KmerGutsClient(server)
+    with pytest.raises(ServerError, match="not a valid method"):
+        client._call("nope", [])
+
+
+def test_annotate_bad_params(server):
+    with pytest.raises(ServerError, match="fasta"):
+        KmerGutsClient(server)._call("annotate", [{}])
