@@ -65,24 +65,25 @@ def bench_tpu(table, values, reps: int, chunk: int = 1 << 20):
 
     from kmergutsjava_tpu.lookup.xla import XlaLookup
 
-    lk = XlaLookup(table, chunk=chunk,
-                   use_fingerprint=os.environ.get("BENCH_MODE") != "int64")
+    from kmergutsjava_tpu.lookup.xla import FP_MOD
+
+    lk = XlaLookup(table, chunk=chunk)
     homes = (values % np.int64(table.num_sigs)).astype(np.int32)
     n = len(values)
     n_pad = -(-n // chunk) * chunk
-    v = np.zeros(n_pad, np.int64)
-    v[:n] = values
+    qf = np.zeros(n_pad, np.uint16)
+    qf[:n] = (values % FP_MOD).astype(np.uint16)
     h = np.zeros(n_pad, np.int32)
     h[:n] = homes
-    v_chunks = [jax.device_put(jnp.asarray(v[i: i + chunk]))
+    f_chunks = [jax.device_put(jnp.asarray(qf[i: i + chunk]))
                 for i in range(0, n_pad, chunk)]
     h_chunks = [jax.device_put(jnp.asarray(h[i: i + chunk]))
                 for i in range(0, n_pad, chunk)]
 
     def device_pass():
         outs = []
-        for vc, hc in zip(v_chunks, h_chunks):
-            outs.append(lk.probe_chunk(vc, hc))
+        for fc, hc in zip(f_chunks, h_chunks):
+            outs.append(lk.probe_chunk(fc, hc))
         jax.block_until_ready(outs)
         return outs
 
@@ -99,8 +100,8 @@ def bench_tpu(table, values, reps: int, chunk: int = 1 << 20):
     t0 = time.time()
     hits = lk.lookup(values, cnt, pos)
     e2e_secs = time.time() - t0
-    resolved = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
-    unresolved = int((~resolved).sum())
+    state = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
+    unresolved = int(((state & 3) == 0).sum())  # no candidate, no empty seen
     return {
         "device_lookups_per_sec": n_pad / device_secs,
         "e2e_lookups_per_sec": n / e2e_secs,

@@ -57,14 +57,14 @@ def _round_up_pow2(x: int) -> int:
 @partial(jax.jit, static_argnames=("probe_window",))
 def probe_fingerprint_pass(
     tbl_fp: jax.Array,  # [S + P] uint16 fingerprint plane
-    tbl_kmer: jax.Array,  # [S + P] int64 (single-slot verification gather)
-    values: jax.Array,  # [N] int64
+    q_fp: jax.Array,  # [N] uint16 query fingerprints
     homes: jax.Array,  # [N] int32
     probe_window: int,
 ):
-    """Returns (found, resolved, off_u8). off is the window offset of the
-    verified hit slot (0 where not found)."""
-    q_fp = (values % FP_MOD).astype(jnp.uint16)
+    """Fingerprint-only probe: nothing 64-bit touches the device. Returns
+    (off_u8, state_u8) with state bit0 = has-candidate-before-empty and
+    bit1 = empty-seen; the caller verifies candidates against the host-side
+    k-mer array. Per query: 6 bytes up, 2 bytes down."""
     idx = homes[:, None].astype(jnp.int32) + jnp.arange(probe_window, dtype=jnp.int32)
     fp = tbl_fp[idx]  # [N, W] uint16 gather — the only wide memory touch
     cand = fp == q_fp[:, None]
@@ -74,11 +74,9 @@ def probe_fingerprint_pass(
     first_cand = jnp.argmax(cand, axis=-1).astype(jnp.int32)
     first_empty = jnp.argmax(empty, axis=-1).astype(jnp.int32)
     has_cand = cand_any & (~empty_any | (first_cand < first_empty))
-    slot = jnp.where(has_cand, homes + first_cand, 0)
-    verified = has_cand & (tbl_kmer[slot] == values)
-    resolved = verified | (~has_cand & empty_any)
-    off = jnp.where(verified, first_cand, 0).astype(jnp.uint8)
-    return verified, resolved, off
+    off = jnp.where(has_cand, first_cand, 0).astype(jnp.uint8)
+    state = (has_cand.astype(jnp.uint8) + 2 * empty_any.astype(jnp.uint8))
+    return off, state
 
 
 @partial(jax.jit, static_argnames=("probe_window",))
@@ -121,7 +119,17 @@ def probe_full_window(
 
 
 class XlaLookup:
-    """Stateful wrapper owning the device-resident probe planes."""
+    """Stateful wrapper owning the device-resident probe planes.
+
+    Fingerprint mode (default): only the uint16 fingerprint plane lives in
+    HBM; candidate verification and the exact full-window second pass run
+    host-side against the table's host arrays, so device traffic is 6 bytes
+    up / 2 bytes down per query and chunks are dispatched asynchronously
+    (uploads, probes, and downloads pipeline across chunks).
+
+    int64 mode (use_fingerprint=False): the classic two-pass probe on the
+    int64 plane, fully on device.
+    """
 
     def __init__(self, table: KmerTable, probe_window: Optional[int] = None,
                  chunk: int = 1 << 19, device=None,
@@ -139,27 +147,34 @@ class XlaLookup:
         self.use_fingerprint = use_fingerprint
         p = max(self.full_window, self.w1)
         s = table.num_sigs
-        kmer = np.full(s + p, EMPTY_KMER, dtype=np.int64)
-        kmer[:s] = table.slots["kmer"]
+        # host-side padded k-mer plane (verification + host second pass)
+        self.host_kmer = np.full(s + p, EMPTY_KMER, dtype=np.int64)
+        self.host_kmer[:s] = table.slots["kmer"]
         put = partial(jax.device_put, device=device)
-        self.tbl_kmer = put(kmer)
         fp = np.full(s + p, FP_EMPTY, dtype=np.uint16)
         occ = table.occupied
         fp[:s][occ] = (table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
         self.tbl_fp = put(fp)
+        self.tbl_kmer = put(self.host_kmer) if not use_fingerprint else None
         self.chunk = chunk
 
-    def probe_chunk(self, values: jax.Array, homes: jax.Array):
-        """One device dispatch of the first pass (jit-compiled)."""
-        if self.use_fingerprint:
-            return probe_fingerprint_pass(self.tbl_fp, self.tbl_kmer,
-                                          values, homes, self.w1)
-        return probe_first_pass(self.tbl_kmer, values, homes, self.w1)
+    def probe_chunk(self, q_fp: jax.Array, homes: jax.Array):
+        """One device dispatch of the fingerprint pass (jit-compiled)."""
+        return probe_fingerprint_pass(self.tbl_fp, q_fp, homes, self.w1)
+
+    def _host_full_window(self, values, homes, todo):
+        """Exact full-window probe on the host k-mer array (for unresolved
+        queries — a vanishing fraction)."""
+        idx = homes[todo].astype(np.int64)[:, None] + np.arange(self.full_window)
+        match = self.host_kmer[idx] == values[todo, None]
+        found = match.any(axis=1)
+        off = np.argmax(match, axis=1).astype(np.uint8)
+        return found, np.where(found, off, 0)
 
     def lookup(self, values: np.ndarray, cnt_id: np.ndarray, pos: np.ndarray,
                progress=None, compute_kmers_found: bool = True) -> LookupHits:
-        """Full host-level lookup: two-pass probe, then host-side metadata
-        gather and hit compaction."""
+        """Full host-level lookup: fingerprint probe on device (async across
+        chunks), host verification, host second pass, hit compaction."""
         values = np.asarray(values, dtype=np.int64)
         n = len(values)
         if n == 0:
@@ -167,38 +182,66 @@ class XlaLookup:
             return LookupHits.from_lists(z, z, z, z, z, z, 0)
         homes = (values % np.int64(self.num_sigs)).astype(np.int32)
 
-        found = np.empty(n, dtype=bool)
-        resolved = np.empty(n, dtype=bool)
-        off = np.empty(n, dtype=np.uint8)
-        for start in range(0, n, self.chunk):
-            end = min(start + self.chunk, n)
-            v, h = values[start:end], homes[start:end]
-            pad = self.chunk - (end - start) if n > self.chunk else 0
-            if pad:
-                v = np.pad(v, (0, pad))
-                h = np.pad(h, (0, pad))
-            f, r, o = jax.device_get(
-                self.probe_chunk(jnp.asarray(v), jnp.asarray(h)))
-            sl = slice(0, end - start)
-            found[start:end] = f[sl]
-            resolved[start:end] = r[sl]
-            off[start:end] = o[sl]
-            if progress is not None:
-                progress.update(end, int(f[sl].sum()))
+        if self.use_fingerprint:
+            q_fp = (values % FP_MOD).astype(np.uint16)
+            # dispatch every chunk before reading any result: uploads,
+            # probes, and D2H transfers overlap
+            pending = []
+            for start in range(0, n, self.chunk):
+                end = min(start + self.chunk, n)
+                f, h = q_fp[start:end], homes[start:end]
+                pad = self.chunk - (end - start) if n > self.chunk else 0
+                if pad:
+                    f = np.pad(f, (0, pad))
+                    h = np.pad(h, (0, pad))
+                pending.append((start, end,
+                                self.probe_chunk(jnp.asarray(f), jnp.asarray(h))))
+            off = np.empty(n, dtype=np.uint8)
+            state = np.empty(n, dtype=np.uint8)
+            for start, end, out in pending:
+                o, st = jax.device_get(out)
+                off[start:end] = o[: end - start]
+                state[start:end] = st[: end - start]
+                if progress is not None:
+                    progress.update(end, int((st[: end - start] & 1).sum()))
+            has_cand = (state & 1) != 0
+            empty_any = (state & 2) != 0
+            # host-side candidate verification
+            found = np.zeros(n, dtype=bool)
+            ci = np.nonzero(has_cand)[0]
+            slots_c = homes[ci].astype(np.int64) + off[ci]
+            verified = self.host_kmer[slots_c] == values[ci]
+            found[ci] = verified
+            unresolved = np.zeros(n, dtype=bool)
+            unresolved[ci] = ~verified  # fingerprint collision
+            unresolved[~has_cand & ~empty_any] = True  # window fully occupied
+        else:
+            found = np.empty(n, dtype=bool)
+            resolved = np.empty(n, dtype=bool)
+            off = np.empty(n, dtype=np.uint8)
+            for start in range(0, n, self.chunk):
+                end = min(start + self.chunk, n)
+                v, h = values[start:end], homes[start:end]
+                pad = self.chunk - (end - start) if n > self.chunk else 0
+                if pad:
+                    v = np.pad(v, (0, pad))
+                    h = np.pad(h, (0, pad))
+                f, r, o = jax.device_get(probe_first_pass(
+                    self.tbl_kmer, jnp.asarray(v), jnp.asarray(h), self.w1))
+                sl = slice(0, end - start)
+                found[start:end] = f[sl]
+                resolved[start:end] = r[sl]
+                off[start:end] = o[sl]
+                if progress is not None:
+                    progress.update(end, int(f[sl].sum()))
+            unresolved = ~resolved
 
-        # exact full-window second pass for the (rare) unresolved queries
-        todo = np.nonzero(~resolved)[0]
+        # exact full-window second pass (host) for the rare unresolved
+        todo = np.nonzero(unresolved)[0]
         if len(todo):
-            m = _round_up_pow2(len(todo))
-            v2 = np.zeros(m, dtype=np.int64)
-            h2 = np.zeros(m, dtype=np.int32)
-            v2[: len(todo)] = values[todo]
-            h2[: len(todo)] = homes[todo]
-            f2, o2 = jax.device_get(probe_full_window(
-                self.tbl_kmer, jnp.asarray(v2), jnp.asarray(h2),
-                self.full_window))
-            found[todo] = f2[: len(todo)]
-            off[todo] = o2[: len(todo)]
+            f2, o2 = self._host_full_window(values, homes, todo)
+            found[todo] = f2
+            off[todo] = o2
 
         mask = found
         slots = homes[mask].astype(np.int64) + off[mask]
