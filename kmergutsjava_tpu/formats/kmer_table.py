@@ -75,6 +75,11 @@ class KmerTable:
     num_sigs: int
     version: int = TABLE_VERSION
     max_probe: Optional[int] = None  # longest probe chain (slots touched)
+    # True when the file held fewer slots than the header promised; the
+    # reference's reader hits EOF mid-scan in that case and produces a
+    # partial report (ref run() :797-802) — the parity backend reproduces
+    # that exactly, so truncated tables are routed there.
+    truncated: bool = False
 
     @property
     def occupied(self) -> np.ndarray:
@@ -193,10 +198,14 @@ def read_table(path: str) -> KmerTable:
     entry_size = int(header["entry_size"])
     if entry_size != ENTRY_SIZE:
         raise TableError(f"unsupported entrySize {entry_size} (expected {ENTRY_SIZE})")
+    avail = (len(raw) - HEADER_DTYPE.itemsize) // ENTRY_SIZE
+    count = min(num_sigs, avail)
     slots = np.frombuffer(
-        raw, dtype=SLOT_DTYPE, count=num_sigs, offset=HEADER_DTYPE.itemsize
+        raw, dtype=SLOT_DTYPE, count=count, offset=HEADER_DTYPE.itemsize
     ).copy()
-    table = KmerTable(slots=slots, num_sigs=num_sigs, version=int(header["version"]))
+    table = KmerTable(slots=slots, num_sigs=num_sigs,
+                      version=int(header["version"]),
+                      truncated=count < num_sigs)
     meta_path = os.path.join(os.path.dirname(path) or ".", META_FILE)
     if os.path.exists(meta_path):
         try:

@@ -124,7 +124,9 @@ def lookup_stream(table: KmerTable, values, cnt_id, pos) -> LookupHits:
             qi += 1
         if needed > cur:
             cur = needed
-        if cur >= num_sigs:
+        # len(tk) < num_sigs for truncated files: reading past the available
+        # slots is the reference's EOFException (ref :797-802)
+        if cur >= len(tk):
             raise TableTruncatedError(
                 LookupHits.from_lists(r_cnt, r_pos, r_otu, r_avg, r_fi, r_wt, kmers_found)
             )

@@ -127,6 +127,14 @@ class Engine:
 
     def _lookup(self, table, rec) -> LookupHits:
         cfg = self.config
+        if table.truncated and cfg.backend != "parity":
+            # only the streaming parity scan reproduces the reference's
+            # EOF-mid-probe partial results (ref :797-802)
+            import warnings
+
+            warnings.warn("table file is truncated; using the parity backend "
+                          "for reference-exact partial results")
+            return lookup_stream(table, rec["value"], rec["cnt"], rec["pos"])
         if cfg.backend == "parity":
             return lookup_stream(table, rec["value"], rec["cnt"], rec["pos"])
         if cfg.backend == "xla":

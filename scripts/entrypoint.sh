@@ -15,8 +15,11 @@ case "${1:-}" in
   run)
     shift; exec kmer_guts -D /data "$@"
     ;;
+  async)
+    shift; exec python -m kmergutsjava_tpu.service.async_job "$@" -D /data
+    ;;
   *)
-    echo "Unknown mode: $1 (expected: <none>|test|bash|run)" >&2
+    echo "Unknown mode: $1 (expected: <none>|test|bash|run|async)" >&2
     exit 2
     ;;
 esac

@@ -1,0 +1,36 @@
+"""Truncated table file -> partial report + 'Error: null' info line, the
+reference's EOFException behavior (ref run() :797-802)."""
+import io
+import os
+
+import numpy as np
+
+from kmergutsjava_tpu.config import EngineConfig
+from kmergutsjava_tpu.formats.kmer_table import TABLE_FILE, read_table
+from kmergutsjava_tpu.formats.table_tools import (signatures_from_proteins,
+                                                  write_data_dir)
+from kmergutsjava_tpu.models.pipeline import Engine
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def test_truncated_table_partial_report(tmp_path):
+    d = tmp_path / "d"
+    write_data_dir(str(d), signatures_from_proteins([(AA, 0, 3)], weight=0.5),
+                   ["funcA"])
+    path = str(d / TABLE_FILE)
+    size = os.path.getsize(path)
+    with open(path, "r+b") as fh:
+        fh.truncate(size // 2)
+
+    table = read_table(path)
+    assert table.truncated
+    assert len(table.slots) < table.num_sigs
+
+    out = io.StringIO()
+    cfg = EngineConfig(aa=True, debug=True, backend="xla")  # rerouted to parity
+    Engine(cfg).run(str(d), None, out, stdout=True,
+                    query_stream=io.StringIO(">P1\n" + AA + "\n"))
+    text = out.getvalue()
+    assert "Error: null" in text  # EOFException's null message, verbatim
+    assert "PROTEIN-ID\tP1\t20" in text  # grouping still ran
