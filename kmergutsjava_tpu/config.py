@@ -28,6 +28,10 @@ class EngineConfig:
 
     # TPU-native extensions
     backend: str = "xla"  # "parity" | "xla" | "pallas"
+    # encode/translate implementation for the feeder pipeline: "numpy"
+    # (host fast path, default — feeder work belongs next to the parser)
+    # or "jax" (the jitted device ops; canonical for on-device pipelines)
+    prepare_impl: str = "numpy"
     lookup_chunk: int = 1 << 19  # queries per device dispatch
     probe_window: Optional[int] = None  # override table-derived window
     length_bucket_base: int = 256  # smallest padded batch length for aa mode

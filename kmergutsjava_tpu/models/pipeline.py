@@ -74,7 +74,12 @@ class Engine:
                                cfg.resolved_temp_dir())
         try:
             records = read_fasta(query if query is not None else query_stream)
-            if cfg.aa:
+            if cfg.prepare_impl == "numpy":
+                from .prepare import prepare_aa_numpy, prepare_dna_numpy
+
+                prep = (prepare_aa_numpy(records, store) if cfg.aa
+                        else prepare_dna_numpy(records, store))
+            elif cfg.aa:
                 prep = prepare_aa(records, store,
                                   min_bucket=cfg.length_bucket_base)
             else:

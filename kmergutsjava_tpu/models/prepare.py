@@ -27,6 +27,57 @@ from ..ops.translate import translate_6frames
 
 ContainerKey = Tuple[str, str, int]  # (query_id, strand, frame)
 
+# Host-numpy twins of the jitted ops, used by the CLI/feeder pipeline:
+# encode/translate is memory-trivial feeder work that belongs on the host
+# CPU next to the FASTA parser (the TPU is for the probe); the jitted ops
+# in ops/ are the canonical on-device path (sharded annotate step, entry).
+# tests/test_prepare_impls.py pins both implementations to each other.
+from ..constants import (AA_OFF_LUT, CODON_AA_OFF, COMPL_DNA_CODE_LUT,
+                         DNA_CODE_LUT, INVALID_AA, POW20, TERMINATOR_AA)
+
+
+def _np_kmer_windows(offs: np.ndarray, num_starts: int):
+    n = len(offs)
+    w = n - K + 1
+    if w <= 0 or num_starts <= 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    win = np.lib.stride_tricks.sliding_window_view(offs.astype(np.int64), K)
+    values = win @ POW20
+    valid = (win < 20).all(axis=1)
+    valid[min(num_starts, w):] = False
+    starts = np.nonzero(valid)[0]
+    return values[starts], starts
+
+
+def _np_aa_kmers(ascii_u8: np.ndarray):
+    offs = AA_OFF_LUT[ascii_u8]
+    return _np_kmer_windows(offs, len(ascii_u8) - K)
+
+
+def _np_dna_frames(ascii_u8: np.ndarray):
+    """[6, len//3] aa-offset rows in container order (+0..2, -0..2)."""
+    length = len(ascii_u8)
+    m = length // 3
+    rows = np.full((6, max(m, 0)), TERMINATOR_AA, dtype=np.uint8)
+    for strand in range(2):
+        codes = (DNA_CODE_LUT[ascii_u8] if strand == 0
+                 else COMPL_DNA_CODE_LUT[ascii_u8][::-1])
+        c32 = codes.astype(np.int32)
+        for f in range(3):
+            p = max(length - f, 0) // 3
+            if p == 0:
+                continue
+            c1 = c32[f: f + 3 * p: 3]
+            c2 = c32[f + 1: f + 1 + 3 * p: 3]
+            c3 = c32[f + 2: f + 2 + 3 * p: 3]
+            ok = (c1 < 4) & (c2 < 4) & (c3 < 4)
+            aa = np.where(ok, CODON_AA_OFF[np.where(ok, c1 * 16 + c2 * 4 + c3, 0)],
+                          INVALID_AA).astype(np.uint8)
+            rows[strand * 3 + f, :p] = aa[:m][: p]
+            if p < m:
+                rows[strand * 3 + f, p:] = TERMINATOR_AA
+    return rows
+
 
 def _next_pow2(x: int) -> int:
     p = 1
@@ -86,6 +137,36 @@ def prepare_aa(records: Iterable[FastaRecord], store: QueryKmerStore,
             flush(bucket)
     for bucket in list(pending):
         flush(bucket)
+    return prep
+
+
+def prepare_aa_numpy(records: Iterable[FastaRecord],
+                     store: QueryKmerStore) -> Prepared:
+    """Host-numpy protein prepare (feeder fast path)."""
+    prep = Prepared()
+    for rec in records:
+        cid = prep.new_container((rec.id, "+", 0))
+        prep.id_len[rec.id] = len(rec.seq)
+        values, starts = _np_aa_kmers(_seq_to_ascii(rec.seq))
+        store.add_batch(values, cid, starts)
+    return prep
+
+
+def prepare_dna_numpy(records: Iterable[FastaRecord],
+                      store: QueryKmerStore) -> Prepared:
+    """Host-numpy DNA prepare (feeder fast path)."""
+    prep = Prepared()
+    for rec in records:
+        ascii_u8 = _seq_to_ascii(rec.seq)
+        length = len(ascii_u8)
+        cids = [prep.new_container((rec.id, s, f))
+                for s in ("+", "-") for f in range(3)]
+        prep.id_len[rec.id] = length
+        frames = _np_dna_frames(ascii_u8)
+        num_starts = max(length // 3 - K + 1, 0)
+        for row in range(6):
+            values, starts = _np_kmer_windows(frames[row], num_starts)
+            store.add_batch(values, cids[row], starts)
     return prep
 
 
