@@ -1,0 +1,60 @@
+/**
+ * JSON-RPC client for the KmerGuts TPU annotation service.
+ *
+ * Counterpart of the reference's generated jQuery client
+ * (lib/javascript/Client.js, which exposes only status because the KIDL
+ * module is empty). This client uses fetch(), no dependencies, and also
+ * drives the real `annotate` method.
+ *
+ * Usage:
+ *   const c = new KmerGutsClient("http://host:5000");
+ *   const st = await c.status();
+ *   const report = await c.annotate({fasta: ">P1\nACDEF...", aa: true});
+ */
+class KmerGutsClient {
+  constructor(url, timeoutMs = 600000) {
+    this.url = url;
+    this.timeoutMs = timeoutMs;
+    this._id = 0;
+  }
+
+  async _call(method, params) {
+    const controller = new AbortController();
+    const timer = setTimeout(() => controller.abort(), this.timeoutMs);
+    try {
+      const resp = await fetch(this.url, {
+        method: "POST",
+        headers: { "Content-Type": "application/json" },
+        body: JSON.stringify({
+          version: "1.1",
+          method: `KmerGutsJava.${method}`,
+          params: params,
+          id: String(++this._id),
+        }),
+        signal: controller.signal,
+      });
+      const body = await resp.json();
+      if (body.error) {
+        const e = body.error;
+        throw new Error(`${e.name || "JSONRPCError"} (${e.code}): ${e.message}`);
+      }
+      return body.result;
+    } finally {
+      clearTimeout(timer);
+    }
+  }
+
+  async status() {
+    return (await this._call("status", []))[0];
+  }
+
+  /** options: {fasta | fasta_path, aa, min_hits, min_weighted_hits,
+   *  max_gap, order_constraint, debug, backend} -> report text */
+  async annotate(options) {
+    return (await this._call("annotate", [options]))[0].report;
+  }
+}
+
+if (typeof module !== "undefined") {
+  module.exports = { KmerGutsClient };
+}

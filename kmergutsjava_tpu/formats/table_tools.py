@@ -23,13 +23,12 @@ def protein_kmers(seq: str) -> List[Tuple[int, int]]:
     i <= len-K; table building has no reason to reproduce the query-side
     skip-last-window quirk)."""
     offs = AA_OFF_LUT[np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)]
-    n = len(offs)
-    out = []
-    for i in range(n - K + 1):
-        win = offs[i: i + K]
-        if (win < 20).all():
-            out.append((int(np.dot(win.astype(np.int64), POW20)), i))
-    return out
+    if len(offs) < K:
+        return []
+    win = np.lib.stride_tricks.sliding_window_view(offs.astype(np.int64), K)
+    values = win @ POW20
+    starts = np.nonzero((win < 20).all(axis=1))[0]
+    return list(zip(values[starts].tolist(), starts.tolist()))
 
 
 def signatures_from_proteins(
@@ -40,28 +39,38 @@ def signatures_from_proteins(
     """Derive a signature set from (sequence, function_index, otu_index)
     triples. First occurrence of a k-mer wins; avg_from_end is the k-mer's
     offset from the protein end (len - start - K)."""
-    seen: Dict[int, int] = {}
-    vals: List[int] = []
-    otu: List[int] = []
-    avg: List[int] = []
-    fi: List[int] = []
-    wt: List[float] = []
+    vals: List[np.ndarray] = []
+    otu: List[np.ndarray] = []
+    avg: List[np.ndarray] = []
+    fi: List[np.ndarray] = []
+    wt: List[np.ndarray] = []
     for seq, f, o in proteins:
-        for value, start in protein_kmers(seq):
-            if value in seen:
-                continue
-            seen[value] = len(vals)
-            vals.append(value)
-            otu.append(o)
-            avg.append(len(seq) - start - K)
-            fi.append(f)
-            wt.append(weights.get(f, weight) if weights else weight)
+        kms = protein_kmers(seq)
+        if not kms:
+            continue
+        v = np.fromiter((k[0] for k in kms), dtype=np.int64, count=len(kms))
+        s = np.fromiter((k[1] for k in kms), dtype=np.int64, count=len(kms))
+        vals.append(v)
+        otu.append(np.full(len(v), o, dtype=np.int32))
+        avg.append((len(seq) - s - K).astype(np.int32))
+        fi.append(np.full(len(v), f, dtype=np.int32))
+        w = weights.get(f, weight) if weights else weight
+        wt.append(np.full(len(v), w, dtype=np.float32))
+    if not vals:
+        return dict(kmers=np.zeros(0, np.int64), otu=np.zeros(0, np.int32),
+                    avg_from_end=np.zeros(0, np.int32),
+                    fi=np.zeros(0, np.int32), wt=np.zeros(0, np.float32))
+    v = np.concatenate(vals)
+    # first occurrence wins: np.unique's return_index yields the first index
+    # of each distinct value; re-sorting those indices restores input order
+    _, first = np.unique(v, return_index=True)
+    first.sort()
     return dict(
-        kmers=np.asarray(vals, dtype=np.int64),
-        otu=np.asarray(otu, dtype=np.int32),
-        avg_from_end=np.asarray(avg, dtype=np.int32),
-        fi=np.asarray(fi, dtype=np.int32),
-        wt=np.asarray(wt, dtype=np.float32),
+        kmers=v[first],
+        otu=np.concatenate(otu)[first],
+        avg_from_end=np.concatenate(avg)[first],
+        fi=np.concatenate(fi)[first],
+        wt=np.concatenate(wt)[first],
     )
 
 

@@ -145,7 +145,15 @@ class Engine:
         if cfg.backend == "xla":
             lk = XlaLookup(table, probe_window=cfg.probe_window,
                            chunk=cfg.lookup_chunk)
-            return lk.lookup(rec["value"], rec["cnt"], rec["pos"],
+            values, cnt, pos = rec["value"], rec["cnt"], rec["pos"]
+            # Home-sorted probes coalesce the device gathers (3-5x on
+            # HBM-bound tables, see docs/performance.md); for small
+            # VMEM-resident planes the host sort isn't worth it.
+            if table.num_sigs * 2 > 32 * 1024 * 1024 and len(values) > 1:
+                order = np.argsort(values % np.int64(table.num_sigs),
+                                   kind="stable")
+                values, cnt, pos = values[order], cnt[order], pos[order]
+            return lk.lookup(values, cnt, pos,
                              progress=self._progress(len(rec)),
                              compute_kmers_found=cfg.debug)
         if cfg.backend == "pallas":
