@@ -139,11 +139,13 @@ def build_table(
         # pos[i] = max(home_s[i], pos[i-1] + 1)  ==  running max of home_s[i]-i, plus i
         shifted = home_s - np.arange(n, dtype=np.int64)
         pos = np.maximum.accumulate(shifted) + np.arange(n, dtype=np.int64)
-        # Grow until no chain reaches the final slot (keeps last slot empty and
-        # rules out wraparound).
+        # Grow until no chain reaches the final slot (keeps last slot empty
+        # and rules out wraparound). A kmer homing to the last slot is
+        # common for large n (p ~ 1 - e^{-n/S}), so growth must be gentle:
+        # a small prime step re-rolls all homes without inflating the table.
         if n == 0 or pos[-1] < num_sigs - 1:
             break
-        num_sigs = _next_odd_prime(int(num_sigs * 1.3) + 2)
+        num_sigs = _next_odd_prime(num_sigs + max(17, num_sigs >> 12))
 
     slots = np.empty(num_sigs, dtype=SLOT_DTYPE)
     slots["kmer"] = EMPTY_KMER

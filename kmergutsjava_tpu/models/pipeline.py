@@ -177,12 +177,21 @@ class Engine:
         by_container: Dict[tuple, List[tuple]] = {k: [] for k in key_to_cnt}
         cnt_to_key = {cid: key for key, cid in key_to_cnt.items()}
         order = np.argsort(hits.cnt_id, kind="stable")
-        wt32 = hits.wt.astype(np.float32)
-        for i in order:
-            key = cnt_to_key.get(int(hits.cnt_id[i]))
+        cnt_s = hits.cnt_id[order]
+        # bulk-convert columns once; per-hit numpy scalar reads are ~100x
+        # slower than zipping python lists
+        pos_l = hits.pos[order].tolist()
+        otu_l = hits.otu[order].tolist()
+        avg_l = hits.avg_from_end[order].tolist()
+        fi_l = hits.fi[order].tolist()
+        wt_l = [np.float32(w) for w in hits.wt[order].astype(np.float32)]
+        uniq, starts = np.unique(cnt_s, return_index=True)
+        bounds = np.append(starts, len(cnt_s)).tolist()
+        for k, cid in enumerate(uniq.tolist()):
+            key = cnt_to_key.get(cid)
             if key is None:
                 continue  # superseded duplicate container
-            by_container[key].append((int(hits.pos[i]), int(hits.otu[i]),
-                                      int(hits.avg_from_end[i]),
-                                      int(hits.fi[i]), wt32[i]))
+            a, b = bounds[k], bounds[k + 1]
+            by_container[key] = list(zip(pos_l[a:b], otu_l[a:b], avg_l[a:b],
+                                         fi_l[a:b], wt_l[a:b]))
         return by_container
