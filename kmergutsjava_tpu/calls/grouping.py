@@ -157,6 +157,73 @@ def gather_hits(all_hits: List[tuple], functions: Sequence[str],
         process_set_of_hits(hits, functions, current_fi, oi_counts, out, p)
 
 
+def _otu_add_batch(oi_counts: List[List[int]], oi: int, inc: int) -> None:
+    """Add ``inc`` occurrences of ``oi`` at once. Exact w.r.t. the per-hit
+    loop: within a run of equal oIs no eviction can occur, and bubbling
+    after each increment ends at the same place as one bubble past all
+    entries with count <= the final count (the <= comparison makes the last
+    step pass ties anyway)."""
+    j = 0
+    while j < len(oi_counts) and oi_counts[j][0] != oi:
+        j += 1
+    if j == len(oi_counts):
+        if len(oi_counts) == OI_BUFSZ:
+            j -= 1
+        else:
+            oi_counts.append([0, 0])
+        oi_counts[j][0] = oi
+        oi_counts[j][1] = inc
+    else:
+        oi_counts[j][1] += inc
+    while j > 0 and oi_counts[j - 1][1] <= oi_counts[j][1]:
+        oi_counts[j - 1], oi_counts[j] = oi_counts[j], oi_counts[j - 1]
+        j -= 1
+
+
+def gather_hits_arrays(pos: np.ndarray, otu: np.ndarray, avg: np.ndarray,
+                       fi: np.ndarray, wt: np.ndarray,
+                       functions: Sequence[str], oi_counts: List[List[int]],
+                       out: Report, p: GroupingParams) -> None:
+    """Array-level entry point. Takes the exact state machine's fast path
+    when it provably reduces to a single run: one function index, no gaps
+    over max_gap, below the hit cap, non-debug. Otherwise falls back to the
+    tuple-level machine."""
+    n = len(pos)
+    if n == 0:
+        return
+    order = np.argsort(pos, kind="stable")
+    pos, otu, avg, fi, wt = (a[order] for a in (pos, otu, avg, fi, wt))
+    single_run = (
+        not p.debug
+        and p.min_hits >= 2  # min_hits < 2 hits the reference's crash path
+        and n < MAX_HITS_PER_SEQ - 2
+        and (n < 2 or ((fi[0] == fi).all()
+                       and (np.diff(pos) <= p.max_gap).all()))
+    )
+    if single_run:
+        # no mid-run triggers (currentFI == fI throughout), no gap closures:
+        # the machine appends everything and runs processSetOfHits once at
+        # the end iff n >= minHits (ref :511-513)
+        if n < p.min_hits:
+            return
+        wt32 = wt.astype(np.float32)
+        weighted = np.cumsum(wt32, dtype=np.float32)[-1] if n else np.float32(0)
+        if n >= p.min_hits and weighted >= p.min_weighted_hits:
+            out.println("CALL\t%d\t%d\t%d\t%d\t%s\t%s" % (
+                int(pos[0]), int(pos[-1]) + (K - 1), n, int(fi[0]),
+                functions[int(fi[0])], jformat(weighted)))
+            # OTU updates, batched per run of equal consecutive oIs
+            o = otu
+            boundaries = np.nonzero(np.diff(o))[0] + 1
+            starts = np.concatenate([[0], boundaries, [n]])
+            for a, b in zip(starts[:-1], starts[1:]):
+                _otu_add_batch(oi_counts, int(o[a]), int(b - a))
+        return
+    hits = list(zip(pos.tolist(), otu.tolist(), avg.tolist(), fi.tolist(),
+                    [np.float32(w) for w in wt.astype(np.float32)]))
+    gather_hits(hits, functions, oi_counts, out, p)
+
+
 def tabulate_otu_data(current_id: str, length: int, oi_counts: List[List[int]],
                       out: Report) -> None:
     """ref tabulateOtuDataForContig :516-524."""
@@ -167,12 +234,21 @@ def tabulate_otu_data(current_id: str, length: int, oi_counts: List[List[int]],
     oi_counts.clear()
 
 
+def _gather_dispatch(container, functions, oi_counts, out, p) -> None:
+    """Accept either a list of hit tuples or a tuple of parallel arrays."""
+    if isinstance(container, tuple):
+        gather_hits_arrays(*container, functions, oi_counts, out, p)
+    else:
+        gather_hits(container, functions, oi_counts, out, p)
+
+
 def process_aa_seq(query_id: str, protein_len: int, container_hits: dict,
                    functions: Sequence[str], out: Report, p: GroupingParams) -> None:
     """ref processAASeq :526-536."""
     oi_counts: List[List[int]] = []
     out.println("PROTEIN-ID\t%s\t%d" % (query_id, protein_len))
-    gather_hits(container_hits[(query_id, "+", 0)], functions, oi_counts, out, p)
+    _gather_dispatch(container_hits[(query_id, "+", 0)], functions, oi_counts,
+                     out, p)
     tabulate_otu_data(query_id, protein_len, oi_counts, out)
 
 
@@ -185,6 +261,6 @@ def process_dna_seq(query_id: str, contig_len: int, container_hits: dict,
         for frame in range(3):
             out.println("TRANSLATION\t%s\t%d\t%s\t%d" % (query_id, contig_len,
                                                          strand, frame))
-            gather_hits(container_hits[(query_id, strand, frame)], functions,
-                        oi_counts, out, p)
+            _gather_dispatch(container_hits[(query_id, strand, frame)],
+                             functions, oi_counts, out, p)
     tabulate_otu_data(query_id, contig_len, oi_counts, out)

@@ -174,17 +174,18 @@ class Engine:
         key_to_cnt = {}
         for cid, key in enumerate(prep.containers):
             key_to_cnt[key] = cid  # last wins
-        by_container: Dict[tuple, List[tuple]] = {k: [] for k in key_to_cnt}
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                 np.zeros(0, np.int32), np.zeros(0, np.int32),
+                 np.zeros(0, np.float32))
+        by_container: Dict[tuple, tuple] = {k: empty for k in key_to_cnt}
         cnt_to_key = {cid: key for key, cid in key_to_cnt.items()}
         order = np.argsort(hits.cnt_id, kind="stable")
         cnt_s = hits.cnt_id[order]
-        # bulk-convert columns once; per-hit numpy scalar reads are ~100x
-        # slower than zipping python lists
-        pos_l = hits.pos[order].tolist()
-        otu_l = hits.otu[order].tolist()
-        avg_l = hits.avg_from_end[order].tolist()
-        fi_l = hits.fi[order].tolist()
-        wt_l = [np.float32(w) for w in hits.wt[order].astype(np.float32)]
+        pos_s = hits.pos[order]
+        otu_s = hits.otu[order]
+        avg_s = hits.avg_from_end[order]
+        fi_s = hits.fi[order]
+        wt_s = hits.wt[order].astype(np.float32)
         uniq, starts = np.unique(cnt_s, return_index=True)
         bounds = np.append(starts, len(cnt_s)).tolist()
         for k, cid in enumerate(uniq.tolist()):
@@ -192,6 +193,6 @@ class Engine:
             if key is None:
                 continue  # superseded duplicate container
             a, b = bounds[k], bounds[k + 1]
-            by_container[key] = list(zip(pos_l[a:b], otu_l[a:b], avg_l[a:b],
-                                         fi_l[a:b], wt_l[a:b]))
+            by_container[key] = (pos_s[a:b], otu_s[a:b], avg_s[a:b],
+                                 fi_s[a:b], wt_s[a:b])
         return by_container
