@@ -12,4 +12,20 @@ import jax as _jax
 # Pallas kernels avoid s64 via hi/lo int32 planes (see formats.kmer_table).
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: TPU compiles of the probe kernels can be
+# expensive (and wildly variable through remote-compile relays); combined
+# with power-of-two plane buckets this makes them one-time. Respect an
+# explicit user setting via the standard env var.
+import os as _os
+
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
+                               "kmergutsjava-tpu", "jax")
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never fatal
+        pass
+
 __version__ = "0.1.0"

@@ -151,7 +151,12 @@ class XlaLookup:
         self.host_kmer = np.full(s + p, EMPTY_KMER, dtype=np.int64)
         self.host_kmer[:s] = table.slots["kmer"]
         put = partial(jax.device_put, device=device)
-        fp = np.full(s + p, FP_EMPTY, dtype=np.uint16)
+        # Pad the device fp plane up to a canonical size bucket so tables of
+        # similar size share one compiled probe executable (XLA specializes
+        # on operand shapes; every fresh plane length would otherwise
+        # trigger a full recompile). Padding probes read FP_EMPTY = miss.
+        plane_len = max(_round_up_pow2(s + p), 1 << 20)
+        fp = np.full(plane_len, FP_EMPTY, dtype=np.uint16)
         occ = table.occupied
         fp[:s][occ] = (table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
         self.tbl_fp = put(fp)
