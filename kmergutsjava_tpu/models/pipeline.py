@@ -161,7 +161,36 @@ class Engine:
             lk = PallasLookup(table, probe_window=cfg.probe_window,
                               chunk=cfg.lookup_chunk)
             return lk.lookup(rec["value"], rec["cnt"], rec["pos"])
+        if cfg.backend == "sharded":
+            return self._sharded_lookup(table, rec)
         raise ValueError(f"unknown lookup backend: {cfg.backend}")
+
+    def _sharded_lookup(self, table, rec) -> LookupHits:
+        """Multi-device lookup over a (data, table) mesh; mesh shape from
+        config.mesh_shape or all available devices."""
+        import jax
+
+        from ..parallel.mesh import default_mesh_shape, make_mesh
+        from ..parallel.sharded_lookup import (make_sharded_lookup,
+                                               sharded_lookup_queries)
+
+        cfg = self.config
+        shape = cfg.mesh_shape or default_mesh_shape(len(jax.devices()))
+        mesh = make_mesh(*shape)
+        probe_window = cfg.probe_window or max(8, table.max_probe)
+        step, planes = make_sharded_lookup(mesh, table, probe_window)
+        values = np.asarray(rec["value"], dtype=np.int64)
+        found, otu, avg, fi, wt = sharded_lookup_queries(
+            mesh, step, planes, values, table.num_sigs, pad_multiple=256)
+        mask = found.astype(bool)
+        return LookupHits(
+            cnt_id=np.asarray(rec["cnt"])[mask].astype(np.int64),
+            pos=np.asarray(rec["pos"])[mask].astype(np.int64),
+            otu=otu[mask], avg_from_end=avg[mask], fi=fi[mask],
+            wt=wt[mask],
+            kmers_found=(int(np.unique(values[mask]).size) if cfg.debug
+                         else -1),
+        )
 
     @staticmethod
     def _bucket_hits(prep: Prepared, hits: LookupHits) -> Dict[tuple, List[tuple]]:

@@ -40,3 +40,27 @@ def _found_mask(ref, values):
     mask = np.zeros(len(values), dtype=bool)
     mask[ref.pos] = True  # pos was arange(n) in make_queries
     return mask
+
+
+def test_sharded_backend_end_to_end(tmp_path):
+    """Full engine run with backend='sharded' over the virtual mesh."""
+    import io
+
+    from kmergutsjava_tpu.config import EngineConfig
+    from kmergutsjava_tpu.formats.table_tools import (signatures_from_proteins,
+                                                      write_data_dir)
+    from kmergutsjava_tpu.models.pipeline import Engine
+
+    aa = "ACDEFGHIKLMNPQRSTVWY"
+    write_data_dir(str(tmp_path / "d"), signatures_from_proteins(
+        [(aa, 0, 3)], weight=0.5), ["funcA"])
+    fasta = ">P1\n" + aa + "\n"
+    outs = {}
+    for backend, mesh in [("xla", None), ("sharded", (4, 2)), ("sharded", (2, 4))]:
+        out = io.StringIO()
+        cfg = EngineConfig(aa=True, backend=backend, mesh_shape=mesh)
+        Engine(cfg).run(str(tmp_path / "d"), None, out, stdout=True,
+                        query_stream=io.StringIO(fasta))
+        outs[(backend, mesh)] = out.getvalue()
+    assert outs[("xla", None)] == outs[("sharded", (4, 2))] == outs[("sharded", (2, 4))]
+    assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000" in outs[("xla", None)]
