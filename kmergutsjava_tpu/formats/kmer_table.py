@@ -188,23 +188,35 @@ def write_table(path: str, table: KmerTable, write_meta: bool = True) -> None:
             )
 
 
-def read_table(path: str) -> KmerTable:
+def read_table(path: str, mmap: bool = True) -> KmerTable:
+    """Read a table file. Uncompressed files are memory-mapped by default
+    (multi-GB production tables shouldn't be copied into RAM; the device
+    planes are built from slices on demand)."""
     if path.endswith(".gz"):
         with gzip.open(path, "rb") as fh:
             raw = fh.read()
+        header = np.frombuffer(raw[: HEADER_DTYPE.itemsize], dtype=HEADER_DTYPE)[0]
+        avail = (len(raw) - HEADER_DTYPE.itemsize) // ENTRY_SIZE
+        loader = lambda count: np.frombuffer(
+            raw, dtype=SLOT_DTYPE, count=count, offset=HEADER_DTYPE.itemsize
+        ).copy()
     else:
-        with open(path, "rb") as fh:
-            raw = fh.read()
-    header = np.frombuffer(raw[: HEADER_DTYPE.itemsize], dtype=HEADER_DTYPE)[0]
+        header = np.fromfile(path, dtype=HEADER_DTYPE, count=1)[0]
+        avail = (os.path.getsize(path) - HEADER_DTYPE.itemsize) // ENTRY_SIZE
+        if mmap:
+            loader = lambda count: np.memmap(
+                path, dtype=SLOT_DTYPE, mode="r",
+                offset=HEADER_DTYPE.itemsize, shape=(count,))
+        else:
+            loader = lambda count: np.fromfile(
+                path, dtype=SLOT_DTYPE, count=count,
+                offset=HEADER_DTYPE.itemsize)
     num_sigs = int(header["num_sigs"])
     entry_size = int(header["entry_size"])
     if entry_size != ENTRY_SIZE:
         raise TableError(f"unsupported entrySize {entry_size} (expected {ENTRY_SIZE})")
-    avail = (len(raw) - HEADER_DTYPE.itemsize) // ENTRY_SIZE
     count = min(num_sigs, avail)
-    slots = np.frombuffer(
-        raw, dtype=SLOT_DTYPE, count=count, offset=HEADER_DTYPE.itemsize
-    ).copy()
+    slots = loader(count)
     table = KmerTable(slots=slots, num_sigs=num_sigs,
                       version=int(header["version"]),
                       truncated=count < num_sigs)

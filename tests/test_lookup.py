@@ -137,3 +137,15 @@ def test_store_in_ram_no_sort(tmp_path):
     rec = store.finalize()
     assert rec["value"].tolist() == [5, 3, 9]  # insertion order preserved
     store.close()
+
+
+def test_int64_mode_matches_fingerprint_mode():
+    rng = np.random.default_rng(21)
+    sig = random_signatures(rng, 2000)
+    table = build_table(**sig, load_factor=0.85)
+    values, cnt, pos = make_queries(rng, sig["kmers"], 6000)
+    a = XlaLookup(table, use_fingerprint=True).lookup(values, cnt, pos)
+    b = XlaLookup(table, use_fingerprint=False).lookup(values, cnt, pos)
+    assert canon(a) == canon(b)
+    c = lookup_stream(table, values, cnt, pos)
+    assert canon(a) == canon(c)
