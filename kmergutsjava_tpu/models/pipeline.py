@@ -34,11 +34,37 @@ from ..lookup.xla import XlaLookup
 from .prepare import Prepared, prepare_aa, prepare_dna
 
 
+# Device-resident lookups are expensive to (re)build: a host->device plane
+# transfer plus potentially a kernel compile. One-slot cache keyed by table
+# file identity + lookup-shaping config, so servers and repeated runs reuse
+# the warm state.
+_LOOKUP_CACHE: Dict[tuple, object] = {}
+
+
+def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup":
+    import os
+
+    try:
+        ident = (os.path.realpath(table_path), os.path.getmtime(table_path),
+                 os.path.getsize(table_path))
+    except OSError:
+        ident = (table_path, None, None)
+    key = (ident, cfg.probe_window, cfg.lookup_chunk)
+    lk = _LOOKUP_CACHE.get(key)
+    if lk is None:
+        lk = XlaLookup(table, probe_window=cfg.probe_window,
+                       chunk=cfg.lookup_chunk)
+        _LOOKUP_CACHE.clear()
+        _LOOKUP_CACHE[key] = lk
+    return lk
+
+
 class Engine:
     def __init__(self, config: Optional[EngineConfig] = None):
         self.config = config or EngineConfig()
         self._report: Optional[Report] = None
         self._stdout = True
+        self._table_path: Optional[str] = None
 
     def _info(self, message: str, report: Report, stdout: bool) -> None:
         # ref printInfoLine :891-898
@@ -65,6 +91,7 @@ class Engine:
         self._info("Temp. directory: " + os.path.realpath(cfg.resolved_temp_dir()),
                    report, stdout)
         table_path, func_path = resolve_table_files(data_dir)
+        self._table_path = table_path
         functions = load_function_index(func_path)
         table = read_table(table_path)
 
@@ -143,8 +170,7 @@ class Engine:
         if cfg.backend == "parity":
             return lookup_stream(table, rec["value"], rec["cnt"], rec["pos"])
         if cfg.backend == "xla":
-            lk = XlaLookup(table, probe_window=cfg.probe_window,
-                           chunk=cfg.lookup_chunk)
+            lk = _cached_xla_lookup(self._table_path, table, cfg)
             values, cnt, pos = rec["value"], rec["cnt"], rec["pos"]
             # Home-sorted probes coalesce the device gathers (3-5x on
             # HBM-bound tables, see docs/performance.md); for small
