@@ -193,32 +193,41 @@ def gather_hits_arrays(pos: np.ndarray, otu: np.ndarray, avg: np.ndarray,
         return
     order = np.argsort(pos, kind="stable")
     pos, otu, avg, fi, wt = (a[order] for a in (pos, otu, avg, fi, wt))
-    single_run = (
+    single_fi = (
         not p.debug
         and p.min_hits >= 2  # min_hits < 2 hits the reference's crash path
-        and n < MAX_HITS_PER_SEQ - 2
-        and (n < 2 or ((fi[0] == fi).all()
-                       and (np.diff(pos) <= p.max_gap).all()))
+        and (n < 2 or (fi[0] == fi).all())
     )
-    if single_run:
-        # no mid-run triggers (currentFI == fI throughout), no gap closures:
-        # the machine appends everything and runs processSetOfHits once at
-        # the end iff n >= minHits (ref :511-513)
+    if single_fi:
+        # With one function index the machine has no mid-run triggers
+        # (currentFI == fI throughout) and no seed carryover (the tail pair
+        # always shares currentFI), so it reduces to gap segmentation: each
+        # segment of length >= minHits yields one processSetOfHits
+        # (ref :477-484 gap close, :511-513 final).
         if n < p.min_hits:
             return
-        wt32 = wt.astype(np.float32)
-        weighted = np.cumsum(wt32, dtype=np.float32)[-1] if n else np.float32(0)
-        if n >= p.min_hits and weighted >= p.min_weighted_hits:
-            out.println("CALL\t%d\t%d\t%d\t%d\t%s\t%s" % (
-                int(pos[0]), int(pos[-1]) + (K - 1), n, int(fi[0]),
-                functions[int(fi[0])], jformat(weighted)))
-            # OTU updates, batched per run of equal consecutive oIs
-            o = otu
-            boundaries = np.nonzero(np.diff(o))[0] + 1
-            starts = np.concatenate([[0], boundaries, [n]])
-            for a, b in zip(starts[:-1], starts[1:]):
-                _otu_add_batch(oi_counts, int(o[a]), int(b - a))
-        return
+        splits = (np.nonzero(np.diff(pos) > p.max_gap)[0] + 1).tolist()
+        bounds = [0] + splits + [n]
+        if all(b - a < MAX_HITS_PER_SEQ - 2
+               for a, b in zip(bounds[:-1], bounds[1:])):
+            wt32 = wt.astype(np.float32)
+            f0 = int(fi[0]) if n else 0
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                length = b - a
+                if length < p.min_hits:
+                    continue
+                weighted = np.cumsum(wt32[a:b], dtype=np.float32)[-1]
+                if weighted >= p.min_weighted_hits:
+                    out.println("CALL\t%d\t%d\t%d\t%d\t%s\t%s" % (
+                        int(pos[a]), int(pos[b - 1]) + (K - 1), length, f0,
+                        functions[f0], jformat(weighted)))
+                    # OTU updates, batched per run of equal consecutive oIs
+                    o = otu[a:b]
+                    inner = np.nonzero(np.diff(o))[0] + 1
+                    starts = np.concatenate([[0], inner, [length]])
+                    for x, y in zip(starts[:-1], starts[1:]):
+                        _otu_add_batch(oi_counts, int(o[x]), int(y - x))
+            return
     hits = list(zip(pos.tolist(), otu.tolist(), avg.tolist(), fi.tolist(),
                     [np.float32(w) for w in wt.astype(np.float32)]))
     gather_hits(hits, functions, oi_counts, out, p)
