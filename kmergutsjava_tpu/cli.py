@@ -28,9 +28,12 @@ Arguments:
  -o - (optional) output file (STDOUT if not defined)
  -t - (optional) temporary directory (system one is used by default)
  -l - (optional) limit for input Kmer array (long, default = 20,000,000)
- --backend NAME - (optional) lookup backend: xla (default), pallas, parity
+ --backend NAME - (optional) lookup backend: xla (default), sharded, pallas, parity
  --probe-window N - (optional) override table-derived probe window
  --chunk N - (optional) queries per device dispatch (default 524288)
+ --prepare IMPL - (optional) encode impl: numpy (default) or jax
+ --mesh DxT - (optional) device mesh for --backend sharded, e.g. 4x2
+ --profile DIR - (optional) write a jax.profiler trace of the run
 """
 
 
@@ -52,6 +55,13 @@ def parse_args(argv: List[str]):
                 cfg.probe_window = int(params.pop(0))
             elif name == "chunk":
                 cfg.lookup_chunk = int(params.pop(0))
+            elif name == "prepare":
+                cfg.prepare_impl = params.pop(0)
+            elif name == "mesh":
+                d, t = params.pop(0).split("x")
+                cfg.mesh_shape = (int(d), int(t))
+            elif name == "profile":
+                cfg.profile_dir = params.pop(0)
             else:
                 raise ValueError("Unknown parameter: --" + name)
             continue

@@ -36,6 +36,7 @@ class EngineConfig:
     probe_window: Optional[int] = None  # override table-derived window
     length_bucket_base: int = 256  # smallest padded batch length for aa mode
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, table) shards
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
 
     def resolved_temp_dir(self) -> str:
         return self.temp_dir if self.temp_dir is not None else tempfile.gettempdir()

@@ -84,6 +84,13 @@ class Engine:
 
     def run(self, data_dir: str, query: Optional[str], out_stream: TextIO,
             stdout: bool = False, query_stream: Optional[TextIO] = None) -> None:
+        from ..utils.timing import maybe_profile
+
+        with maybe_profile(self.config.profile_dir):
+            self._run(data_dir, query, out_stream, stdout, query_stream)
+
+    def _run(self, data_dir: str, query: Optional[str], out_stream: TextIO,
+             stdout: bool = False, query_stream: Optional[TextIO] = None) -> None:
         cfg = self.config
         report = Report(out_stream)
         self._report, self._stdout = report, stdout

@@ -163,3 +163,37 @@ def test_spill_path_end_to_end(tmp_path):
                                 min_hits=2, input_size_limit=50,
                                 temp_dir=str(tmp_path / "tmp2"))
     assert base == spilled == spilled_parity
+
+
+def test_cli_stdin_mode(tmp_path, monkeypatch, capsys):
+    """Omitting -q reads stdin (the reference NPEs here, ref :647)."""
+    import io
+    import sys
+
+    prot = AA
+    write_data_dir(tmp_path / "d", signatures_from_proteins(
+        [(prot, 0, 3)], weight=0.5), ["funcA"])
+    monkeypatch.setattr(sys, "stdin", io.StringIO(">P1\n" + prot + "\n"))
+    rc = cli_main(["-a", "-D", str(tmp_path / "d")])
+    assert rc == 0
+    assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000" in capsys.readouterr().out
+
+
+def test_jax_prepare_impl_end_to_end(tmp_path):
+    rng = random.Random(9)
+    prots, triples, funcs = _random_corpus(rng, n_prot=12)
+    write_data_dir(tmp_path / "d", signatures_from_proteins(triples), funcs)
+    fasta = "".join(f">p{i}\n{p}\n" for i, p in enumerate(prots))
+    a = run_engine(tmp_path / "d", fasta, aa=True, min_hits=2,
+                   prepare_impl="numpy")
+    b = run_engine(tmp_path / "d", fasta, aa=True, min_hits=2,
+                   prepare_impl="jax")
+    assert a == b
+    # DNA mode through both prepare impls
+    contigs = "".join(f">c{i}\n" + "".join(rng.choice("ACGT")
+                      for _ in range(200)) + "\n" for i in range(4))
+    a = run_engine(tmp_path / "d", contigs, aa=False, min_hits=2,
+                   prepare_impl="numpy")
+    b = run_engine(tmp_path / "d", contigs, aa=False, min_hits=2,
+                   prepare_impl="jax")
+    assert a == b
