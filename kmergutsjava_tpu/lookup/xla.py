@@ -195,7 +195,11 @@ class XlaLookup:
             for start in range(0, n, self.chunk):
                 end = min(start + self.chunk, n)
                 f, h = q_fp[start:end], homes[start:end]
-                pad = self.chunk - (end - start) if n > self.chunk else 0
+                # pad every dispatch to a power-of-two bucket so distinct
+                # input sizes reuse compiled executables
+                target = (self.chunk if n > self.chunk
+                          else max(_round_up_pow2(end - start), 4096))
+                pad = target - (end - start)
                 if pad:
                     f = np.pad(f, (0, pad))
                     h = np.pad(h, (0, pad))
