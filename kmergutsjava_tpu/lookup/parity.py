@@ -24,7 +24,7 @@ on arbitrary tables and as the ground truth for differential tests.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List
 
 import numpy as np
