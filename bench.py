@@ -156,6 +156,10 @@ def main():
         print(f"WARNING: hit mismatch tpu={tpu['hits']} baseline={base['hits']}",
               file=sys.stderr)
 
+    e2e_corpus = None
+    if os.environ.get("BENCH_E2E") == "1":
+        e2e_corpus = bench_corpus_reads()
+
     value = tpu["device_lookups_per_sec"]
     result = {
         "metric": "aa_8mer_lookups_per_sec_per_chip",
@@ -175,7 +179,40 @@ def main():
         "probe_windows": [tpu["probe_w1"], tpu["probe_full"]],
         "first_pass_unresolved": tpu["first_pass_unresolved"],
     }
+    if e2e_corpus:
+        result.update(e2e_corpus)
     print(json.dumps(result))
+
+
+def bench_corpus_reads():
+    """Warm end-to-end reads/s on the reference's E. coli proteome (BENCH_E2E=1)."""
+    import io
+
+    from kmergutsjava_tpu.config import EngineConfig
+    from kmergutsjava_tpu.formats.fasta import read_fasta
+    from kmergutsjava_tpu.formats.table_tools import (signatures_from_proteins,
+                                                      write_data_dir)
+    from kmergutsjava_tpu.models.pipeline import Engine
+
+    faa = "/root/reference/test/data/Ecoli_K12_W3110.faa.gz"
+    if not os.path.exists(faa):
+        return None
+    prots = list(read_fasta(faa))
+    triples = [(p.seq, i % 97, i % 20) for i, p in enumerate(prots)
+               if i % 3 != 2]
+    with tempfile.TemporaryDirectory() as td:
+        write_data_dir(td, signatures_from_proteins(triples),
+                       [f"f{i}" for i in range(97)], load_factor=0.7)
+        fasta = "".join(f">{p.id} {p.descr}\n{p.seq}\n" for p in prots)
+        engine = Engine(EngineConfig(aa=True))
+        engine.run(td, None, io.StringIO(), stdout=True,
+                   query_stream=io.StringIO(fasta))  # warm
+        t0 = time.time()
+        engine.run(td, None, io.StringIO(), stdout=True,
+                   query_stream=io.StringIO(fasta))
+        dt = time.time() - t0
+    return {"corpus_reads_per_sec": round(len(prots) / dt, 1),
+            "corpus_reads": len(prots), "corpus_seconds": round(dt, 2)}
 
 
 if __name__ == "__main__":
