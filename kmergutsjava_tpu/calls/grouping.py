@@ -27,7 +27,7 @@ functionWt an np.float32.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence, TextIO
+from typing import List, Optional, Sequence, TextIO
 
 import numpy as np
 
@@ -183,20 +183,29 @@ def _otu_add_batch(oi_counts: List[List[int]], oi: int, inc: int) -> None:
 def gather_hits_arrays(pos: np.ndarray, otu: np.ndarray, avg: np.ndarray,
                        fi: np.ndarray, wt: np.ndarray,
                        functions: Sequence[str], oi_counts: List[List[int]],
-                       out: Report, p: GroupingParams) -> None:
+                       out: Report, p: GroupingParams,
+                       presorted: bool = False,
+                       single_fi_hint: Optional[bool] = None) -> None:
     """Array-level entry point. Takes the exact state machine's fast path
     when it provably reduces to a single run: one function index, no gaps
     over max_gap, below the hit cap, non-debug. Otherwise falls back to the
-    tuple-level machine."""
+    tuple-level machine.
+
+    ``presorted``/``single_fi_hint`` let a caller that already position-
+    sorted the hits and computed the one-function flag (e.g. via global
+    segmented reductions across all containers) skip per-container work.
+    """
     n = len(pos)
     if n == 0:
         return
-    order = np.argsort(pos, kind="stable")
-    pos, otu, avg, fi, wt = (a[order] for a in (pos, otu, avg, fi, wt))
+    if not presorted:
+        order = np.argsort(pos, kind="stable")
+        pos, otu, avg, fi, wt = (a[order] for a in (pos, otu, avg, fi, wt))
     single_fi = (
         not p.debug
         and p.min_hits >= 2  # min_hits < 2 hits the reference's crash path
-        and (n < 2 or (fi[0] == fi).all())
+        and (single_fi_hint if single_fi_hint is not None
+             else (n < 2 or bool((fi[0] == fi).all())))
     )
     if single_fi:
         # With one function index the machine has no mid-run triggers
@@ -244,9 +253,15 @@ def tabulate_otu_data(current_id: str, length: int, oi_counts: List[List[int]],
 
 
 def _gather_dispatch(container, functions, oi_counts, out, p) -> None:
-    """Accept either a list of hit tuples or a tuple of parallel arrays."""
+    """Accept a list of hit tuples, a 5-tuple of parallel arrays, or a
+    7-tuple with (presorted, single_fi_hint) appended."""
     if isinstance(container, tuple):
-        gather_hits_arrays(*container, functions, oi_counts, out, p)
+        if len(container) == 7:
+            *arrays, presorted, hint = container
+            gather_hits_arrays(*arrays, functions, oi_counts, out, p,
+                               presorted=presorted, single_fi_hint=hint)
+        else:
+            gather_hits_arrays(*container, functions, oi_counts, out, p)
     else:
         gather_hits(container, functions, oi_counts, out, p)
 

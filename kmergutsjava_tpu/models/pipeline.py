@@ -238,10 +238,12 @@ class Engine:
             key_to_cnt[key] = cid  # last wins
         empty = (np.zeros(0, np.int64), np.zeros(0, np.int32),
                  np.zeros(0, np.int32), np.zeros(0, np.int32),
-                 np.zeros(0, np.float32))
+                 np.zeros(0, np.float32), True, True)
         by_container: Dict[tuple, tuple] = {k: empty for k in key_to_cnt}
         cnt_to_key = {cid: key for key, cid in key_to_cnt.items()}
-        order = np.argsort(hits.cnt_id, kind="stable")
+        # one global (container, position) sort + segmented reductions: the
+        # per-container sort and one-function check become O(1) lookups
+        order = np.lexsort((hits.pos, hits.cnt_id))
         cnt_s = hits.cnt_id[order]
         pos_s = hits.pos[order]
         otu_s = hits.otu[order]
@@ -249,6 +251,12 @@ class Engine:
         fi_s = hits.fi[order]
         wt_s = hits.wt[order].astype(np.float32)
         uniq, starts = np.unique(cnt_s, return_index=True)
+        if len(starts):
+            fi_min = np.minimum.reduceat(fi_s, starts)
+            fi_max = np.maximum.reduceat(fi_s, starts)
+            same_fi = (fi_min == fi_max).tolist()
+        else:
+            same_fi = []
         bounds = np.append(starts, len(cnt_s)).tolist()
         for k, cid in enumerate(uniq.tolist()):
             key = cnt_to_key.get(cid)
@@ -256,5 +264,5 @@ class Engine:
                 continue  # superseded duplicate container
             a, b = bounds[k], bounds[k + 1]
             by_container[key] = (pos_s[a:b], otu_s[a:b], avg_s[a:b],
-                                 fi_s[a:b], wt_s[a:b])
+                                 fi_s[a:b], wt_s[a:b], True, same_fi[k])
         return by_container
