@@ -41,9 +41,13 @@ def _np_kmer_windows(offs: np.ndarray, num_starts: int):
     w = n - K + 1
     if w <= 0 or num_starts <= 0:
         return (np.zeros(0, np.int64), np.zeros(0, np.int64))
-    win = np.lib.stride_tricks.sliding_window_view(offs.astype(np.int64), K)
-    values = win @ POW20
-    valid = (win < 20).all(axis=1)
+    o64 = offs.astype(np.int64)
+    values = o64[:w].copy()
+    valid = offs[:w] < 20
+    for k in range(1, K):
+        values *= 20
+        values += o64[k: k + w]
+        valid &= offs[k: k + w] < 20
     valid[min(num_starts, w):] = False
     starts = np.nonzero(valid)[0]
     return values[starts], starts
@@ -141,14 +145,68 @@ def prepare_aa(records: Iterable[FastaRecord], store: QueryKmerStore,
 
 
 def prepare_aa_numpy(records: Iterable[FastaRecord],
-                     store: QueryKmerStore) -> Prepared:
-    """Host-numpy protein prepare (feeder fast path)."""
+                     store: QueryKmerStore,
+                     flush_chars: int = 8_000_000) -> Prepared:
+    """Host-numpy protein prepare (feeder fast path).
+
+    Proteins are concatenated with K-1 invalid-sentinel separators so one
+    sliding-window pass covers a whole batch; windows crossing a separator
+    invalidate themselves, and the reference's skip-last-window quirk
+    (``i < len - K``, ref :912) is applied by clearing each record's final
+    full window explicitly."""
     prep = Prepared()
+    seqs: List[np.ndarray] = []
+    cids: List[int] = []
+    pending_chars = 0
+
+    sep = np.full(K - 1, 21, dtype=np.uint8)  # invalid aa offsets
+
+    def flush():
+        nonlocal seqs, cids, pending_chars
+        if not seqs:
+            return
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64,
+                           count=len(seqs))
+        parts = []
+        for s in seqs:
+            parts.append(AA_OFF_LUT[s])
+            parts.append(sep)
+        offs = np.concatenate(parts[:-1]) if len(parts) > 1 else parts[0]
+        rec_start = np.concatenate([[0], np.cumsum(lens + (K - 1))])[:-1]
+        n = len(offs)
+        if n >= K:
+            # in-place Horner evaluation: integer matmul has no BLAS path
+            # and naive temporaries double the memory traffic
+            o64 = offs.astype(np.int64)
+            w = n - K + 1
+            values = o64[:w].copy()
+            valid = offs[:w] < 20
+            for k in range(1, K):
+                seg = o64[k: k + w]
+                values *= 20
+                values += seg
+                valid &= offs[k: k + w] < 20
+            # reference quirk: the final full window of each record (start
+            # len-K) is skipped
+            last = rec_start + lens - K
+            ok = lens >= K
+            valid[last[ok]] = False
+            gstarts = np.nonzero(valid)[0]
+            rec_of = np.searchsorted(rec_start, gstarts, side="right") - 1
+            local = gstarts - rec_start[rec_of]
+            store.add_batch(values[gstarts],
+                            np.asarray(cids, dtype=np.int64)[rec_of], local)
+        seqs, cids, pending_chars = [], [], 0
+
     for rec in records:
         cid = prep.new_container((rec.id, "+", 0))
         prep.id_len[rec.id] = len(rec.seq)
-        values, starts = _np_aa_kmers(_seq_to_ascii(rec.seq))
-        store.add_batch(values, cid, starts)
+        seqs.append(_seq_to_ascii(rec.seq))
+        cids.append(cid)
+        pending_chars += len(rec.seq)
+        if pending_chars >= flush_chars:
+            flush()
+    flush()
     return prep
 
 
