@@ -211,20 +211,81 @@ def prepare_aa_numpy(records: Iterable[FastaRecord],
 
 
 def prepare_dna_numpy(records: Iterable[FastaRecord],
-                      store: QueryKmerStore) -> Prepared:
-    """Host-numpy DNA prepare (feeder fast path)."""
+                      store: QueryKmerStore,
+                      flush_chars: int = 8_000_000) -> Prepared:
+    """Host-numpy DNA prepare (feeder fast path).
+
+    All six translated frame rows of a batch of contigs are concatenated
+    with K-1 terminator sentinels and k-merized in one sliding pass — the
+    right shape for metagenome read streams (millions of short contigs).
+    Unlike aa mode there is no skip-last-window quirk: every full window of
+    a frame row is a valid start (the reference's bound ``i < L - K`` over
+    its len/3+1 buffer equals the row's full window count)."""
     prep = Prepared()
+    seqs: List[np.ndarray] = []
+    cid_rows: List[List[int]] = []  # [6] container ids per record
+    pending_chars = 0
+    # separator: >= K-1 invalid codons (21 bases) between records, padded so
+    # every record block stays 3-aligned and global stride-3 slicing lines
+    # up with per-record frames
+    BASE_SEP = 3 * (K - 1)
+
+    def flush():
+        nonlocal seqs, cid_rows, pending_chars
+        if not seqs:
+            return
+        nrec = len(seqs)
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=nrec)
+        pads = BASE_SEP + ((3 - lens % 3) % 3)
+        block_starts = np.concatenate([[0], np.cumsum(lens + pads)])[:-1]
+        start_cod = block_starts // 3
+        total = int((lens + pads).sum())
+        fwd = np.full(total + 3, 4, dtype=np.uint8)  # invalid base everywhere
+        rc = np.full(total + 3, 4, dtype=np.uint8)
+        for i, s in enumerate(seqs):
+            b = int(block_starts[i])
+            fwd[b: b + len(s)] = DNA_CODE_LUT[s]
+            rc[b: b + len(s)] = COMPL_DNA_CODE_LUT[s][::-1]
+        cid_arr = np.asarray(cid_rows, dtype=np.int64)  # [nrec, 6]
+        ncod = total // 3
+        for strand, codes in ((0, fwd), (1, rc)):
+            c32 = codes.astype(np.int32)
+            for f in range(3):
+                c1 = c32[f: f + 3 * ncod: 3]
+                c2 = c32[f + 1: f + 1 + 3 * ncod: 3]
+                c3 = c32[f + 2: f + 2 + 3 * ncod: 3]
+                ok = (c1 < 4) & (c2 < 4) & (c3 < 4)
+                offs = np.where(
+                    ok, CODON_AA_OFF[np.where(ok, c1 * 16 + c2 * 4 + c3, 0)],
+                    INVALID_AA).astype(np.uint8)
+                w = ncod - K + 1
+                if w <= 0:
+                    continue
+                o64 = offs.astype(np.int64)
+                values = o64[:w].copy()
+                valid = offs[:w] < 20
+                for k in range(1, K):
+                    values *= 20
+                    values += o64[k: k + w]
+                    valid &= offs[k: k + w] < 20
+                gstarts = np.nonzero(valid)[0]
+                row_of = np.searchsorted(start_cod, gstarts, side="right") - 1
+                local = gstarts - start_cod[row_of]
+                store.add_batch(values[gstarts],
+                                cid_arr[row_of, strand * 3 + f], local)
+        seqs, cid_rows, pending_chars = [], [], 0
+
     for rec in records:
         ascii_u8 = _seq_to_ascii(rec.seq)
-        length = len(ascii_u8)
         cids = [prep.new_container((rec.id, s, f))
                 for s in ("+", "-") for f in range(3)]
-        prep.id_len[rec.id] = length
-        frames = _np_dna_frames(ascii_u8)
-        num_starts = max(length // 3 - K + 1, 0)
-        for row in range(6):
-            values, starts = _np_kmer_windows(frames[row], num_starts)
-            store.add_batch(values, cids[row], starts)
+        prep.id_len[rec.id] = len(rec.seq)
+        seqs.append(ascii_u8)
+        cid_rows.append(cids)
+        pending_chars += 2 * len(rec.seq)
+        if pending_chars >= flush_chars:
+            flush()
+    flush()
     return prep
 
 
