@@ -64,3 +64,42 @@ def test_sharded_backend_end_to_end(tmp_path):
         outs[(backend, mesh)] = out.getvalue()
     assert outs[("xla", None)] == outs[("sharded", (4, 2))] == outs[("sharded", (2, 4))]
     assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000" in outs[("xla", None)]
+
+
+def test_sharded_metagenome_dna(tmp_path):
+    """Config #4 analog: DNA read stream vs slot-range-sharded table."""
+    import io
+    import random
+
+    from kmergutsjava_tpu.config import EngineConfig
+    from kmergutsjava_tpu.formats.table_tools import (signatures_from_proteins,
+                                                      write_data_dir)
+    from kmergutsjava_tpu.models.pipeline import Engine
+
+    rng = random.Random(3)
+    aa = "ACDEFGHIKLMNPQRSTVWY"
+    prots = ["".join(rng.choice(aa) for _ in range(60)) for _ in range(10)]
+    write_data_dir(str(tmp_path / "d"), signatures_from_proteins(
+        [(p, i, i % 4) for i, p in enumerate(prots)]),
+        [f"f{i}" for i in range(10)])
+    codon = {"A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT",
+             "G": "GGT", "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTT",
+             "M": "ATG", "N": "AAT", "P": "CCT", "Q": "CAA", "R": "CGT",
+             "S": "TCT", "T": "ACT", "V": "GTT", "W": "TGG", "Y": "TAT"}
+    reads = []
+    for i in range(60):
+        p = prots[i % len(prots)]
+        frag = p[rng.randrange(0, 20): rng.randrange(40, 60)]
+        reads.append("".join(codon[c] for c in frag))
+    fasta = "".join(f">read{i}\n{r}\n" for i, r in enumerate(reads))
+    outs = {}
+    for backend in ("xla", "sharded"):
+        out = io.StringIO()
+        Engine(EngineConfig(aa=False, backend=backend, min_hits=3,
+                            mesh_shape=(4, 2))).run(
+            str(tmp_path / "d"), None, out, stdout=True,
+            query_stream=io.StringIO(fasta))
+        outs[backend] = out.getvalue()
+    assert outs["xla"] == outs["sharded"]
+    assert outs["xla"].count("processing ") == len(reads)
+    assert "CALL\t" in outs["xla"]
