@@ -198,6 +198,10 @@ def gather_hits_arrays(pos: np.ndarray, otu: np.ndarray, avg: np.ndarray,
     n = len(pos)
     if n == 0:
         return
+    if n < p.min_hits and not p.debug:
+        # the machine cannot emit anything: every run has < minHits hits of
+        # any function, so no CALL and no OTU updates (ref :397, :479, :511)
+        return
     if not presorted:
         order = np.argsort(pos, kind="stable")
         pos, otu, avg, fi, wt = (a[order] for a in (pos, otu, avg, fi, wt))
