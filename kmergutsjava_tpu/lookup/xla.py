@@ -290,3 +290,138 @@ class XlaLookup:
             kmers_found=(int(np.unique(values[mask]).size)
                          if compute_kmers_found else -1),
         )
+
+
+class StreamingLookup:
+    """Overlap the prepare phase with device probing.
+
+    The reference runs prepare -> lookup strictly sequentially (its lookup
+    is one merge-join pass over a sorted stream, ref :776-803). The
+    vectorized probe has no such ordering constraint, so the feeder can
+    dispatch a probe chunk the moment enough query k-mers exist: FASTA
+    parsing/encoding, host->device transfer, device probing, and host
+    verification all pipeline. Only resolved HITS are retained per chunk,
+    so memory is bounded by the hit count — no spill files needed
+    regardless of input size.
+
+    Duck-types the query store's ``add_batch`` so the prepare functions
+    feed it directly.
+    """
+
+    MAX_IN_FLIGHT = 4
+
+    def __init__(self, lk: XlaLookup, sort_chunks: Optional[bool] = None,
+                 compute_kmers_found: bool = False):
+        self.lk = lk
+        if sort_chunks is None:
+            # chunk-local home sort coalesces HBM-bound gathers
+            sort_chunks = lk.num_sigs * 2 > 32 * 1024 * 1024
+        self.sort_chunks = sort_chunks
+        self.compute_kmers_found = compute_kmers_found
+        self._buf: list = []
+        self._count = 0
+        self._pending: list = []
+        self._pieces: list = []
+        self._matched_values: list = []
+        self.total_fed = 0
+
+    # --- store interface ---
+    def add_batch(self, values: np.ndarray, cnt_id, pos: np.ndarray) -> None:
+        n = len(values)
+        if n == 0:
+            return
+        cnt = np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,))
+        self._buf.append((np.asarray(values, dtype=np.int64), cnt,
+                          np.asarray(pos, dtype=np.int64)))
+        self._count += n
+        self.total_fed += n
+        while self._count >= self.lk.chunk:
+            self._dispatch(self.lk.chunk)
+
+    def _take(self, k: int):
+        out_v, out_c, out_p = [], [], []
+        got = 0
+        while got < k and self._buf:
+            v, c, p = self._buf[0]
+            need = k - got
+            if len(v) <= need:
+                out_v.append(v)
+                out_c.append(c)
+                out_p.append(p)
+                got += len(v)
+                self._buf.pop(0)
+            else:
+                out_v.append(v[:need])
+                out_c.append(c[:need])
+                out_p.append(p[:need])
+                self._buf[0] = (v[need:], c[need:], p[need:])
+                got = k
+        self._count -= got
+        return (np.concatenate(out_v), np.concatenate(out_c),
+                np.concatenate(out_p))
+
+    def _dispatch(self, k: int) -> None:
+        values, cnt, pos = self._take(k)
+        homes = (values % np.int64(self.lk.num_sigs)).astype(np.int32)
+        if self.sort_chunks and len(values) > 1:
+            order = np.argsort(homes, kind="stable")
+            values, cnt, pos, homes = (values[order], cnt[order], pos[order],
+                                       homes[order])
+        q_fp = (values % FP_MOD).astype(np.uint16)
+        n = len(values)
+        target = (self.lk.chunk if n == self.lk.chunk
+                  else max(_round_up_pow2(n), 4096))
+        if target > n:
+            q_fp = np.pad(q_fp, (0, target - n))
+            homes_p = np.pad(homes, (0, target - n))
+        else:
+            homes_p = homes
+        out = self.lk.probe_chunk(jnp.asarray(q_fp), jnp.asarray(homes_p))
+        self._pending.append((values, cnt, pos, homes, out))
+        while len(self._pending) > self.MAX_IN_FLIGHT:
+            self._resolve_one()
+
+    def _resolve_one(self) -> None:
+        values, cnt, pos, homes, out = self._pending.pop(0)
+        n = len(values)
+        off, state = jax.device_get(out)
+        off = off[:n].astype(np.int64)
+        state = state[:n]
+        has_cand = (state & 1) != 0
+        empty_any = (state & 2) != 0
+        found = np.zeros(n, dtype=bool)
+        ci = np.nonzero(has_cand)[0]
+        slots_c = homes[ci].astype(np.int64) + off[ci]
+        verified = self.lk.host_kmer[slots_c] == values[ci]
+        found[ci] = verified
+        unresolved = np.zeros(n, dtype=bool)
+        unresolved[ci] = ~verified
+        unresolved[~has_cand & ~empty_any] = True
+        todo = np.nonzero(unresolved)[0]
+        if len(todo):
+            f2, o2 = self.lk._host_full_window(values, homes, todo)
+            found[todo] = f2
+            off[todo] = o2
+        mask = found
+        slots = homes[mask].astype(np.int64) + off[mask]
+        t = self.lk.table.slots
+        self._pieces.append((cnt[mask], pos[mask], t["otu"][slots].copy(),
+                            t["avg_from_end"][slots].copy(),
+                            t["fi"][slots].copy(), t["wt"][slots].copy()))
+        if self.compute_kmers_found:
+            self._matched_values.append(values[mask].copy())
+
+    def finish(self) -> LookupHits:
+        if self._count:
+            self._dispatch(self._count)
+        while self._pending:
+            self._resolve_one()
+        if not self._pieces:
+            z = np.zeros(0)
+            return LookupHits.from_lists(z, z, z, z, z, z,
+                                         0 if self.compute_kmers_found else -1)
+        cols = [np.concatenate(c) for c in zip(*self._pieces)]
+        kf = (int(np.unique(np.concatenate(self._matched_values)).size)
+              if self.compute_kmers_found else -1)
+        return LookupHits(cols[0].astype(np.int64), cols[1].astype(np.int64),
+                          cols[2], cols[3], cols[4], cols[5], kf)

@@ -103,24 +103,40 @@ class Engine:
         table = read_table(table_path)
 
         # --- phase 1: prepare (ref :776-795) ---
+        # xla backend: the feeder streams k-mer batches straight into the
+        # device probe (parse/transfer/probe/verify pipeline; only hits are
+        # retained, so no spill is needed). Other backends buffer through
+        # the bounded-RAM store.
         t1 = time.time()
-        store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
-                               cfg.resolved_temp_dir())
+        streaming = None
+        store = None
+        if cfg.backend == "xla" and not table.truncated:
+            from ..lookup.xla import StreamingLookup
+
+            lk = _cached_xla_lookup(self._table_path, table, cfg)
+            streaming = StreamingLookup(lk, compute_kmers_found=cfg.debug)
+            feed = streaming
+        else:
+            store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
+                                   cfg.resolved_temp_dir())
+            feed = store
         try:
             records = read_fasta(query if query is not None else query_stream)
             if cfg.prepare_impl == "numpy":
                 from .prepare import prepare_aa_numpy, prepare_dna_numpy
 
-                prep = (prepare_aa_numpy(records, store) if cfg.aa
-                        else prepare_dna_numpy(records, store))
+                prep = (prepare_aa_numpy(records, feed) if cfg.aa
+                        else prepare_dna_numpy(records, feed))
             elif cfg.aa:
-                prep = prepare_aa(records, store,
+                prep = prepare_aa(records, feed,
                                   min_bucket=cfg.length_bucket_base)
             else:
-                prep = prepare_dna(records, store)
-            rec = store.finalize(require_sorted=(cfg.backend == "parity"))
+                prep = prepare_dna(records, feed)
+            rec = (store.finalize(require_sorted=(cfg.backend == "parity"))
+                   if store is not None else None)
         except Exception:
-            store.close()
+            if store is not None:
+                store.close()
             raise
         self._info("Preparation time: %d ms." % int((time.time() - t1) * 1000),
                    report, stdout)
@@ -132,14 +148,18 @@ class Engine:
                            % (table.num_sigs, ENTRY_SIZE, table.version))
         hits: LookupHits
         try:
-            hits = self._lookup(table, rec)
+            if streaming is not None:
+                hits = streaming.finish()
+            else:
+                hits = self._lookup(table, rec)
         except TableTruncatedError as ex:
             # ref :797-802 — EOFException: partial results + "Error: null"
             traceback.print_exc(file=sys.stderr)
             self._info("Error: null", report, stdout)
             hits = ex.partial
         finally:
-            store.close()
+            if store is not None:
+                store.close()
         self._info("Lookup time: %d ms." % int((time.time() - t2) * 1000),
                    report, stdout)
         if cfg.debug:
