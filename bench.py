@@ -10,7 +10,7 @@ The baseline is the reference engine's forward-only streaming merge-join
 (native/kmer_guts_baseline.cpp) — this image has no JVM, and C++ is strictly
 faster than the Java original, so vs_baseline is conservative.
 
-Env knobs: BENCH_SIGS (default 4M), BENCH_QUERIES (default 4M),
+Env knobs: BENCH_SIGS (default 2M), BENCH_QUERIES (default 4M),
 BENCH_REPS (default 3), BENCH_HIT_FRACTION (default 0.5).
 """
 from __future__ import annotations
@@ -141,7 +141,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", plat)
-    n_sigs = int(os.environ.get("BENCH_SIGS", 4_000_000))
+    n_sigs = int(os.environ.get("BENCH_SIGS", 2_000_000))
     n_queries = int(os.environ.get("BENCH_QUERIES", 4_000_000))
     reps = int(os.environ.get("BENCH_REPS", 3))
     hit_fraction = float(os.environ.get("BENCH_HIT_FRACTION", 0.5))
