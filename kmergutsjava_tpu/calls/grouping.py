@@ -207,6 +207,7 @@ def gather_hits_arrays(pos: np.ndarray, otu: np.ndarray, avg: np.ndarray,
         pos, otu, avg, fi, wt = (a[order] for a in (pos, otu, avg, fi, wt))
     single_fi = (
         not p.debug
+        and not p.order_constraint  # collinearity can reject hits (ref :490)
         and p.min_hits >= 2  # min_hits < 2 hits the reference's crash path
         and (single_fi_hint if single_fi_hint is not None
              else (n < 2 or bool((fi[0] == fi).all())))

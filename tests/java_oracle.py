@@ -100,3 +100,103 @@ def prepare_query(seq: str, aa: bool):
             translate_into(compl_seq, frame, pseq, piseq)
             containers.append(add_kmers(piseq))
     return containers
+
+
+# --- independent transcription of the grouping/OTU state machine ---
+# (ref gatherHits :457-514, processSetOfHits :385-455, tabulate :516-524)
+# Deliberately written as a direct line-by-line port, separate from
+# kmergutsjava_tpu/calls/grouping.py, to differentially test it.
+
+OI_BUFSZ = 5
+MAX_HITS_PER_SEQ = 40000
+
+
+class _F32:
+    """Minimal float32 accumulator matching Java float addition."""
+
+    def __init__(self):
+        import numpy as _np
+        self._np = _np
+        self.v = _np.float32(0.0)
+
+    def add(self, x):
+        self.v = self._np.float32(self.v + self._np.float32(x))
+
+
+def oracle_process_set(hits, functions, current_fi, oi_counts, lines, params):
+    min_hits, min_weighted, max_gap, order_c, debug = params
+    fi_count = 0
+    acc = _F32()
+    last_hit = 0
+    for i in range(len(hits)):
+        if hits[i][3] == current_fi:
+            last_hit = i
+            fi_count += 1
+            acc.add(hits[i][4])
+    if fi_count >= min_hits and float(acc.v) >= min_weighted:
+        from kmergutsjava_tpu.utils.javafmt import jformat
+        lines.append("CALL\t%d\t%d\t%d\t%d\t%s\t%s" % (
+            hits[0][0], hits[last_hit][0] + 7, fi_count, current_fi,
+            functions[current_fi], jformat(float(acc.v))))
+        for i in range(last_hit + 1):
+            if hits[i][3] == current_fi:
+                oi = hits[i][1]
+                j = 0
+                while j < len(oi_counts) and oi_counts[j][0] != oi:
+                    j += 1
+                if j == len(oi_counts):
+                    if len(oi_counts) == OI_BUFSZ:
+                        j -= 1
+                    else:
+                        oi_counts.append([0, 0])
+                    oi_counts[j][0] = oi
+                    oi_counts[j][1] = 1
+                else:
+                    oi_counts[j][1] += 1
+                while j > 0 and oi_counts[j - 1][1] <= oi_counts[j][1]:
+                    oi_counts[j - 1], oi_counts[j] = (oi_counts[j],
+                                                      oi_counts[j - 1])
+                    j -= 1
+    num = len(hits)
+    if hits[num - 2][3] != current_fi and hits[num - 2][3] == hits[num - 1][3]:
+        current_fi = hits[num - 1][3]
+        a, b = hits[num - 2], hits[num - 1]
+        del hits[:]
+        hits.extend([a, b])
+    else:
+        del hits[:]
+    return current_fi
+
+
+def oracle_gather_hits(all_hits, functions, oi_counts, params):
+    """Returns the CALL lines for one container (non-debug)."""
+    min_hits, min_weighted, max_gap, order_c, debug = params
+    lines = []
+    all_hits = sorted(all_hits, key=lambda h: h[0])
+    hits = []
+    current_fi = 0
+    for ph in all_hits:
+        avg_off_end = ph[2]
+        fi = ph[3]
+        if len(hits) > 0 and hits[-1][0] + max_gap < ph[0]:
+            if len(hits) >= min_hits:
+                current_fi = oracle_process_set(hits, functions, current_fi,
+                                                oi_counts, lines, params)
+            else:
+                del hits[:]
+        if len(hits) == 0:
+            current_fi = fi
+        if ((not order_c) or len(hits) == 0
+                or (fi == hits[-1][3]
+                    and abs((ph[0] - hits[-1][0])
+                            - (hits[-1][2] - avg_off_end)) <= 20)):
+            if len(hits) < MAX_HITS_PER_SEQ - 2:
+                hits.append(ph)
+            if (len(hits) > 1 and current_fi != fi
+                    and hits[-2][3] == hits[-1][3]):
+                current_fi = oracle_process_set(hits, functions, current_fi,
+                                                oi_counts, lines, params)
+    if len(hits) >= min_hits:
+        oracle_process_set(hits, functions, current_fi, oi_counts, lines,
+                           params)
+    return lines

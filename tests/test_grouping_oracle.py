@@ -1,0 +1,60 @@
+"""Differential fuzz: calls/grouping vs an independent line-by-line
+transcription of the Java state machine (tests/java_oracle.py)."""
+import io
+import random
+
+import numpy as np
+
+from java_oracle import oracle_gather_hits
+from kmergutsjava_tpu.calls.grouping import (GroupingParams, Report,
+                                             gather_hits, gather_hits_arrays,
+                                             tabulate_otu_data)
+
+FUNCS = [f"fn{i}" for i in range(6)]
+
+
+def _random_hits(rng, n, n_fi, span):
+    pos = sorted(rng.sample(range(span), n)) if n <= span else \
+        sorted(rng.randrange(span) for _ in range(n))
+    return [(p, rng.randrange(5), rng.randrange(300), rng.randrange(n_fi),
+             np.float32(rng.choice([0.1, 0.25, 1.0, 2.5])))
+            for p in pos]
+
+
+def test_grouping_vs_independent_oracle():
+    rng = random.Random(42)
+    for trial in range(400):
+        n = rng.randint(0, 60)
+        n_fi = rng.choice([1, 2, 3, 6])
+        span = rng.choice([100, 400, 3000])
+        hits = _random_hits(rng, n, n_fi, span)
+        min_hits = rng.choice([2, 3, 5])
+        min_weighted = rng.choice([0, 0, 1])
+        max_gap = rng.choice([30, 200])
+        order_c = rng.random() < 0.25
+        params = (min_hits, min_weighted, max_gap, order_c, False)
+        p = GroupingParams(min_hits=min_hits, min_weighted_hits=min_weighted,
+                           max_gap=max_gap, order_constraint=order_c)
+
+        oi_oracle = []
+        want_lines = oracle_gather_hits(list(hits), FUNCS, oi_oracle, params)
+
+        out = io.StringIO()
+        oi_mine = []
+        gather_hits(list(hits), FUNCS, oi_mine, Report(out), p)
+        got_lines = out.getvalue().splitlines()
+        assert got_lines == want_lines, (trial, hits)
+        assert oi_mine == oi_oracle, (trial, hits)
+
+        # array path too
+        out2 = io.StringIO()
+        oi_arr = []
+        gather_hits_arrays(
+            np.array([h[0] for h in hits], np.int64),
+            np.array([h[1] for h in hits], np.int32),
+            np.array([h[2] for h in hits], np.int32),
+            np.array([h[3] for h in hits], np.int32),
+            np.array([h[4] for h in hits], np.float32),
+            FUNCS, oi_arr, Report(out2), p)
+        assert out2.getvalue().splitlines() == want_lines, (trial, hits)
+        assert oi_arr == oi_oracle, (trial, hits)
