@@ -58,3 +58,35 @@ def test_grouping_vs_independent_oracle():
             FUNCS, oi_arr, Report(out2), p)
         assert out2.getvalue().splitlines() == want_lines, (trial, hits)
         assert oi_arr == oi_oracle, (trial, hits)
+
+
+def test_multi_container_otu_accumulation():
+    """OTU counter threads across a sequence's six frame containers."""
+    rng = random.Random(7)
+    for trial in range(150):
+        params = (2, 0, 100, False, False)
+        p = GroupingParams(min_hits=2, max_gap=100)
+        containers = [_random_hits(rng, rng.randint(0, 25),
+                                   rng.choice([1, 2]), 300)
+                      for _ in range(6)]
+        oi_oracle = []
+        want = []
+        for c in containers:
+            want += oracle_gather_hits(list(c), FUNCS, oi_oracle, params)
+        oi_mine = []
+        out = io.StringIO()
+        for c in containers:
+            gather_hits_arrays(
+                np.array([h[0] for h in c], np.int64),
+                np.array([h[1] for h in c], np.int32),
+                np.array([h[2] for h in c], np.int32),
+                np.array([h[3] for h in c], np.int32),
+                np.array([h[4] for h in c], np.float32),
+                FUNCS, oi_mine, Report(out), p)
+        assert out.getvalue().splitlines() == want, trial
+        assert oi_mine == oi_oracle, trial
+        # and the OTU line itself
+        out_a, out_b = io.StringIO(), io.StringIO()
+        tabulate_otu_data("s", 1, [list(x) for x in oi_oracle], Report(out_a))
+        tabulate_otu_data("s", 1, oi_mine, Report(out_b))
+        assert out_a.getvalue() == out_b.getvalue()
