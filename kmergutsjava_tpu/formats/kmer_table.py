@@ -35,15 +35,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..constants import (
-    EMPTY_HI,
-    EMPTY_KMER,
-    ENTRY_SIZE,
-    KMER_LO_BITS,
-    KMER_LO_MASK,
-    MAX_ENCODED,
-    TABLE_VERSION,
-)
+from ..constants import EMPTY_KMER, ENTRY_SIZE, MAX_ENCODED, TABLE_VERSION
 
 SLOT_DTYPE = np.dtype(
     [
@@ -243,26 +235,3 @@ def resolve_table_files(data_dir: str) -> Tuple[str, str]:
     if os.path.exists(func + ".gz"):
         func = func + ".gz"
     return table, func
-
-
-def device_planes(table: KmerTable, probe_pad: int) -> dict:
-    """Split the table into int32/float32 planes for TPU kernels.
-
-    k-mer values (< 20^8 < 2^35) are split into hi/lo int32 planes
-    (value = hi * 2^20 + lo) so kernels never need 64-bit arithmetic. Planes
-    are padded by ``probe_pad`` empty slots so a probe window starting at any
-    real slot is a contiguous in-bounds read.
-    """
-    n = table.num_sigs + probe_pad
-    kmer = table.slots["kmer"]
-    occ = table.occupied
-    hi = np.full(n, EMPTY_HI, dtype=np.int32)
-    lo = np.zeros(n, dtype=np.int32)
-    hi[: table.num_sigs][occ] = (kmer[occ] >> KMER_LO_BITS).astype(np.int32)
-    lo[: table.num_sigs][occ] = (kmer[occ] & KMER_LO_MASK).astype(np.int32)
-    meta = np.zeros((n, 4), dtype=np.int32)
-    meta[: table.num_sigs, 0] = table.slots["otu"]
-    meta[: table.num_sigs, 1] = table.slots["avg_from_end"]
-    meta[: table.num_sigs, 2] = table.slots["fi"]
-    meta[: table.num_sigs, 3] = table.slots["wt"].view(np.int32)
-    return {"hi": hi, "lo": lo, "meta": meta, "num_sigs": table.num_sigs}

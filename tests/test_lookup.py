@@ -149,3 +149,31 @@ def test_int64_mode_matches_fingerprint_mode():
     assert canon(a) == canon(b)
     c = lookup_stream(table, values, cnt, pos)
     assert canon(a) == canon(c)
+
+
+def test_wraparound_table_forward_only_miss():
+    """A wrap-placed entry (home near the end, stored at the start) is
+    invisible to the reference's forward-only scan (ref :991-994) AND to the
+    probe-window backends (windows never wrap; the padded tail is empty) —
+    both consistently miss."""
+    num_sigs = 11
+    slots = np.zeros(num_sigs, dtype=build_table(
+        np.array([], np.int64), [], [], [], []).slots.dtype)
+    slots["kmer"] = EMPTY_KMER
+    # value 32 homes at slot 10; pretend slot 10 was full at insert time and
+    # the builder wrapped it to slot 0 (textbook wrap placement)
+    slots["kmer"][10] = 21  # home 10, occupies its own slot
+    slots["kmer"][0] = 32   # wrapped entry
+    table = KmerTable(slots=slots, num_sigs=num_sigs)
+    table.max_probe = 2  # lie consistent with non-wrapping assumption
+
+    values = np.array([32, 21], dtype=np.int64)
+    # parity: probing 32 runs off the table end mid-probe = the reference's
+    # EOFException with the 21-hit already recorded (partial report)
+    with pytest.raises(TableTruncatedError) as ei:
+        lookup_stream(table, values, np.zeros(2), np.arange(2))
+    assert ei.value.partial.pos.tolist() == [1]
+    # xla: the probe window reads the empty pad past the end -> clean miss
+    # for 32; the hit set matches the parity partial
+    b = XlaLookup(table).lookup(values, np.zeros(2), np.arange(2))
+    assert sorted(b.pos.tolist()) == [1]
