@@ -200,3 +200,90 @@ def oracle_gather_hits(all_hits, functions, oi_counts, params):
         oracle_process_set(hits, functions, current_fi, oi_counts, lines,
                            params)
     return lines
+
+
+def oracle_gather_hits_debug(all_hits, functions, oi_counts, params):
+    """Debug-mode variant: also emits HIT / after-hit: / after-call: lines
+    (ref :472-475, :498-501, :406-409)."""
+    from kmergutsjava_tpu.utils.javafmt import jformat
+    min_hits, min_weighted, max_gap, order_c, _ = params
+    lines = []
+
+    def display(hits, prefix):
+        parts = [prefix + "hits: "]
+        for h in hits:
+            parts.append("%d/%s/%d " % (h[0], jformat(float(h[4])), h[3]))
+        lines.append("".join(parts))
+
+    def process(hits, current_fi):
+        fi_count = 0
+        acc = _F32()
+        last_hit = 0
+        for i in range(len(hits)):
+            if hits[i][3] == current_fi:
+                last_hit = i
+                fi_count += 1
+                acc.add(hits[i][4])
+        if fi_count >= min_hits and float(acc.v) >= min_weighted:
+            lines.append("CALL\t%d\t%d\t%d\t%d\t%s\t%s" % (
+                hits[0][0], hits[last_hit][0] + 7, fi_count, current_fi,
+                functions[current_fi], jformat(float(acc.v))))
+            display(hits, "after-call: ")
+            for i in range(last_hit + 1):
+                if hits[i][3] == current_fi:
+                    oi = hits[i][1]
+                    j = 0
+                    while j < len(oi_counts) and oi_counts[j][0] != oi:
+                        j += 1
+                    if j == len(oi_counts):
+                        if len(oi_counts) == OI_BUFSZ:
+                            j -= 1
+                        else:
+                            oi_counts.append([0, 0])
+                        oi_counts[j][0] = oi
+                        oi_counts[j][1] = 1
+                    else:
+                        oi_counts[j][1] += 1
+                    while j > 0 and oi_counts[j - 1][1] <= oi_counts[j][1]:
+                        oi_counts[j - 1], oi_counts[j] = (oi_counts[j],
+                                                          oi_counts[j - 1])
+                        j -= 1
+        num = len(hits)
+        if (hits[num - 2][3] != current_fi
+                and hits[num - 2][3] == hits[num - 1][3]):
+            current_fi = hits[num - 1][3]
+            a, b = hits[num - 2], hits[num - 1]
+            del hits[:]
+            hits.extend([a, b])
+        else:
+            del hits[:]
+        return current_fi
+
+    all_hits = sorted(all_hits, key=lambda h: h[0])
+    hits = []
+    current_fi = 0
+    for ph in all_hits:
+        avg_off_end = ph[2]
+        fi = ph[3]
+        lines.append("HIT\t%d\t%d\t%d\t%d\t%s\t%d" % (
+            ph[0], 0, avg_off_end, fi, jformat(float(ph[4]), 3), ph[1]))
+        if len(hits) > 0 and hits[-1][0] + max_gap < ph[0]:
+            if len(hits) >= min_hits:
+                current_fi = process(hits, current_fi)
+            else:
+                del hits[:]
+        if len(hits) == 0:
+            current_fi = fi
+        if ((not order_c) or len(hits) == 0
+                or (fi == hits[-1][3]
+                    and abs((ph[0] - hits[-1][0])
+                            - (hits[-1][2] - avg_off_end)) <= 20)):
+            if len(hits) < MAX_HITS_PER_SEQ - 2:
+                hits.append(ph)
+                display(hits, "after-hit: ")
+            if (len(hits) > 1 and current_fi != fi
+                    and hits[-2][3] == hits[-1][3]):
+                current_fi = process(hits, current_fi)
+    if len(hits) >= min_hits:
+        process(hits, current_fi)
+    return lines

@@ -90,3 +90,22 @@ def test_multi_container_otu_accumulation():
         tabulate_otu_data("s", 1, [list(x) for x in oi_oracle], Report(out_a))
         tabulate_otu_data("s", 1, oi_mine, Report(out_b))
         assert out_a.getvalue() == out_b.getvalue()
+
+
+def test_debug_output_vs_independent_oracle():
+    from java_oracle import oracle_gather_hits_debug
+
+    rng = random.Random(99)
+    for trial in range(150):
+        n = rng.randint(0, 40)
+        hits = _random_hits(rng, n, rng.choice([1, 2, 4]),
+                            rng.choice([100, 1000]))
+        params = (2, 0, rng.choice([50, 200]), rng.random() < 0.3, True)
+        p = GroupingParams(min_hits=2, max_gap=params[2],
+                           order_constraint=params[3], debug=True)
+        oi_a, oi_b = [], []
+        want = oracle_gather_hits_debug(list(hits), FUNCS, oi_a, params)
+        out = io.StringIO()
+        gather_hits(list(hits), FUNCS, oi_b, Report(out), p)
+        assert out.getvalue().splitlines() == want, (trial, hits)
+        assert oi_a == oi_b
