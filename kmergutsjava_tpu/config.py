@@ -32,6 +32,10 @@ class EngineConfig:
     # (host fast path, default — feeder work belongs next to the parser)
     # or "jax" (the jitted device ops; canonical for on-device pipelines)
     prepare_impl: str = "numpy"
+    # call-grouping implementation: "host" (exact machine + fast paths,
+    # default) or "scan" (jitted lax.scan over container batches — the
+    # device-side formulation; falls back to host for debug / min_hits < 2)
+    grouping_impl: str = "host"
     lookup_chunk: int = 1 << 19  # queries per device dispatch
     probe_window: Optional[int] = None  # override table-derived window
     length_bucket_base: int = 256  # smallest padded batch length for aa mode

@@ -173,16 +173,78 @@ class Engine:
             min_hits=cfg.min_hits, min_weighted_hits=cfg.min_weighted_hits,
             max_gap=cfg.max_gap, order_constraint=cfg.order_constraint,
             debug=cfg.debug)
-        for query_id, seq_len in prep.id_len.items():
-            if cfg.aa:
-                process_aa_seq(query_id, seq_len, container_hits, functions,
-                               report, params)
-            else:
-                process_dna_seq(query_id, seq_len, container_hits, functions,
-                                report, params)
-            report.flush()
+        if (cfg.grouping_impl == "scan" and not cfg.debug
+                and cfg.min_hits >= 2):
+            self._group_scan(prep, container_hits, functions, report, params)
+        else:
+            for query_id, seq_len in prep.id_len.items():
+                if cfg.aa:
+                    process_aa_seq(query_id, seq_len, container_hits,
+                                   functions, report, params)
+                else:
+                    process_dna_seq(query_id, seq_len, container_hits,
+                                    functions, report, params)
+                report.flush()
         self._info("Grouping time: %d ms." % int((time.time() - t3) * 1000),
                    report, stdout)
+
+    def _group_scan(self, prep, container_hits, functions, report, params):
+        """Device-scan grouping: one vmapped lax.scan dispatch over all
+        containers, then host text emission + per-sequence OTU folds."""
+        from ..calls.grouping import _otu_add_batch, tabulate_otu_data
+        from ..calls.scan_machine import gather_hits_scan_batch
+
+        cfg = self.config
+        BIG = 4096  # huge containers go to the host machine (padding cost)
+        order = []  # container keys in output order
+        batch = []
+        big_keys = set()
+        for query_id in prep.id_len:
+            keys = ([(query_id, "+", 0)] if cfg.aa else
+                    [(query_id, s, f) for s in ("+", "-") for f in range(3)])
+            for key in keys:
+                pos, otu, avg, fi, wt = container_hits[key][:5]
+                if len(pos) > BIG:
+                    big_keys.add(key)
+                    continue
+                batch.append((pos, otu, avg, fi, wt))
+                order.append(key)
+        results = gather_hits_scan_batch(batch, functions, params)
+        by_key = dict(zip(order, results))
+        for query_id, seq_len in prep.id_len.items():
+            oi_counts = []
+            if cfg.aa:
+                report.println("PROTEIN-ID\t%s\t%d" % (query_id, seq_len))
+                self._emit_scan_container(
+                    (query_id, "+", 0), by_key, big_keys, container_hits,
+                    functions, oi_counts, report, params)
+            else:
+                report.println("processing %s[%d]" % (query_id, seq_len))
+                for strand in ("+", "-"):
+                    for frame in range(3):
+                        report.println("TRANSLATION\t%s\t%d\t%s\t%d"
+                                       % (query_id, seq_len, strand, frame))
+                        self._emit_scan_container(
+                            (query_id, strand, frame), by_key, big_keys,
+                            container_hits, functions, oi_counts, report,
+                            params)
+            tabulate_otu_data(query_id, seq_len, oi_counts, report)
+            report.flush()
+
+    @staticmethod
+    def _emit_scan_container(key, by_key, big_keys, container_hits, functions,
+                             oi_counts, report, params):
+        from ..calls.grouping import _gather_dispatch, _otu_add_batch
+
+        if key in big_keys:
+            _gather_dispatch(container_hits[key], functions, oi_counts,
+                             report, params)
+            return
+        lines, updates = by_key[key]
+        for ln in lines:
+            report.println(ln)
+        for o, inc in updates:
+            _otu_add_batch(oi_counts, o, inc)
 
     def _lookup(self, table, rec) -> LookupHits:
         cfg = self.config
