@@ -231,6 +231,16 @@ def gather_hits_scan_batch(containers: List[Tuple], functions: Sequence[str],
     """
     if p.debug or p.min_hits < 2:
         raise ValueError("scan machine supports non-debug, min_hits >= 2")
+    # bound padded batch memory: split very large container batches
+    MAX_CELLS = 32 * 1024 * 1024
+    lmax_all = max((len(x[0]) for x in containers), default=0)
+    if containers and len(containers) * max(lmax_all, 1) > MAX_CELLS:
+        per = max(MAX_CELLS // max(lmax_all, 1), 1024)
+        out = []
+        for i in range(0, len(containers), per):
+            out.extend(gather_hits_scan_batch(containers[i: i + per],
+                                              functions, p))
+        return out
     c = len(containers)
     lmax = max((len(x[0]) for x in containers), default=0)
     lmax = max(lmax, 1)

@@ -32,6 +32,7 @@ Arguments:
  --probe-window N - (optional) override table-derived probe window
  --chunk N - (optional) queries per device dispatch (default 524288)
  --prepare IMPL - (optional) encode impl: numpy (default) or jax
+ --grouping IMPL - (optional) call grouping: host (default) or scan (lax.scan)
  --mesh DxT - (optional) device mesh for --backend sharded, e.g. 4x2
  --profile DIR - (optional) write a jax.profiler trace of the run
 """
@@ -57,6 +58,8 @@ def parse_args(argv: List[str]):
                 cfg.lookup_chunk = int(params.pop(0))
             elif name == "prepare":
                 cfg.prepare_impl = params.pop(0)
+            elif name == "grouping":
+                cfg.grouping_impl = params.pop(0)
             elif name == "mesh":
                 d, t = params.pop(0).split("x")
                 cfg.mesh_shape = (int(d), int(t))
