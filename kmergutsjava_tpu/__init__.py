@@ -12,14 +12,22 @@ import jax as _jax
 # Pallas kernels avoid s64 via hi/lo int32 planes (see formats.kmer_table).
 _jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: TPU compiles of the probe kernels can be
-# expensive (and wildly variable through remote-compile relays); combined
-# with power-of-two plane buckets this makes them one-time. Respect an
-# explicit user setting via the standard env var.
-import os as _os
+def enable_compile_cache() -> None:
+    """Enable the persistent compilation cache (accelerator runs only).
 
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    TPU compiles of the probe kernels can be expensive (and wildly variable
+    through remote-compile relays); combined with power-of-two plane
+    buckets the cache makes them one-time. Deliberately NOT enabled for
+    CPU-backend runs: XLA:CPU AOT artifacts bake in host ISA feature flags
+    and reloading them across heterogeneous hosts risks SIGILL.
+    """
+    import os as _os
+
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
     try:
+        if _jax.default_backend() == "cpu":
+            return
         _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
                                "kmergutsjava-tpu", "jax")
         _os.makedirs(_cache, exist_ok=True)

@@ -135,6 +135,9 @@ class XlaLookup:
                  chunk: int = 1 << 19, device=None,
                  first_pass_window: int = FIRST_PASS_WINDOW,
                  use_fingerprint: bool = True):
+        from .. import enable_compile_cache
+
+        enable_compile_cache()
         if table.max_probe is None:
             table.compute_max_probe()
         self.table = table
