@@ -17,3 +17,18 @@ def test_build_table_cli_and_annotate(tmp_path, capsys):
     assert rc == 0
     text = out.read_text()
     assert "alpha function" in text and "beta function" in text
+
+
+def test_cli_flag_parsing_extras():
+    from kmergutsjava_tpu.cli import parse_args
+
+    cfg, d, q, o = parse_args(["-D", "dir", "-t", "/tmp/x", "-l", "123",
+                               "-M", "2", "-O", "--grouping", "scan",
+                               "--mesh", "4x2", "--prepare", "jax"])
+    assert d == "dir" and cfg.temp_dir == "/tmp/x"
+    assert cfg.input_size_limit == 123
+    assert cfg.min_weighted_hits == 2
+    assert cfg.order_constraint is True
+    assert cfg.grouping_impl == "scan"
+    assert cfg.mesh_shape == (4, 2)
+    assert cfg.prepare_impl == "jax"
