@@ -41,6 +41,12 @@ from .prepare import Prepared, prepare_aa, prepare_dna
 _LOOKUP_CACHE: Dict[tuple, object] = {}
 
 
+def _replace_backend(cfg: EngineConfig, backend: str) -> EngineConfig:
+    import dataclasses
+
+    return dataclasses.replace(cfg, backend=backend)
+
+
 def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup":
     import os
 
@@ -113,9 +119,21 @@ class Engine:
         if cfg.backend == "xla" and not table.truncated:
             from ..lookup.xla import StreamingLookup
 
-            lk = _cached_xla_lookup(self._table_path, table, cfg)
-            streaming = StreamingLookup(lk, compute_kmers_found=cfg.debug)
-            feed = streaming
+            try:
+                lk = _cached_xla_lookup(self._table_path, table, cfg)
+                streaming = StreamingLookup(lk, compute_kmers_found=cfg.debug)
+                feed = streaming
+            except ValueError as ex:
+                # e.g. pathologically dense table (probe window > 256):
+                # degrade to the exact streaming scan instead of failing
+                import warnings
+
+                warnings.warn(f"xla backend unavailable ({ex}); "
+                              "falling back to the parity scan")
+                store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
+                                       cfg.resolved_temp_dir())
+                feed = store
+                self.config = cfg = _replace_backend(cfg, "parity")
         else:
             store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
                                    cfg.resolved_temp_dir())

@@ -34,3 +34,38 @@ def test_truncated_table_partial_report(tmp_path):
     text = out.getvalue()
     assert "Error: null" in text  # EOFException's null message, verbatim
     assert "PROTEIN-ID\tP1\t20" in text  # grouping still ran
+
+
+def test_dense_table_falls_back_to_parity(tmp_path):
+    """probe window > 256 (uint8 offsets) -> engine degrades to parity."""
+    import warnings
+
+    import numpy as np
+
+    from kmergutsjava_tpu.formats.function_index import write_function_index
+    from kmergutsjava_tpu.formats.kmer_table import (TABLE_FILE, KmerTable,
+                                                     SLOT_DTYPE, write_table)
+    from kmergutsjava_tpu.constants import EMPTY_KMER
+
+    # handcraft a table with a 300-slot probe chain
+    num_sigs = 600
+    slots = np.zeros(num_sigs, dtype=SLOT_DTYPE)
+    slots["kmer"] = EMPTY_KMER
+    for i in range(300):
+        slots["kmer"][i] = i * num_sigs  # all home slot 0 -> chain length 300
+    d = tmp_path / "d"
+    d.mkdir()
+    table = KmerTable(slots=slots, num_sigs=num_sigs)
+    table.compute_max_probe()
+    assert table.max_probe == 300
+    write_table(str(d / TABLE_FILE), table)
+    write_function_index(str(d / "function.index"), ["f0"])
+
+    out = io.StringIO()
+    cfg = EngineConfig(aa=True, backend="xla")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Engine(cfg).run(str(d), None, out, stdout=True,
+                        query_stream=io.StringIO(">P1\n" + AA + "\n"))
+        assert any("parity" in str(x.message) for x in w)
+    assert "PROTEIN-ID\tP1\t20" in out.getvalue()
