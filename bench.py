@@ -135,7 +135,30 @@ def bench_baseline(table, values, reps: int):
     return json.loads(out.stdout)
 
 
+PARTIAL = {"metric": "aa_8mer_lookups_per_sec_per_chip", "value": 0.0,
+           "unit": "lookups/s", "vs_baseline": 0.0,
+           "note": "partial: bench watchdog fired before completion"}
+
+
+def _arm_watchdog():
+    """Remote-TPU relays can hang a device call indefinitely; emit the
+    best-known partial result and exit rather than dying silently."""
+    import threading
+
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", 480))
+
+    def fire():
+        print(json.dumps(PARTIAL), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _arm_watchdog()
     plat = os.environ.get("BENCH_PLATFORM")
     if plat:
         import jax
@@ -150,7 +173,14 @@ def main():
     values = make_queries(kmers, n_queries, hit_fraction)
 
     base = bench_baseline(table, values, reps)
+    PARTIAL["baseline_lookups_per_sec"] = round(base["lookups_per_sec"], 1)
     tpu = bench_tpu(table, values, reps)
+    PARTIAL.update({
+        "value": round(tpu["device_lookups_per_sec"], 1),
+        "vs_baseline": round(tpu["device_lookups_per_sec"]
+                             / base["lookups_per_sec"], 1),
+        "e2e_lookups_per_sec": round(tpu["e2e_lookups_per_sec"], 1),
+    })
 
     if abs(base["hits"] - tpu["hits"]) > 0:
         print(f"WARNING: hit mismatch tpu={tpu['hits']} baseline={base['hits']}",
@@ -181,6 +211,7 @@ def main():
     }
     if e2e_corpus:
         result.update(e2e_corpus)
+    watchdog.cancel()
     print(json.dumps(result))
 
 
