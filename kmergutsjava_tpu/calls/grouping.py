@@ -128,32 +128,42 @@ def gather_hits(all_hits: List[tuple], functions: Sequence[str],
     all_hits.sort(key=lambda h: h[0])
     hits: List[tuple] = []
     current_fi = 0
+    # hot loop: localize lookups
+    max_gap = p.max_gap
+    min_hits = p.min_hits
+    order_constraint = p.order_constraint
+    debug = p.debug
+    cap = MAX_HITS_PER_SEQ - 2
+    append = hits.append
+    last = None  # hits[-1] shadow
     for ph in all_hits:
-        avg_off_end = ph[2]
         fi = ph[3]
-        if p.debug:
+        if debug:
             out.println("HIT\t%d\t%d\t%d\t%d\t%s\t%d" % (
-                ph[0], 0, avg_off_end, fi, jformat(ph[4], 3), ph[1]))
-        if hits and hits[-1][0] + p.max_gap < ph[0]:
-            if len(hits) >= p.min_hits:
+                ph[0], 0, ph[2], fi, jformat(ph[4], 3), ph[1]))
+        if last is not None and last[0] + max_gap < ph[0]:
+            if len(hits) >= min_hits:
                 current_fi = process_set_of_hits(hits, functions, current_fi,
                                                  oi_counts, out, p)
             else:
                 hits.clear()
-        if not hits:
+            last = hits[-1] if hits else None
+        if last is None:
             current_fi = fi
-        if (not p.order_constraint) or (len(hits) == 0) or (
-                fi == hits[-1][3]
-                and abs((ph[0] - hits[-1][0]) - (hits[-1][2] - avg_off_end)) <= 20):
-            if len(hits) < MAX_HITS_PER_SEQ - 2:
-                hits.append(ph)
-                if p.debug:
+        if (not order_constraint) or (last is None) or (
+                fi == last[3]
+                and abs((ph[0] - last[0]) - (last[2] - ph[2])) <= 20):
+            if len(hits) < cap:
+                append(ph)
+                last = ph
+                if debug:
                     out.print("after-hit: ")
                     display_hits(hits, out)
-            if len(hits) > 1 and current_fi != fi and hits[-2][3] == hits[-1][3]:
+            if current_fi != fi and len(hits) > 1 and hits[-2][3] == hits[-1][3]:
                 current_fi = process_set_of_hits(hits, functions, current_fi,
                                                  oi_counts, out, p)
-    if len(hits) >= p.min_hits:
+                last = hits[-1] if hits else None
+    if len(hits) >= min_hits:
         process_set_of_hits(hits, functions, current_fi, oi_counts, out, p)
 
 
