@@ -72,41 +72,46 @@ def display_hits(hits, out: Report) -> None:
 def process_set_of_hits(hits: List[tuple], functions: Sequence[str], current_fi: int,
                         oi_counts: List[List[int]], out: Report,
                         p: GroupingParams) -> int:
-    """ref processSetOfHits :385-455. Mutates ``hits`` and ``oi_counts``."""
-    fi_count = 0
-    weighted = np.float32(0.0)
-    last_hit = 0
-    for i, h in enumerate(hits):
-        if h[3] == current_fi:
-            last_hit = i
-            fi_count += 1
-            weighted = np.float32(weighted + h[4])
+    """ref processSetOfHits :385-455. Mutates ``hits`` and ``oi_counts``.
+
+    The per-hit loops of the reference reduce to: the counted set is
+    exactly the currentFI hits in list order (the last of them IS the
+    reference's lastHit bound), the weight is their sequential float32 sum
+    (np.cumsum in f32 is sequential), and the OTU fold batches per run of
+    equal consecutive oIs (exactness argument at _otu_add_batch).
+    """
+    cur = [h for h in hits if h[3] == current_fi]
+    fi_count = len(cur)
+    if fi_count >= p.min_hits:
+        weighted = (np.cumsum(
+            np.fromiter((h[4] for h in cur), dtype=np.float32,
+                        count=fi_count), dtype=np.float32)[-1]
+            if fi_count else np.float32(0.0))
+    else:
+        weighted = np.float32(0.0)
     if fi_count >= p.min_hits and weighted >= p.min_weighted_hits:
+        # fi_count == 0 only with min_hits <= 0; the reference's lastHit
+        # then stays 0 and the CALL anchors on hits[0] (ref :389, :401)
+        end_hit = cur[-1] if cur else hits[0]
         out.println("CALL\t%d\t%d\t%d\t%d\t%s\t%s" % (
-            hits[0][0], hits[last_hit][0] + (K - 1), fi_count, current_fi,
+            hits[0][0], end_hit[0] + (K - 1), fi_count, current_fi,
             functions[current_fi], jformat(weighted)))
         if p.debug:
             out.print("after-call: ")
             display_hits(hits, out)
-        # fold the called hits into the top-5 OTU counter (ref :411-439)
-        for i in range(last_hit + 1):
-            if hits[i][3] == current_fi:
-                oi = hits[i][1]
-                j = 0
-                while j < len(oi_counts) and oi_counts[j][0] != oi:
-                    j += 1
-                if j == len(oi_counts):
-                    if len(oi_counts) == OI_BUFSZ:
-                        j -= 1  # overwrite the last entry
-                    else:
-                        oi_counts.append([0, 0])
-                    oi_counts[j][0] = oi
-                    oi_counts[j][1] = 1
+        # fold the called hits into the top-5 OTU counter (ref :411-439),
+        # batched per run of equal consecutive oIs
+        if cur:
+            run_oi = cur[0][1]
+            run_len = 0
+            for h in cur:
+                if h[1] == run_oi:
+                    run_len += 1
                 else:
-                    oi_counts[j][1] += 1
-                while j > 0 and oi_counts[j - 1][1] <= oi_counts[j][1]:
-                    oi_counts[j - 1], oi_counts[j] = oi_counts[j], oi_counts[j - 1]
-                    j -= 1
+                    _otu_add_batch(oi_counts, run_oi, run_len)
+                    run_oi = h[1]
+                    run_len = 1
+            _otu_add_batch(oi_counts, run_oi, run_len)
     num = len(hits)
     if num < 2:
         raise IndexError(
