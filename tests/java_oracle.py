@@ -287,3 +287,66 @@ def oracle_gather_hits_debug(all_hits, functions, oi_counts, params):
     if len(hits) >= min_hits:
         process(hits, current_fi)
     return lines
+
+
+def _java_trim(s):
+    start, end = 0, len(s)
+    while start < end and s[start] <= " ":
+        start += 1
+    while end > start and s[end - 1] <= " ":
+        end -= 1
+    return s[start:end]
+
+
+def oracle_read_fasta(lines):
+    """Line-by-line port of readFasta (ref :1132-1192) over a line list.
+    Returns list of (id, seq, descr); raises ValueError on format errors."""
+    it = iter(lines)
+
+    def readline():
+        try:
+            return next(it)
+        except StopIteration:
+            return None
+
+    out = []
+    str1 = None
+    first = True
+    while True:
+        prot_name = None
+        prot_descr = None
+        if first or str1 is None:
+            if str1 is None:
+                str1 = readline()
+            first = False
+        while True:
+            if str1 is None:
+                break
+            str2 = _java_trim(str1)
+            if len(str2) > 1:
+                if str2[0] == ">" and len(_java_trim(str2[1:])) > 0:
+                    toks = [t for t in str2[1:].replace("\t", " ").split(" ")
+                            if t]
+                    prot_name = toks[0]
+                    prot_descr = " ".join(toks[1:])
+                    break
+                raise ValueError("Wrong caption line: " + str2)
+            str1 = readline()
+        if prot_name is None:
+            return out
+        while True:
+            str1 = readline()
+            if str1 is None or _java_trim(str1).startswith(">"):
+                raise ValueError("No sequence for caption: " + prot_name)
+            if len(_java_trim(str1)) > 0:
+                break
+        sb = []
+        while True:
+            sb.append(str1)
+            str1 = readline()
+            if str1 is None or _java_trim(str1).startswith(">"):
+                break
+        seq = "".join(sb)
+        if len(seq) == 0:
+            raise ValueError("No sequence for caption: " + prot_name)
+        out.append((prot_name, seq, prot_descr))
