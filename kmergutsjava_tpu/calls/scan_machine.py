@@ -39,7 +39,7 @@ import numpy as np
 
 from ..constants import K, MAX_HITS_PER_SEQ
 from ..utils.javafmt import jformat
-from .grouping import GroupingParams, Report, _otu_add_batch
+from .grouping import GroupingParams
 
 # state indices
 (S_LEN,        # list length

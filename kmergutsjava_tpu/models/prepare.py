@@ -53,36 +53,6 @@ def _np_kmer_windows(offs: np.ndarray, num_starts: int):
     return values[starts], starts
 
 
-def _np_aa_kmers(ascii_u8: np.ndarray):
-    offs = AA_OFF_LUT[ascii_u8]
-    return _np_kmer_windows(offs, len(ascii_u8) - K)
-
-
-def _np_dna_frames(ascii_u8: np.ndarray):
-    """[6, len//3] aa-offset rows in container order (+0..2, -0..2)."""
-    length = len(ascii_u8)
-    m = length // 3
-    rows = np.full((6, max(m, 0)), TERMINATOR_AA, dtype=np.uint8)
-    for strand in range(2):
-        codes = (DNA_CODE_LUT[ascii_u8] if strand == 0
-                 else COMPL_DNA_CODE_LUT[ascii_u8][::-1])
-        c32 = codes.astype(np.int32)
-        for f in range(3):
-            p = max(length - f, 0) // 3
-            if p == 0:
-                continue
-            c1 = c32[f: f + 3 * p: 3]
-            c2 = c32[f + 1: f + 1 + 3 * p: 3]
-            c3 = c32[f + 2: f + 2 + 3 * p: 3]
-            ok = (c1 < 4) & (c2 < 4) & (c3 < 4)
-            aa = np.where(ok, CODON_AA_OFF[np.where(ok, c1 * 16 + c2 * 4 + c3, 0)],
-                          INVALID_AA).astype(np.uint8)
-            rows[strand * 3 + f, :p] = aa[:m][: p]
-            if p < m:
-                rows[strand * 3 + f, p:] = TERMINATOR_AA
-    return rows
-
-
 def _next_pow2(x: int) -> int:
     p = 1
     while p < x:
