@@ -27,30 +27,14 @@ from ..ops.translate import translate_6frames
 
 ContainerKey = Tuple[str, str, int]  # (query_id, strand, frame)
 
-# Host-numpy twins of the jitted ops, used by the CLI/feeder pipeline:
-# encode/translate is memory-trivial feeder work that belongs on the host
-# CPU next to the FASTA parser (the TPU is for the probe); the jitted ops
-# in ops/ are the canonical on-device path (sharded annotate step, entry).
-# tests/test_prepare_impls.py pins both implementations to each other.
+# The *_numpy prepare functions are host twins of the jitted ops, used by
+# the CLI/feeder pipeline: encode/translate is memory-trivial feeder work
+# that belongs on the host CPU next to the FASTA parser (the TPU is for
+# the probe); the jitted ops in ops/ are the canonical on-device path
+# (sharded annotate step, entry). tests/test_prepare_impls.py pins both
+# implementations to each other.
 from ..constants import (AA_OFF_LUT, CODON_AA_OFF, COMPL_DNA_CODE_LUT,
-                         DNA_CODE_LUT, INVALID_AA, POW20, TERMINATOR_AA)
-
-
-def _np_kmer_windows(offs: np.ndarray, num_starts: int):
-    n = len(offs)
-    w = n - K + 1
-    if w <= 0 or num_starts <= 0:
-        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
-    o64 = offs.astype(np.int64)
-    values = o64[:w].copy()
-    valid = offs[:w] < 20
-    for k in range(1, K):
-        values *= 20
-        values += o64[k: k + w]
-        valid &= offs[k: k + w] < 20
-    valid[min(num_starts, w):] = False
-    starts = np.nonzero(valid)[0]
-    return values[starts], starts
+                         DNA_CODE_LUT, INVALID_AA)
 
 
 def _next_pow2(x: int) -> int:
