@@ -296,6 +296,15 @@ class Engine:
             return lk.lookup(rec["value"], rec["cnt"], rec["pos"])
         if cfg.backend == "sharded":
             return self._sharded_lookup(table, rec)
+        if cfg.backend == "routed":
+            from ..parallel.routed_lookup import RoutedLookup, make_routed_mesh
+            import jax
+
+            shards = (cfg.mesh_shape[0] * cfg.mesh_shape[1]
+                      if cfg.mesh_shape else len(jax.devices()))
+            rl = RoutedLookup(table, make_routed_mesh(shards),
+                              probe_window=max(16, table.max_probe or 16))
+            return rl.lookup(rec["value"], rec["cnt"], rec["pos"])
         raise ValueError(f"unknown lookup backend: {cfg.backend}")
 
     def _sharded_lookup(self, table, rec) -> LookupHits:
