@@ -11,7 +11,12 @@ requested precision (e.g. 0.0078125 at 6 digits), so we format through
 from __future__ import annotations
 
 import math
-from decimal import Decimal, ROUND_HALF_UP
+from decimal import Context, Decimal, ROUND_HALF_UP
+
+# a float64's exact decimal expansion has up to ~767 significant digits;
+# the default context (28) would raise InvalidOperation quantizing values
+# beyond ~1e21
+_CTX = Context(prec=800)
 
 
 def jformat(value: float, precision: int = 6) -> str:
@@ -26,6 +31,6 @@ def jformat(value: float, precision: int = 6) -> str:
     if math.isinf(value):
         return "Infinity" if value > 0 else "-Infinity"
     quantum = Decimal(1).scaleb(-precision)
-    d = Decimal(value).quantize(quantum, rounding=ROUND_HALF_UP)
+    d = Decimal(value).quantize(quantum, rounding=ROUND_HALF_UP, context=_CTX)
     # Decimal prints "-0.000000" for negative zero, same as Java.
     return f"{d:.{precision}f}"

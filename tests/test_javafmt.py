@@ -35,3 +35,11 @@ def test_specials():
     assert jformat(float("inf")) == "Infinity"
     assert jformat(float("-inf")) == "-Infinity"
     assert jformat(-0.0) == "-0.000000"
+
+
+def test_extreme_magnitudes():
+    # float32 weights can reach 3.4e38; Java %f prints the full expansion
+    assert jformat(float(np.float32(3.4e38))).endswith(".000000")
+    assert len(jformat(1.7e308)) == 309 + 7
+    assert jformat(5e-324) == "0.000000"  # smallest subnormal rounds to 0
+    assert jformat(1e25) == "10000000000000000000000000.000000"
