@@ -42,4 +42,5 @@ def test_extreme_magnitudes():
     assert jformat(float(np.float32(3.4e38))).endswith(".000000")
     assert len(jformat(1.7e308)) == 309 + 7
     assert jformat(5e-324) == "0.000000"  # smallest subnormal rounds to 0
-    assert jformat(1e25) == "10000000000000000000000000.000000"
+    # the exact binary value of 1e25, as Java prints it
+    assert jformat(1e25) == "10000000000000000905969664.000000"
