@@ -414,11 +414,19 @@ class StreamingLookup:
         if self.compute_kmers_found:
             self._matched_values.append(values[mask].copy())
 
+    def partial_hits(self) -> LookupHits:
+        """Hits resolved so far (for the reference's catch-and-continue
+        behavior on lookup errors, ref :797-802)."""
+        return self._assemble()
+
     def finish(self) -> LookupHits:
         if self._count:
             self._dispatch(self._count)
         while self._pending:
             self._resolve_one()
+        return self._assemble()
+
+    def _assemble(self) -> LookupHits:
         if not self._pieces:
             z = np.zeros(0)
             return LookupHits.from_lists(z, z, z, z, z, z,

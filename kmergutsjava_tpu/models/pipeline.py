@@ -175,6 +175,13 @@ class Engine:
             traceback.print_exc(file=sys.stderr)
             self._info("Error: null", report, stdout)
             hits = ex.partial
+        except Exception as ex:  # noqa: BLE001
+            # the reference catches ANY lookup failure, reports it, and
+            # still groups whatever hits were found (ref :797-802)
+            traceback.print_exc(file=sys.stderr)
+            self._info("Error: " + (str(ex) or "null"), report, stdout)
+            hits = (streaming.partial_hits() if streaming is not None
+                    else LookupHits.from_lists([], [], [], [], [], [], 0))
         finally:
             if store is not None:
                 store.close()

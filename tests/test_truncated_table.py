@@ -69,3 +69,27 @@ def test_dense_table_falls_back_to_parity(tmp_path):
                         query_stream=io.StringIO(">P1\n" + AA + "\n"))
         assert any("parity" in str(x.message) for x in w)
     assert "PROTEIN-ID\tP1\t20" in out.getvalue()
+
+
+def test_lookup_error_yields_partial_report(tmp_path, monkeypatch):
+    """Any lookup-phase failure -> Error line + grouping still runs
+    (ref :797-802)."""
+    write_data_dir(str(tmp_path / "d"), __import__(
+        "kmergutsjava_tpu.formats.table_tools",
+        fromlist=["signatures_from_proteins"]).signatures_from_proteins(
+        [(AA, 0, 3)], weight=0.5), ["funcA"])
+
+    from kmergutsjava_tpu.lookup import xla as xla_mod
+
+    def boom(self):
+        raise RuntimeError("injected device failure")
+
+    monkeypatch.setattr(xla_mod.StreamingLookup, "finish", boom)
+    out = io.StringIO()
+    cfg = EngineConfig(aa=True, debug=True)
+    Engine(cfg).run(str(tmp_path / "d"), None, out, stdout=True,
+                    query_stream=io.StringIO(">P1\n" + AA + "\n"))
+    text = out.getvalue()
+    assert "Error: injected device failure" in text
+    assert "PROTEIN-ID\tP1\t20" in text  # grouping still ran (no hits)
+    assert "CALL" not in text
