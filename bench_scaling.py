@@ -79,9 +79,27 @@ def main() -> None:
             base_rate = rate
         eff = rate / (base_rate * n_dev)
         results.append({"mesh": f"{data}x{tshard}", "devices": n_dev,
+                        "mode": "psum",
                         "lookups_per_sec": round(rate, 1),
                         "efficiency_vs_1dev": round(eff, 3),
                         "hits": int(found.sum())})
+
+    # routed (all_to_all) mode over the full device set
+    from kmergutsjava_tpu.parallel.routed_lookup import (RoutedLookup,
+                                                         make_routed_mesh)
+
+    for shards in [s for s in (2, n_devices) if s <= n_devices]:
+        rl = RoutedLookup(table, make_routed_mesh(shards),
+                          probe_window=max(16, table.max_probe))
+        rl.lookup(values, np.zeros(len(values)), np.arange(len(values)))
+        t0 = time.time()
+        hits = rl.lookup(values, np.zeros(len(values)),
+                         np.arange(len(values)))
+        dt = time.time() - t0
+        results.append({"mesh": f"routed-{shards}", "devices": shards,
+                        "mode": "all_to_all",
+                        "lookups_per_sec": round(n_queries / dt, 1),
+                        "hits": len(hits)})
     print(json.dumps({
         "metric": "sharded_lookup_scaling",
         "platform": platform,
