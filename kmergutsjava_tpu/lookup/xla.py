@@ -314,7 +314,8 @@ class StreamingLookup:
     MAX_IN_FLIGHT = 4
 
     def __init__(self, lk: XlaLookup, sort_chunks: Optional[bool] = None,
-                 compute_kmers_found: bool = False):
+                 compute_kmers_found: bool = False,
+                 async_resolve: bool = True):
         self.lk = lk
         if sort_chunks is None:
             # chunk-local home sort coalesces HBM-bound gathers
@@ -327,6 +328,32 @@ class StreamingLookup:
         self._pieces: list = []
         self._matched_values: list = []
         self.total_fed = 0
+        # resolver thread: device_get + host verification run off the
+        # feeder thread, so FASTA parsing/encoding overlaps them (numpy
+        # releases the GIL for the heavy ops)
+        self._worker = None
+        self._queue = None
+        self._worker_error = None
+        if async_resolve:
+            import queue
+            import threading
+
+            self._queue = queue.Queue(maxsize=self.MAX_IN_FLIGHT)
+            self._lock = threading.Lock()
+
+            def drain():
+                while True:
+                    item = self._queue.get()
+                    if item is None:
+                        return
+                    try:
+                        self._resolve_item(item)
+                    except BaseException as ex:  # surfaced at finish()
+                        self._worker_error = ex
+                        return
+
+            self._worker = threading.Thread(target=drain, daemon=True)
+            self._worker.start()
 
     # --- store interface ---
     def add_batch(self, values: np.ndarray, cnt_id, pos: np.ndarray) -> None:
@@ -380,12 +407,18 @@ class StreamingLookup:
         else:
             homes_p = homes
         out = self.lk.probe_chunk(jnp.asarray(q_fp), jnp.asarray(homes_p))
-        self._pending.append((values, cnt, pos, homes, out))
-        while len(self._pending) > self.MAX_IN_FLIGHT:
-            self._resolve_one()
+        item = (values, cnt, pos, homes, out)
+        if self._queue is not None:
+            if self._worker_error is not None:
+                raise self._worker_error
+            self._queue.put(item)  # bounded queue = dispatch backpressure
+        else:
+            self._pending.append(item)
+            while len(self._pending) > self.MAX_IN_FLIGHT:
+                self._resolve_item(self._pending.pop(0))
 
-    def _resolve_one(self) -> None:
-        values, cnt, pos, homes, out = self._pending.pop(0)
+    def _resolve_item(self, item) -> None:
+        values, cnt, pos, homes, out = item
         n = len(values)
         off, state = jax.device_get(out)
         off = off[:n].astype(np.int64)
@@ -422,8 +455,15 @@ class StreamingLookup:
     def finish(self) -> LookupHits:
         if self._count:
             self._dispatch(self._count)
+        if self._queue is not None:
+            self._queue.put(None)
+            self._worker.join()
+            self._worker = None
+            self._queue = None
+            if self._worker_error is not None:
+                raise self._worker_error
         while self._pending:
-            self._resolve_one()
+            self._resolve_item(self._pending.pop(0))
         return self._assemble()
 
     def _assemble(self) -> LookupHits:
