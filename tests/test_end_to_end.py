@@ -197,3 +197,31 @@ def test_jax_prepare_impl_end_to_end(tmp_path):
     b = run_engine(tmp_path / "d", contigs, aa=False, min_hits=2,
                    prepare_impl="jax")
     assert a == b
+
+
+STRIP_RE = None
+
+
+def _strip_info(text):
+    """Drop timing/progress info lines (nondeterministic) from debug reports."""
+    import re
+
+    drop = re.compile(r"^(Temp\. directory:|Preparation time:|Lookup time:"
+                      r"|Grouping time:|Processed: )")
+    return "\n".join(l for l in text.splitlines() if not drop.match(l))
+
+
+def test_debug_mode_cross_backend(tmp_path):
+    """Full debug reports (HIT/after-hit/after-call/Kmers found) agree
+    across backends once timing lines are stripped."""
+    rng = random.Random(55)
+    prots, triples, funcs = _random_corpus(rng, n_prot=15)
+    write_data_dir(tmp_path / "d", signatures_from_proteins(triples), funcs)
+    fasta = "".join(f">p{i}\n{p}\n" for i, p in enumerate(prots))
+    kw = dict(aa=True, min_hits=2, debug=True)
+    a = _strip_info(run_engine(tmp_path / "d", fasta, backend="parity", **kw))
+    b = _strip_info(run_engine(tmp_path / "d", fasta, backend="xla", **kw))
+    assert a == b
+    assert "HIT\t" in a and "after-hit: hits: " in a
+    assert "Kmer-table info: numSigs=" in a
+    assert "Kmers found: " in a

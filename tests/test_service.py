@@ -44,3 +44,18 @@ def test_unknown_method(server):
 def test_annotate_bad_params(server):
     with pytest.raises(ServerError, match="fasta"):
         KmerGutsClient(server)._call("annotate", [{}])
+
+
+def test_concurrent_annotate_requests(server):
+    import concurrent.futures
+
+    client = KmerGutsClient(server)
+
+    def call(i):
+        return client.annotate(fasta=f">P{i}\n{AA}\n", aa=True)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(call, range(8)))
+    for i, rep in enumerate(results):
+        assert f"PROTEIN-ID\tP{i}\t20" in rep
+        assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000" in rep
