@@ -32,3 +32,19 @@ def test_cli_flag_parsing_extras():
     assert cfg.grouping_impl == "scan"
     assert cfg.mesh_shape == (4, 2)
     assert cfg.prepare_impl == "jax"
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    import os
+
+    from kmergutsjava_tpu.tools import main as tmain
+
+    faa = tmp_path / "p.faa"
+    faa.write_text(f">p1 fn\n{AA}\n")
+    tmain(["build-table", "-o", str(tmp_path / "d"), "--fasta", str(faa)])
+    out = tmp_path / "r.txt"
+    rc = cli_main(["-a", "-D", str(tmp_path / "d"), "-q", str(faa),
+                   "-o", str(out), "--profile", str(tmp_path / "trace")])
+    assert rc == 0
+    assert (tmp_path / "trace").exists()
+    assert any((tmp_path / "trace").rglob("*"))
