@@ -21,8 +21,6 @@ host-side against the table's host arrays.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
