@@ -68,6 +68,60 @@ def build_table_cli(argv: List[str]) -> int:
     return 0
 
 
+def check_table_cli(argv: List[str]) -> int:
+    """Validate a data directory: header, slot invariants, function index."""
+    import argparse
+
+    import numpy as np
+
+    from .formats.function_index import load_function_index
+    from .formats.kmer_table import read_table, resolve_table_files
+
+    ap = argparse.ArgumentParser(prog="check-table")
+    ap.add_argument("data_dir")
+    args = ap.parse_args(argv)
+    table_path, func_path = resolve_table_files(args.data_dir)
+    table = read_table(table_path)
+    problems = []
+    if table.truncated:
+        problems.append(f"file truncated: {len(table.slots)} of "
+                        f"{table.num_sigs} slots present")
+    occ = table.occupied
+    n_occ = int(occ.sum())
+    kmer = table.slots["kmer"][occ]
+    if len(kmer) and (kmer < 0).any():
+        problems.append("negative k-mer values present")
+    home = kmer % np.int64(table.num_sigs)
+    pos = np.nonzero(occ)[0]
+    before_home = int((pos < home).sum())
+    if before_home:
+        problems.append(f"{before_home} entries placed before their home "
+                        "slot (wrapped table — the streaming reader and "
+                        "probe windows will miss them)")
+    max_probe = int((pos - home).max()) + 1 if n_occ else 1
+    if len(occ) and occ[-1]:
+        problems.append("last slot occupied (reference reader can hit EOF "
+                        "mid-probe)")
+    uniq = len(np.unique(kmer))
+    if uniq != n_occ:
+        problems.append(f"{n_occ - uniq} duplicate k-mer values")
+    functions = load_function_index(func_path)
+    fi = table.slots["fi"][occ]
+    if len(fi) and (int(fi.max()) >= len(functions) or int(fi.min()) < 0):
+        problems.append(f"functionIndex out of range for function.index "
+                        f"({len(functions)} entries)")
+    load = n_occ / max(table.num_sigs, 1)
+    print(f"{table_path}: numSigs={table.num_sigs} occupied={n_occ} "
+          f"(load {load:.2f}) max_probe={max_probe} "
+          f"functions={len(functions)}")
+    if problems:
+        for p in problems:
+            print("PROBLEM:", p)
+        return 1
+    print("OK")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
@@ -76,6 +130,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     cmd, rest = argv[0], argv[1:]
     if cmd == "build-table":
         return build_table_cli(rest)
+    if cmd == "check-table":
+        return check_table_cli(rest)
     print(f"unknown command: {cmd}", file=sys.stderr)
     return 2
 

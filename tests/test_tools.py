@@ -48,3 +48,29 @@ def test_profile_flag_writes_trace(tmp_path):
     assert rc == 0
     assert (tmp_path / "trace").exists()
     assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_check_table_cli(tmp_path, capsys):
+    from kmergutsjava_tpu.tools import main as tmain
+
+    faa = tmp_path / "p.faa"
+    faa.write_text(f">p1 fn\n{AA}\n")
+    tmain(["build-table", "-o", str(tmp_path / "d"), "--fasta", str(faa)])
+    capsys.readouterr()
+    rc = tmain(["check-table", str(tmp_path / "d")])
+    out = capsys.readouterr().out
+    assert rc == 0 and "OK" in out and "max_probe=" in out
+    # corrupt: occupy the last slot
+    import numpy as np
+
+    from kmergutsjava_tpu.formats.kmer_table import (TABLE_FILE, read_table,
+                                                     write_table)
+
+    t = read_table(str(tmp_path / "d" / TABLE_FILE))
+    slots = np.array(t.slots)
+    slots["kmer"][-1] = 5
+    t.slots = slots
+    write_table(str(tmp_path / "d" / TABLE_FILE), t)
+    rc = tmain(["check-table", str(tmp_path / "d")])
+    out = capsys.readouterr().out
+    assert rc == 1 and "last slot occupied" in out
