@@ -177,3 +177,53 @@ def test_wraparound_table_forward_only_miss():
     # for 32; the hit set matches the parity partial
     b = XlaLookup(table).lookup(values, np.zeros(2), np.arange(2))
     assert sorted(b.pos.tolist()) == [1]
+
+
+def test_store_merge_cascade_fuzz(tmp_path):
+    """Many small spill files through the pairwise merge cascade."""
+    rng = np.random.default_rng(31)
+    for trial in range(5):
+        num_sigs = int(rng.integers(11, 5000))
+        store = QueryKmerStore(num_sigs, input_size_limit=int(rng.integers(20, 200)),
+                               temp_dir=str(tmp_path / f"t{trial}"))
+        all_v = []
+        for _ in range(int(rng.integers(3, 25))):
+            v = rng.integers(0, 10**7, int(rng.integers(1, 400))).astype(np.int64)
+            all_v.append(v)
+            store.add_batch(v, 0, np.arange(len(v)))
+        rec = store.finalize()
+        v = np.concatenate(all_v)
+        assert len(rec) == len(v)
+        home = rec["value"] % num_sigs
+        ok = (np.diff(home) > 0) | ((np.diff(home) == 0)
+                                    & (np.diff(rec["value"]) >= 0))
+        assert ok.all()
+        assert sorted(rec["value"].tolist()) == sorted(v.tolist())
+        store.close()
+
+
+def test_streaming_lookup_tiny_chunks():
+    """StreamingLookup with a tiny chunk size: many dispatches through the
+    resolver thread, same hits as the one-shot path."""
+    from kmergutsjava_tpu.lookup.xla import StreamingLookup
+
+    rng = np.random.default_rng(33)
+    sig = random_signatures(rng, 2000)
+    table = build_table(**sig, load_factor=0.8)
+    values, cnt, pos = make_queries(rng, sig["kmers"], 9000)
+    lk = XlaLookup(table, chunk=512)
+    for async_resolve in (True, False):
+        s = StreamingLookup(lk, async_resolve=async_resolve,
+                            compute_kmers_found=True)
+        # feed in ragged pieces
+        i = 0
+        while i < len(values):
+            j = min(len(values), i + int(rng.integers(1, 700)))
+            s.add_batch(values[i:j], 0, pos[i:j])
+            i = j
+        hits = s.finish()
+        ref = lookup_stream(table, values, np.zeros(len(values)), pos)
+        assert sorted(zip(hits.pos.tolist(), hits.fi.tolist(),
+                          hits.wt.tolist())) == \
+            sorted(zip(ref.pos.tolist(), ref.fi.tolist(), ref.wt.tolist()))
+        assert hits.kmers_found == ref.kmers_found
