@@ -31,7 +31,7 @@ Arguments:
  --backend NAME - (optional) lookup backend: xla (default), sharded, routed, pallas, parity
  --probe-window N - (optional) override table-derived probe window
  --chunk N - (optional) queries per device dispatch (default 524288)
- --prepare IMPL - (optional) encode impl: numpy (default) or jax
+ --prepare IMPL - (optional) encode impl: native (default), numpy, jax
  --grouping IMPL - (optional) call grouping: host (default) or scan (lax.scan)
  --mesh DxT - (optional) device mesh for --backend sharded, e.g. 4x2
  --profile DIR - (optional) write a jax.profiler trace of the run

@@ -28,10 +28,11 @@ class EngineConfig:
 
     # TPU-native extensions
     backend: str = "xla"  # "parity" | "xla" | "pallas"
-    # encode/translate implementation for the feeder pipeline: "numpy"
-    # (host fast path, default — feeder work belongs next to the parser)
-    # or "jax" (the jitted device ops; canonical for on-device pipelines)
-    prepare_impl: str = "numpy"
+    # encode/translate implementation for the feeder pipeline: "native"
+    # (C++ feeder via ctypes, default; numpy fallback if no toolchain),
+    # "numpy" (vectorized host twin), or "jax" (the jitted device ops;
+    # canonical for on-device pipelines)
+    prepare_impl: str = "native"
     # call-grouping implementation: "host" (exact machine + fast paths,
     # default) or "scan" (jitted lax.scan over container batches — the
     # device-side formulation; falls back to host for debug / min_hits < 2)

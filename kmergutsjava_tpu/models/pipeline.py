@@ -140,7 +140,16 @@ class Engine:
             feed = store
         try:
             records = read_fasta(query if query is not None else query_stream)
-            if cfg.prepare_impl == "numpy":
+            if cfg.prepare_impl == "native":
+                from .prepare import (prepare_aa_native, prepare_aa_numpy,
+                                      prepare_dna_native, prepare_dna_numpy)
+
+                prep = (prepare_aa_native(records, feed) if cfg.aa
+                        else prepare_dna_native(records, feed))
+                if prep is None:  # no toolchain: numpy fallback
+                    prep = (prepare_aa_numpy(records, feed) if cfg.aa
+                            else prepare_dna_numpy(records, feed))
+            elif cfg.prepare_impl == "numpy":
                 from .prepare import prepare_aa_numpy, prepare_dna_numpy
 
                 prep = (prepare_aa_numpy(records, feed) if cfg.aa

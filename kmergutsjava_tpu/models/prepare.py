@@ -266,3 +266,75 @@ def prepare_dna(records: Iterable[FastaRecord], store: QueryKmerStore) -> Prepar
         rr, cc = np.nonzero(valid)
         store.add_batch(values[rr, cc], np.asarray(cids, dtype=np.int64)[rr], cc)
     return prep
+
+
+def _prepare_native(records: Iterable[FastaRecord], store: QueryKmerStore,
+                    aa: bool, flush_chars: int = 8_000_000):
+    """C++ feeder path (native/feeder.cpp via ctypes). Returns None when the
+    native library is unavailable (caller falls back to numpy)."""
+    from ..utils.native import load_feeder
+
+    lib = load_feeder()
+    if lib is None:
+        return None
+    prep = Prepared()
+    seqs: List[np.ndarray] = []
+    cid0: List[int] = []
+    pending = 0
+
+    def flush():
+        nonlocal seqs, cid0, pending
+        if not seqs:
+            return
+        nrec = len(seqs)
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=nrec)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        blob = np.concatenate(seqs) if nrec > 1 else seqs[0]
+        blob = np.ascontiguousarray(blob)
+        total = int(lens.sum())
+        max_len = int(lens.max())
+        if aa:
+            cnt_ids = np.asarray(cid0, dtype=np.int64)
+            cap = total
+            scratch = np.empty(max(max_len, 1), dtype=np.uint8)
+            fn = lib.feeder_aa
+        else:
+            cnt_ids = np.asarray(
+                [c for base in cid0 for c in range(base, base + 6)],
+                dtype=np.int64)
+            cap = 2 * total + 6 * nrec
+            scratch = np.empty(max(2 * max_len, 2), dtype=np.uint8)
+            fn = lib.feeder_dna
+        out_v = np.empty(max(cap, 1), dtype=np.int64)
+        out_c = np.empty(max(cap, 1), dtype=np.int32)
+        out_p = np.empty(max(cap, 1), dtype=np.int32)
+        n = int(fn(blob, np.ascontiguousarray(starts),
+                   np.ascontiguousarray(lens), nrec,
+                   np.ascontiguousarray(cnt_ids), scratch, out_v, out_c,
+                   out_p))
+        store.add_batch(out_v[:n], out_c[:n].astype(np.int64), out_p[:n])
+        seqs, cid0, pending = [], [], 0
+
+    for rec in records:
+        if aa:
+            cid0.append(prep.new_container((rec.id, "+", 0)))
+        else:
+            cid0.append(prep.new_container((rec.id, "+", 0)))
+            for key in ((rec.id, "+", 1), (rec.id, "+", 2), (rec.id, "-", 0),
+                        (rec.id, "-", 1), (rec.id, "-", 2)):
+                prep.new_container(key)
+        prep.id_len[rec.id] = len(rec.seq)
+        seqs.append(_seq_to_ascii(rec.seq))
+        pending += len(rec.seq)
+        if pending >= flush_chars:
+            flush()
+    flush()
+    return prep
+
+
+def prepare_aa_native(records, store):
+    return _prepare_native(records, store, aa=True)
+
+
+def prepare_dna_native(records, store):
+    return _prepare_native(records, store, aa=False)

@@ -59,3 +59,43 @@ def test_numpy_dna_matches_oracle(tmp_path):
         for row in range(6):
             assert got.get(row, []) == want[row], seq
         store.close()
+
+
+@pytest.mark.parametrize("mode", ["aa", "dna"])
+def test_native_matches_numpy(tmp_path, mode):
+    from kmergutsjava_tpu.models.prepare import (prepare_aa_native,
+                                                 prepare_dna_native)
+
+    rng = random.Random(40 if mode == "aa" else 41)
+    if mode == "aa":
+        records = _records(rng, AA, 40, 1, 200)
+        fns = (prepare_aa_native, prepare_aa_numpy)
+    else:
+        records = _records(rng, DNA, 25, 1, 500)
+        fns = (prepare_dna_native, prepare_dna_numpy)
+    a = _collect(fns[0], records, tmp_path, "nat")
+    b = _collect(fns[1], records, tmp_path, "np2")
+    assert a[0] == b[0] and a[1] == b[1]
+    # record multisets equal (native emits per-record, numpy batched-global)
+    assert sorted(a[2]) == sorted(b[2])
+
+
+def test_native_dna_matches_oracle(tmp_path):
+    import java_oracle as oracle
+    from kmergutsjava_tpu.models.prepare import prepare_dna_native
+
+    rng = random.Random(42)
+    for _ in range(10):
+        seq = "".join(rng.choice(DNA) for _ in range(rng.randint(1, 300)))
+        store = QueryKmerStore(101, 10**9, str(tmp_path / "on"))
+        prep = prepare_dna_native([FastaRecord("x", seq, "")], store)
+        assert prep is not None
+        rec = store.finalize()
+        got = {}
+        for r in rec:
+            got.setdefault(int(r["cnt"]), []).append((int(r["value"]),
+                                                      int(r["pos"])))
+        want = oracle.prepare_query(seq, aa=False)
+        for row in range(6):
+            assert sorted(got.get(row, [])) == sorted(want[row]), seq
+        store.close()
