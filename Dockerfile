@@ -12,7 +12,8 @@ COPY kmergutsjava_tpu ./kmergutsjava_tpu
 COPY native ./native
 COPY scripts ./scripts
 RUN pip install --no-cache-dir . \
-    && g++ -O2 -o /usr/local/bin/kmer_guts_baseline native/kmer_guts_baseline.cpp
+    && g++ -O2 -o /usr/local/bin/kmer_guts_baseline native/kmer_guts_baseline.cpp \
+    && g++ -O3 -shared -fPIC -o native/feeder.so native/feeder.cpp
 
 # Reference data (kmer.table.mem_map + function.index) mounts at /data,
 # matching the reference test harness convention.

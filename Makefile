@@ -1,12 +1,17 @@
 # Build/test entry points (counterpart of the reference's Makefile/build.xml)
 .PHONY: all test bench baseline clean
 
-all: baseline
+all: baseline feeder
 
 baseline: native/kmer_guts_baseline
 
 native/kmer_guts_baseline: native/kmer_guts_baseline.cpp
 	g++ -O2 -o $@ $<
+
+feeder: native/feeder.so
+
+native/feeder.so: native/feeder.cpp
+	g++ -O3 -shared -fPIC -o $@ $<
 
 test:
 	python -m pytest tests/ -x -q
@@ -18,4 +23,4 @@ bench: baseline
 	python bench.py
 
 clean:
-	rm -f native/kmer_guts_baseline
+	rm -f native/kmer_guts_baseline native/feeder.so
