@@ -273,9 +273,17 @@ def tabulate_otu_data(current_id: str, length: int, oi_counts: List[List[int]],
 
 
 def _gather_dispatch(container, functions, oi_counts, out, p) -> None:
-    """Accept a list of hit tuples, a 5-tuple of parallel arrays, or a
-    7-tuple with (presorted, single_fi_hint) appended."""
+    """Accept a list of hit tuples, a 5-tuple of parallel arrays, a 7-tuple
+    with (presorted, single_fi_hint) appended, or a precomputed
+    ("pre", call_lines, otu_updates) result from the batch fast path."""
     if isinstance(container, tuple):
+        if len(container) == 3 and container[0] == "pre":
+            _, lines, updates = container
+            for ln in lines:
+                out.println(ln)
+            for o, inc in updates:
+                _otu_add_batch(oi_counts, o, inc)
+            return
         if len(container) == 7:
             *arrays, presorted, hint = container
             gather_hits_arrays(*arrays, functions, oi_counts, out, p,

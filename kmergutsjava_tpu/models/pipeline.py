@@ -202,11 +202,11 @@ class Engine:
 
         # --- phase 3: group (ref :804-819) ---
         t3 = time.time()
-        container_hits = self._bucket_hits(prep, hits)
         params = GroupingParams(
             min_hits=cfg.min_hits, min_weighted_hits=cfg.min_weighted_hits,
             max_gap=cfg.max_gap, order_constraint=cfg.order_constraint,
             debug=cfg.debug)
+        container_hits = self._bucket_hits(prep, hits, functions, params)
         if (cfg.grouping_impl == "scan" and not cfg.debug
                 and cfg.min_hits >= 2):
             self._group_scan(prep, container_hits, functions, report, params)
@@ -350,8 +350,8 @@ class Engine:
                          else -1),
         )
 
-    @staticmethod
-    def _bucket_hits(prep: Prepared, hits: LookupHits) -> Dict[tuple, List[tuple]]:
+    def _bucket_hits(self, prep: Prepared, hits: LookupHits, functions,
+                     params) -> Dict[tuple, object]:
         """Distribute flat hit records into per-container lists.
 
         Mirrors the reference's container map semantics (ref :805-809): for
@@ -379,15 +379,43 @@ class Engine:
         if len(starts):
             fi_min = np.minimum.reduceat(fi_s, starts)
             fi_max = np.maximum.reduceat(fi_s, starts)
-            same_fi = (fi_min == fi_max).tolist()
+            same_fi = fi_min == fi_max
         else:
-            same_fi = []
-        bounds = np.append(starts, len(cnt_s)).tolist()
+            same_fi = np.zeros(0, dtype=bool)
+        bounds = np.append(starts, len(cnt_s))
+        counts = np.diff(bounds)
+
+        # batch-evaluate the single-function fast path globally (per-CALL
+        # python work instead of per-container numpy work)
+        cfg = self.config
+        global_ok = (not params.debug and params.min_hits >= 2
+                     and not params.order_constraint
+                     and cfg.grouping_impl == "host")
+        pre = {}
+        elig = np.zeros(len(prep.containers), dtype=bool)
+        if global_ok and len(uniq):
+            from ..calls.batch_host import batch_single_fi_calls
+
+            from ..constants import MAX_HITS_PER_SEQ as _CAP
+            elig[uniq] = same_fi & (counts < _CAP - 2)
+            pre = batch_single_fi_calls(cnt_s, pos_s, otu_s, fi_s, wt_s,
+                                        elig, functions, params)
+            # every eligible container without hits is trivially empty
+            empty_pre = ("pre", [], [])
+            for key, cid in key_to_cnt.items():
+                if elig[cid]:
+                    by_container[key] = empty_pre
+
+        bounds_l = bounds.tolist()
         for k, cid in enumerate(uniq.tolist()):
             key = cnt_to_key.get(cid)
             if key is None:
                 continue  # superseded duplicate container
-            a, b = bounds[k], bounds[k + 1]
+            if elig[cid]:
+                lines, updates = pre.get(cid, ([], []))
+                by_container[key] = ("pre", lines, updates)
+                continue
+            a, b = bounds_l[k], bounds_l[k + 1]
             by_container[key] = (pos_s[a:b], otu_s[a:b], avg_s[a:b],
-                                 fi_s[a:b], wt_s[a:b], True, same_fi[k])
+                                 fi_s[a:b], wt_s[a:b], True, bool(same_fi[k]))
         return by_container
