@@ -225,3 +225,20 @@ def test_debug_mode_cross_backend(tmp_path):
     assert "HIT\t" in a and "after-hit: hits: " in a
     assert "Kmer-table info: numSigs=" in a
     assert "Kmers found: " in a
+
+
+def test_order_constraint_and_weight_threshold_cross_backend(tmp_path):
+    """-O and -M flags end-to-end: backends agree byte-for-byte."""
+    rng = random.Random(91)
+    prots, triples, funcs = _random_corpus(rng, n_prot=25)
+    sig = signatures_from_proteins(triples, weights={i: 0.2 + 0.1 * i
+                                                     for i in range(len(funcs))})
+    write_data_dir(tmp_path / "d", sig, funcs)
+    fasta = "".join(f">p{i}\n{p}\n" for i, p in enumerate(prots))
+    for kw in (dict(order_constraint=True, min_hits=2),
+               dict(min_weighted_hits=2, min_hits=2),
+               dict(order_constraint=True, min_weighted_hits=1, min_hits=3)):
+        a = run_engine(tmp_path / "d", fasta, backend="parity", aa=True, **kw)
+        b = run_engine(tmp_path / "d", fasta, backend="xla", aa=True, **kw)
+        assert a == b, kw
+        assert a.count("PROTEIN-ID") == len(prots)
