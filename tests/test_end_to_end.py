@@ -242,3 +242,52 @@ def test_order_constraint_and_weight_threshold_cross_backend(tmp_path):
         b = run_engine(tmp_path / "d", fasta, backend="xla", aa=True, **kw)
         assert a == b, kw
         assert a.count("PROTEIN-ID") == len(prots)
+
+
+def test_engine_reuse_across_data_dirs(tmp_path):
+    """The one-slot lookup cache must not leak answers across tables."""
+    p1, p2 = AA, AA[::-1]
+    write_data_dir(tmp_path / "d1", signatures_from_proteins([(p1, 0, 1)]),
+                   ["only1"])
+    write_data_dir(tmp_path / "d2", signatures_from_proteins([(p2, 0, 2)]),
+                   ["only2"])
+    fasta1, fasta2 = f">a\n{p1}\n", f">b\n{p2}\n"
+    eng = Engine(EngineConfig(aa=True))
+    outs = []
+    for d, fasta in ((tmp_path / "d1", fasta1), (tmp_path / "d2", fasta2),
+                     (tmp_path / "d1", fasta2)):
+        out = io.StringIO()
+        eng.run(str(d), None, out, stdout=True,
+                query_stream=io.StringIO(fasta))
+        outs.append(out.getvalue())
+    assert "only1" in outs[0] and "only2" not in outs[0]
+    assert "only2" in outs[1] and "only1" not in outs[1]
+    assert "CALL" not in outs[2]  # p2's k-mers are not in d1's table
+
+
+def test_combined_gz_spill_parity_dna(tmp_path):
+    """gz table + gz query + spill limit + parity backend, DNA mode."""
+    rng = random.Random(8)
+    prots, triples, funcs = _random_corpus(rng, n_prot=8)
+    write_data_dir(tmp_path / "d", signatures_from_proteins(triples), funcs,
+                   gz=True)
+    import gzip
+
+    codon = {"A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT",
+             "G": "GGT", "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTT",
+             "M": "ATG", "N": "AAT", "P": "CCT", "Q": "CAA", "R": "CGT",
+             "S": "TCT", "T": "ACT", "V": "GTT", "W": "TGG", "Y": "TAT"}
+    fasta = "".join(f">c{i}\n" + "".join(codon[c] for c in p) + "\n"
+                    for i, p in enumerate(prots[:5]))
+    q = tmp_path / "q.fna.gz"
+    with gzip.open(q, "wt") as fh:
+        fh.write(fasta)
+    out1 = tmp_path / "o1.txt"
+    out2 = tmp_path / "o2.txt"
+    assert cli_main(["-D", str(tmp_path / "d"), "-q", str(q), "-m", "3",
+                     "-o", str(out1), "--backend", "parity", "-l", "40",
+                     "-t", str(tmp_path / "tmp")]) == 0
+    assert cli_main(["-D", str(tmp_path / "d"), "-q", str(q), "-m", "3",
+                     "-o", str(out2)]) == 0
+    assert out1.read_text() == out2.read_text()
+    assert "CALL\t" in out1.read_text()
