@@ -27,10 +27,14 @@ def test_truncated_table_partial_report(tmp_path):
     assert table.truncated
     assert len(table.slots) < table.num_sigs
 
+    import warnings
+
     out = io.StringIO()
     cfg = EngineConfig(aa=True, debug=True, backend="xla")  # rerouted to parity
-    Engine(cfg).run(str(d), None, out, stdout=True,
-                    query_stream=io.StringIO(">P1\n" + AA + "\n"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # expected reroute warning
+        Engine(cfg).run(str(d), None, out, stdout=True,
+                        query_stream=io.StringIO(">P1\n" + AA + "\n"))
     text = out.getvalue()
     assert "Error: null" in text  # EOFException's null message, verbatim
     assert "PROTEIN-ID\tP1\t20" in text  # grouping still ran
