@@ -51,6 +51,9 @@ class KmerGutsClient:
     def status(self) -> dict:
         return self._call("status", [])[0]
 
+    def warm(self) -> dict:
+        return self._call("warm", [])[0]
+
     def annotate(self, fasta: Optional[str] = None,
                  fasta_path: Optional[str] = None, **options) -> str:
         params = dict(options)

@@ -80,9 +80,26 @@ class KmerGutsService:
                 raise RpcError("annotate needs 'fasta' or 'fasta_path'")
         return [{"report": out.getvalue()}]
 
+    def warm(self, params):
+        """Preload the table and device planes so the first annotate request
+        doesn't pay table read + upload + compile."""
+        if self.data_dir is None:
+            raise RpcError("server started without a data directory (-D)")
+        from ..config import EngineConfig
+        from ..formats.kmer_table import read_table, resolve_table_files
+        from ..models.pipeline import _cached_xla_lookup
+
+        table_path, _ = resolve_table_files(self.data_dir)
+        table = read_table(table_path)
+        with self._lock:
+            lk = _cached_xla_lookup(table_path, table, EngineConfig())
+        return [{"num_sigs": table.num_sigs, "max_probe": table.max_probe,
+                 "probe_window": lk.w1}]
+
     def dispatch(self, method: str, params):
         short = method.split(".", 1)[-1]
-        fn = {"status": self.status, "annotate": self.annotate}.get(short)
+        fn = {"status": self.status, "annotate": self.annotate,
+              "warm": self.warm}.get(short)
         if fn is None:
             raise RpcError(f"Method {method} is not a valid method", -32601)
         return fn(params)

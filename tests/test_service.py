@@ -59,3 +59,8 @@ def test_concurrent_annotate_requests(server):
     for i, rep in enumerate(results):
         assert f"PROTEIN-ID\tP{i}\t20" in rep
         assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000" in rep
+
+
+def test_warm(server):
+    st = KmerGutsClient(server).warm()
+    assert st["num_sigs"] > 0 and st["probe_window"] >= 8
