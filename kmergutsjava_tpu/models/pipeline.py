@@ -312,6 +312,15 @@ class Engine:
             return lk.lookup(rec["value"], rec["cnt"], rec["pos"])
         if cfg.backend == "sharded":
             return self._sharded_lookup(table, rec)
+        if cfg.backend == "replicated":
+            from ..parallel.replicated_lookup import (ReplicatedLookup,
+                                                      make_data_mesh)
+            import jax
+
+            n_dev = (cfg.mesh_shape[0] * cfg.mesh_shape[1]
+                     if cfg.mesh_shape else len(jax.devices()))
+            rl = ReplicatedLookup(table, make_data_mesh(n_dev))
+            return rl.lookup(rec["value"], rec["cnt"], rec["pos"])
         if cfg.backend == "routed":
             from ..parallel.routed_lookup import RoutedLookup, make_routed_mesh
             import jax
