@@ -72,3 +72,15 @@ def test_dna_mode_backends_agree(corpus):
     assert r_xla == r_parity
     assert r_xla.count("TRANSLATION") == 6
     assert "CALL\t" in r_xla
+
+
+def test_distribution_modes_agree_on_corpus(corpus):
+    """replicated / sharded / routed backends: byte-identical corpus reports."""
+    d, prots, _ = corpus
+    fasta = "".join(f">{p.id}\n{p.seq}\n" for p in prots[:300])
+    outs = {}
+    for backend in ("xla", "replicated", "sharded", "routed"):
+        outs[backend] = _run(d, fasta, backend, aa=True)
+    assert (outs["xla"] == outs["replicated"] == outs["sharded"]
+            == outs["routed"])
+    assert "CALL\t" in outs["xla"]
