@@ -69,3 +69,62 @@ def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
         for k in ("kmer", "otu", "avg", "fi", "wt")
     }
     return step, device_planes
+
+
+def _dna_encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
+                          *, s_loc, probe_window, num_sigs):
+    """DNA per-device body: 6-frame translate -> kmerize -> probe -> psum.
+
+    ascii_u8: [B_loc, Lpad] contigs (Lpad a multiple of 3); lengths [B_loc].
+    Returns per-(contig, frame-row, window) hit fields with frame rows in
+    the reference's container order (+0,+1,+2,-0,-1,-2).
+    """
+    from ..ops.translate import translate_6frames
+
+    frames = jax.vmap(translate_6frames)(ascii_u8, lengths)  # [B, 6, Lpad//3]
+    b = frames.shape[0]
+    m = frames.shape[2]
+    w = m - K + 1
+    offs = frames.reshape(b * 6, m)
+    values = jnp.zeros((b * 6, w), dtype=jnp.int64)
+    ok = jnp.ones((b * 6, w), dtype=bool)
+    for k in range(K):
+        seg = offs[:, k: k + w].astype(jnp.int64)
+        values = values + seg * int(POW20[k])
+        ok = ok & (seg < 20)
+    num_starts = jnp.maximum(lengths // 3 - K + 1, 0)  # ref :912 over len/3+1
+    in_range = jnp.arange(w) < jnp.repeat(num_starts, 6)[:, None]
+    ok = ok & in_range
+    flat_v = values.reshape(-1)
+    homes = (flat_v % num_sigs).astype(jnp.int32)
+    found, otu, avg, fi, wt = _local_probe(
+        tk, t_otu, t_avg, t_fi, t_wt, flat_v, homes,
+        s_loc=s_loc, probe_window=probe_window)
+    found = found * ok.reshape(-1).astype(jnp.int32)
+    shape = (b, 6, w)
+    return (found.reshape(shape), otu.reshape(shape), avg.reshape(shape),
+            fi.reshape(shape), wt.reshape(shape))
+
+
+def make_sharded_dna_step(mesh, table: KmerTable, probe_window: int
+                          ) -> Tuple[Callable, dict]:
+    """Full DNA SPMD step: contigs sharded over data, table over table.
+    step(kmer, otu, avg, fi, wt, ascii_u8[B, Lpad], lengths[B]) ->
+    per-(contig, frame, window) (found, otu, avg, fi, wt)."""
+    n_shards = mesh.shape[TABLE_AXIS]
+    planes = shard_table_planes(table, n_shards, probe_window)
+    fn = partial(_dna_encode_and_probe, s_loc=planes["s_loc"],
+                 probe_window=probe_window, num_sigs=table.num_sigs)
+    table_spec = P(TABLE_AXIS, None)
+    step = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(table_spec,) * 5 + (P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS, None, None),) * 5,
+        )
+    )
+    device_planes = {
+        k: jax.device_put(planes[k], NamedSharding(mesh, table_spec))
+        for k in ("kmer", "otu", "avg", "fi", "wt")
+    }
+    return step, device_planes

@@ -103,3 +103,51 @@ def test_sharded_metagenome_dna(tmp_path):
     assert outs["xla"] == outs["sharded"]
     assert outs["xla"].count("processing ") == len(reads)
     assert "CALL\t" in outs["xla"]
+
+
+def test_sharded_dna_step_matches_oracle():
+    """Full on-device 6-frame pipeline over the mesh vs the scalar oracle."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import java_oracle as oracle
+    from kmergutsjava_tpu.parallel.annotate_step import make_sharded_dna_step
+    from kmergutsjava_tpu.parallel.mesh import DATA_AXIS
+
+    rng = np.random.default_rng(6)
+    pyrng = random.Random(6)
+    sig = random_signatures(rng, 1500)
+    table = build_table(**sig)
+    mesh = make_mesh(4, 2)
+    step, planes = make_sharded_dna_step(mesh, table,
+                                         max(8, table.max_probe))
+    b, lpad = 8, 192
+    seqs = ["".join(pyrng.choice("ACGTacgtnN") for _ in range(pyrng.randint(30, lpad)))
+            for _ in range(b)]
+    ascii_u8 = np.zeros((b, lpad), dtype=np.uint8)
+    lengths = np.zeros(b, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        a = np.frombuffer(s.encode(), np.uint8)
+        ascii_u8[i, : len(a)] = a
+        lengths[i] = len(a)
+    shard_b = NamedSharding(mesh, P(DATA_AXIS, None))
+    shard_l = NamedSharding(mesh, P(DATA_AXIS))
+    found, otu, avg, fi, wt = jax.device_get(step(
+        planes["kmer"], planes["otu"], planes["avg"], planes["fi"],
+        planes["wt"], jax.device_put(jnp.asarray(ascii_u8), shard_b),
+        jax.device_put(jnp.asarray(lengths), shard_l)))
+    # compare against oracle prepare + parity lookup per frame row
+    from kmergutsjava_tpu.lookup.parity import lookup_stream
+
+    for i, s in enumerate(seqs):
+        want_frames = oracle.prepare_query(s, aa=False)
+        for row in range(6):
+            vals = [v for v, _ in want_frames[row]]
+            poss = [p for _, p in want_frames[row]]
+            ref = lookup_stream(table, np.array(vals, np.int64),
+                                np.zeros(len(vals)), np.array(poss))
+            got_pos = np.nonzero(found[i, row])[0]
+            assert sorted(got_pos.tolist()) == sorted(ref.pos.tolist()), (i, row)
