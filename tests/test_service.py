@@ -64,3 +64,26 @@ def test_concurrent_annotate_requests(server):
 def test_warm(server):
     st = KmerGutsClient(server).warm()
     assert st["num_sigs"] > 0 and st["probe_window"] >= 8
+
+
+def test_perl_client_roundtrip(server, tmp_path):
+    """Drive the live server through the shipped Perl client."""
+    import shutil
+    import subprocess
+
+    if shutil.which("perl") is None:
+        pytest.skip("no perl")
+    script = tmp_path / "t.pl"
+    script.write_text(
+        'use lib "clients/perl";\n'
+        'use KmerGutsClient;\n'
+        f'my $c = KmerGutsClient->new("{server}");\n'
+        'my $st = $c->status();\n'
+        'die "bad status" unless $st->{state} eq "OK";\n'
+        'my $rep = $c->annotate({fasta => ">P1\\n' + AA + '\\n", aa => 1});\n'
+        'die "bad report" unless $rep =~ /CALL\\t0\\t18\\t12\\t0\\tfuncA/;\n'
+        'print "PERL-OK\\n";\n')
+    out = subprocess.run(["perl", str(script)], capture_output=True,
+                         text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert "PERL-OK" in out.stdout
