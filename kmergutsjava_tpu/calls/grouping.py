@@ -308,11 +308,31 @@ def process_dna_seq(query_id: str, contig_len: int, container_hits: dict,
                     functions: Sequence[str], out: Report, p: GroupingParams) -> None:
     """ref processSeq :538-558."""
     oi_counts: List[List[int]] = []
+    containers = [container_hits[(query_id, s, f)]
+                  for s in ("+", "-") for f in range(3)]
+    if all(isinstance(c, tuple) and len(c) == 3 and c[0] == "pre"
+           for c in containers):
+        # all six frames precomputed: emit the whole block in one write
+        parts = ["processing %s[%d]" % (query_id, contig_len)]
+        k = 0
+        for strand in ("+", "-"):
+            for frame in range(3):
+                parts.append("TRANSLATION\t%s\t%d\t%s\t%d"
+                             % (query_id, contig_len, strand, frame))
+                _, lines, updates = containers[k]
+                parts.extend(lines)
+                for o, inc in updates:
+                    _otu_add_batch(oi_counts, o, inc)
+                k += 1
+        out.println("\n".join(parts))
+        tabulate_otu_data(query_id, contig_len, oi_counts, out)
+        return
     out.println("processing %s[%d]" % (query_id, contig_len))
+    k = 0
     for strand in ("+", "-"):
         for frame in range(3):
             out.println("TRANSLATION\t%s\t%d\t%s\t%d" % (query_id, contig_len,
                                                          strand, frame))
-            _gather_dispatch(container_hits[(query_id, strand, frame)],
-                             functions, oi_counts, out, p)
+            _gather_dispatch(containers[k], functions, oi_counts, out, p)
+            k += 1
     tabulate_otu_data(query_id, contig_len, oi_counts, out)
