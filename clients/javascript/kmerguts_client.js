@@ -53,6 +53,33 @@ class KmerGutsClient {
   async annotate(options) {
     return (await this._call("annotate", [options]))[0].report;
   }
+
+  /** Async-job protocol (reference Client.js polls with 100 ms -> x1.5
+   *  backoff capped at 5 min, :13-16). */
+  async annotateSubmit(options) {
+    return (await this._call("_annotate_submit", [options]))[0];
+  }
+
+  async checkJob(jobId) {
+    return (await this._call("_check_job", [jobId]))[0];
+  }
+
+  async annotateAsync(options) {
+    const jobId = await this.annotateSubmit(options);
+    let delay = 100;
+    for (;;) {
+      const job = await this.checkJob(jobId);
+      if (job.finished) {
+        if (job.error) {
+          const e = job.error;
+          throw new Error(`${e.name || "JSONRPCError"} (${e.code}): ${e.message}`);
+        }
+        return job.result[0].report;
+      }
+      await new Promise((r) => setTimeout(r, delay));
+      delay = Math.min(delay * 1.5, 300000);
+    }
+  }
 }
 
 if (typeof module !== "undefined") {

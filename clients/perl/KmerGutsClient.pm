@@ -61,15 +61,51 @@ sub warm {
     return $self->_call("warm", [])->[0];
 }
 
-# $opts: {fasta => ..., aa => 1, min_hits => ..., ...} -> report text
-sub annotate {
-    my ($self, $opts) = @_;
+sub _coerce_flags {
+    my ($opts) = @_;
     # JSON booleans for flag-ish fields
     for my $k (qw(aa order_constraint debug)) {
         $opts->{$k} = $opts->{$k} ? JSON::PP::true : JSON::PP::false
             if exists $opts->{$k};
     }
-    return $self->_call("annotate", [$opts])->[0]{report};
+    return $opts;
+}
+
+# $opts: {fasta => ..., aa => 1, min_hits => ..., ...} -> report text
+sub annotate {
+    my ($self, $opts) = @_;
+    return $self->_call("annotate", [_coerce_flags($opts)])->[0]{report};
+}
+
+# Async-job protocol, matching the reference's generated Perl client's
+# job polling (lib/KmerGutsJava/KmerGutsJavaClient.pm).
+sub annotate_submit {
+    my ($self, $opts) = @_;
+    return $self->_call("_annotate_submit", [_coerce_flags($opts)])->[0];
+}
+
+sub check_job {
+    my ($self, $job_id) = @_;
+    return $self->_call("_check_job", [$job_id])->[0];
+}
+
+sub annotate_async {
+    my ($self, $opts) = @_;
+    my $job_id = $self->annotate_submit($opts);
+    my $delay = 0.1;
+    while (1) {
+        my $job = $self->check_job($job_id);
+        if ($job->{finished}) {
+            if ($job->{error}) {
+                my $e = $job->{error};
+                die sprintf("%s (%s): %s\n", $e->{name} // "JSONRPCError",
+                            $e->{code} // -32000, $e->{message} // "");
+            }
+            return $job->{result}[0]{report};
+        }
+        select(undef, undef, undef, $delay);  # sub-second sleep
+        $delay = $delay * 1.5 > 300 ? 300 : $delay * 1.5;
+    }
 }
 
 1;

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import time
 import urllib.request
 from typing import Optional
 
@@ -54,8 +55,8 @@ class KmerGutsClient:
     def warm(self) -> dict:
         return self._call("warm", [])[0]
 
-    def annotate(self, fasta: Optional[str] = None,
-                 fasta_path: Optional[str] = None, **options) -> str:
+    @staticmethod
+    def _annotate_params(fasta, fasta_path, options) -> dict:
         params = dict(options)
         if fasta is not None:
             params["fasta"] = fasta
@@ -63,4 +64,37 @@ class KmerGutsClient:
             params["fasta_path"] = fasta_path
         else:
             raise ValueError("fasta or fasta_path required")
+        return params
+
+    def annotate(self, fasta: Optional[str] = None,
+                 fasta_path: Optional[str] = None, **options) -> str:
+        params = self._annotate_params(fasta, fasta_path, options)
         return self._call("annotate", [params])[0]["report"]
+
+    # -- async-job protocol (ref baseclient.py:_submit_job/_check_job) ------
+
+    def annotate_submit(self, fasta: Optional[str] = None,
+                        fasta_path: Optional[str] = None, **options) -> str:
+        params = self._annotate_params(fasta, fasta_path, options)
+        return self._call("_annotate_submit", [params])[0]
+
+    def check_job(self, job_id: str) -> dict:
+        return self._call("_check_job", [job_id])[0]
+
+    def annotate_async(self, fasta: Optional[str] = None,
+                       fasta_path: Optional[str] = None, **options) -> str:
+        """Submit + poll until done. Backoff mirrors the reference JS client
+        (lib/javascript/Client.js:13-16: 100 ms, x1.5, cap 5 min)."""
+        job_id = self.annotate_submit(fasta, fasta_path, **options)
+        delay = 0.1
+        while True:
+            job = self.check_job(job_id)
+            if job.get("finished"):
+                if job.get("error"):
+                    err = job["error"]
+                    raise ServerError(err.get("name", "JSONRPCError"),
+                                      err.get("code", -32000),
+                                      err.get("message", ""))
+                return job["result"][0]["report"]
+            time.sleep(delay)
+            delay = min(delay * 1.5, 300.0)

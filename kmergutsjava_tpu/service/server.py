@@ -11,7 +11,12 @@ same wire shape (JSON-RPC 1.1-style: {"method": "KmerGutsJava.<m>",
   advertises in its docs but never wires up): params
   [{"fasta": text | "fasta_path": path, "aa": bool, "min_hits": int,
     "min_weighted_hits": int, "max_gap": int, "order_constraint": bool,
-    "debug": bool, "backend": str}] -> [{"report": text}].
+    "debug": bool, "backend": str}] -> [{"report": text}];
+- ``KmerGutsJava._annotate_submit`` / ``KmerGutsJava._check_job`` — the
+  async-job protocol the reference's generated clients speak
+  (baseclient.py:_submit_job/_check_job; JS Client.js polls with backoff):
+  submit returns a job id, _check_job([job_id]) returns
+  [{"job_id", "finished": 0|1, "result"?|"error"?}].
 
 Run: python -m kmergutsjava_tpu.service.server -D <data_dir> [-p port]
 """
@@ -41,6 +46,9 @@ class KmerGutsService:
     def __init__(self, data_dir: Optional[str] = None):
         self.data_dir = data_dir
         self._lock = threading.Lock()
+        self._jobs: dict = {}          # job_id -> {"finished", "result"/"error"}
+        self._jobs_lock = threading.Lock()
+        self._job_seq = 0
 
     def status(self, params):
         # Same keys as the reference servlet's status map (ref :35-44)
@@ -96,10 +104,49 @@ class KmerGutsService:
         return [{"num_sigs": table.num_sigs, "max_probe": table.max_probe,
                  "probe_window": lk.w1}]
 
+    # -- async-job protocol (ref baseclient.py:_submit_job/_check_job) ------
+
+    def _submit(self, target, params):
+        with self._jobs_lock:
+            self._job_seq += 1
+            job_id = f"job_{self._job_seq}"
+            self._jobs[job_id] = {"finished": 0}
+
+        def work():
+            try:
+                result = target(params)
+                with self._jobs_lock:
+                    self._jobs[job_id] = {"finished": 1, "result": result}
+            except Exception as ex:  # noqa: BLE001 — delivered via _check_job
+                code = ex.code if isinstance(ex, RpcError) else -32603
+                with self._jobs_lock:
+                    self._jobs[job_id] = {
+                        "finished": 1,
+                        "error": {"name": "JSONRPCError", "code": code,
+                                  "message": str(ex)}}
+
+        threading.Thread(target=work, daemon=True).start()
+        return [job_id]
+
+    def annotate_submit(self, params):
+        return self._submit(self.annotate, params)
+
+    def check_job(self, params):
+        if not params:
+            raise RpcError("_check_job expects a job id parameter")
+        job_id = params[0]
+        with self._jobs_lock:
+            job = self._jobs.get(job_id)
+        if job is None:
+            raise RpcError(f"unknown job id {job_id!r}")
+        return [dict(job, job_id=job_id)]
+
     def dispatch(self, method: str, params):
         short = method.split(".", 1)[-1]
         fn = {"status": self.status, "annotate": self.annotate,
-              "warm": self.warm}.get(short)
+              "warm": self.warm,
+              "_annotate_submit": self.annotate_submit,
+              "_check_job": self.check_job}.get(short)
         if fn is None:
             raise RpcError(f"Method {method} is not a valid method", -32601)
         return fn(params)

@@ -66,6 +66,60 @@ def test_warm(server):
     assert st["num_sigs"] > 0 and st["probe_window"] >= 8
 
 
+def test_async_job_roundtrip(server):
+    """Submit + poll (the reference clients' _submit_job/_check_job path)."""
+    client = KmerGutsClient(server)
+    sync = client.annotate(fasta=">P1\n" + AA + "\n", aa=True)
+    job_id = client.annotate_submit(fasta=">P1\n" + AA + "\n", aa=True)
+    assert job_id.startswith("job_")
+    report = None
+    import time
+    for _ in range(600):
+        job = client.check_job(job_id)
+        if job.get("finished"):
+            assert job["job_id"] == job_id
+            report = job["result"][0]["report"]
+            break
+        time.sleep(0.05)
+    assert report == sync
+
+    # convenience wrapper does the same poll loop
+    assert client.annotate_async(fasta=">P1\n" + AA + "\n", aa=True) == sync
+
+
+def test_async_job_error_delivery(server):
+    client = KmerGutsClient(server)
+    job_id = client._call("_annotate_submit", [{}])[0]  # missing fasta
+    import time
+    for _ in range(600):
+        job = client.check_job(job_id)
+        if job.get("finished"):
+            break
+        time.sleep(0.05)
+    assert "fasta" in job["error"]["message"]
+
+    # the poll wrapper surfaces the job error as ServerError
+    def bad_async():
+        jid = client._call("_annotate_submit", [{}])[0]
+        delay = 0.05
+        while True:
+            j = client.check_job(jid)
+            if j.get("finished"):
+                if j.get("error"):
+                    raise ServerError(j["error"]["name"], j["error"]["code"],
+                                      j["error"]["message"])
+                return j["result"]
+            time.sleep(delay)
+
+    with pytest.raises(ServerError, match="fasta"):
+        bad_async()
+
+
+def test_check_job_unknown_id(server):
+    with pytest.raises(ServerError, match="unknown job id"):
+        KmerGutsClient(server).check_job("job_999999")
+
+
 def test_perl_client_roundtrip(server, tmp_path):
     """Drive the live server through the shipped Perl client."""
     import shutil
@@ -82,6 +136,9 @@ def test_perl_client_roundtrip(server, tmp_path):
         'die "bad status" unless $st->{state} eq "OK";\n'
         'my $rep = $c->annotate({fasta => ">P1\\n' + AA + '\\n", aa => 1});\n'
         'die "bad report" unless $rep =~ /CALL\\t0\\t18\\t12\\t0\\tfuncA/;\n'
+        'my $rep2 = $c->annotate_async({fasta => ">P1\\n' + AA +
+        '\\n", aa => 1});\n'
+        'die "async mismatch" unless $rep2 eq $rep;\n'
         'print "PERL-OK\\n";\n')
     out = subprocess.run(["perl", str(script)], capture_output=True,
                          text=True, cwd="/root/repo")
