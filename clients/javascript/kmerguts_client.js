@@ -12,19 +12,22 @@
  *   const report = await c.annotate({fasta: ">P1\nACDEF...", aa: true});
  */
 class KmerGutsClient {
-  constructor(url, timeoutMs = 600000) {
+  constructor(url, timeoutMs = 600000, token = null) {
     this.url = url;
     this.timeoutMs = timeoutMs;
+    this.token = token;
     this._id = 0;
   }
 
   async _call(method, params) {
     const controller = new AbortController();
     const timer = setTimeout(() => controller.abort(), this.timeoutMs);
+    const headers = { "Content-Type": "application/json" };
+    if (this.token) headers["Authorization"] = this.token;
     try {
       const resp = await fetch(this.url, {
         method: "POST",
-        headers: { "Content-Type": "application/json" },
+        headers,
         body: JSON.stringify({
           version: "1.1",
           method: `KmerGutsJava.${method}`,

@@ -20,10 +20,11 @@ use JSON::PP;
 sub new {
     my ($class, $url, %opts) = @_;
     my $self = {
-        url  => $url,
-        http => HTTP::Tiny->new(timeout => $opts{timeout} // 600),
-        json => JSON::PP->new->utf8->allow_nonref,
-        id   => 0,
+        url   => $url,
+        http  => HTTP::Tiny->new(timeout => $opts{timeout} // 600),
+        json  => JSON::PP->new->utf8->allow_nonref,
+        token => $opts{token},
+        id    => 0,
     };
     return bless $self, $class;
 }
@@ -36,9 +37,11 @@ sub _call {
         params  => $params,
         id      => ++$self->{id} . "",
     });
+    my %headers = ("Content-Type" => "application/json");
+    $headers{Authorization} = $self->{token} if defined $self->{token};
     my $res = $self->{http}->post($self->{url}, {
         content => $payload,
-        headers => {"Content-Type" => "application/json"},
+        headers => \%headers,
     });
     die "transport error: $res->{status} $res->{reason}\n"
         unless $res->{content};

@@ -22,9 +22,11 @@ class ServerError(RuntimeError):
 
 
 class KmerGutsClient:
-    def __init__(self, url: str, timeout: float = 600.0):
+    def __init__(self, url: str, timeout: float = 600.0,
+                 token: Optional[str] = None):
         self.url = url
         self.timeout = timeout
+        self.token = token  # role of the reference's authclient.py token
         self._ids = itertools.count(1)
 
     def _call(self, method: str, params):
@@ -34,9 +36,10 @@ class KmerGutsClient:
             "params": params,
             "id": str(next(self._ids)),
         }).encode()
-        req = urllib.request.Request(
-            self.url, data=payload,
-            headers={"Content-Type": "application/json"})
+        headers = {"Content-Type": "application/json"}
+        if self.token is not None:
+            headers["Authorization"] = self.token
+        req = urllib.request.Request(self.url, data=payload, headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                 body = json.load(resp)

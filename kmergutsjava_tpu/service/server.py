@@ -152,8 +152,26 @@ class KmerGutsService:
         return fn(params)
 
 
-def make_handler(service: KmerGutsService):
+def make_handler(service: KmerGutsService, token: Optional[str] = None,
+                 access_log: Optional[str] = None):
+    """``token``: shared bearer token; when set, requests must carry
+    ``Authorization: <token>`` (the role of the reference's authclient.py —
+    its KBase token cache — reduced to a static credential).
+    ``access_log``: path for an NCSA common-log-format request log (the
+    reference's Jetty NCSARequestLog, jetty.xml:75-87)."""
+    log_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
+        def _log_access(self, code: int, nbytes: int):
+            if access_log is None:
+                return
+            ts = self.log_date_time_string()
+            line = (f'{self.client_address[0]} - - [{ts}] '
+                    f'"{self.requestline}" {code} {nbytes}\n')
+            with log_lock:
+                with open(access_log, "a") as fh:
+                    fh.write(line)
+
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
@@ -161,6 +179,9 @@ def make_handler(service: KmerGutsService):
             try:
                 req = json.loads(body)
                 rpc_id = req.get("id")
+                if token is not None and \
+                        self.headers.get("Authorization") != token:
+                    raise RpcError("Authorization required", -32001)
                 result = service.dispatch(req.get("method", ""),
                                           req.get("params", []))
                 resp = {"version": "1.1", "result": result, "id": rpc_id}
@@ -181,6 +202,7 @@ def make_handler(service: KmerGutsService):
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)
+            self._log_access(code, len(payload))
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -188,20 +210,27 @@ def make_handler(service: KmerGutsService):
     return Handler
 
 
-def serve(data_dir: Optional[str], port: int = 5000):
+def serve(data_dir: Optional[str], port: int = 5000,
+          token: Optional[str] = None, access_log: Optional[str] = None):
     service = KmerGutsService(data_dir)
-    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
+    server = ThreadingHTTPServer(
+        ("0.0.0.0", port), make_handler(service, token, access_log))
     return server
 
 
 def main(argv=None) -> int:
     import argparse
+    import os
 
     ap = argparse.ArgumentParser(description="KmerGuts JSON-RPC server")
     ap.add_argument("-D", "--data-dir", default=None)
     ap.add_argument("-p", "--port", type=int, default=5000)
+    ap.add_argument("--token", default=os.environ.get("KMER_SERVICE_TOKEN"),
+                    help="require this Authorization header on all requests")
+    ap.add_argument("--access-log", default=None,
+                    help="append NCSA-format request log to this file")
     args = ap.parse_args(argv)
-    server = serve(args.data_dir, args.port)
+    server = serve(args.data_dir, args.port, args.token, args.access_log)
     print(f"serving on :{args.port} (data_dir={args.data_dir})")
     try:
         server.serve_forever()

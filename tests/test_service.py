@@ -120,6 +120,32 @@ def test_check_job_unknown_id(server):
         KmerGutsClient(server).check_job("job_999999")
 
 
+def test_token_auth_and_access_log(tmp_path):
+    """--token gating + NCSA request log (ref authclient.py role /
+    jetty.xml NCSARequestLog :75-87)."""
+    write_data_dir(str(tmp_path / "d"), signatures_from_proteins(
+        [(AA, 0, 3)], weight=0.5), ["funcA"])
+    log = tmp_path / "access.log"
+    srv = serve(str(tmp_path / "d"), port=0, token="sekrit",
+                access_log=str(log))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(ServerError, match="Authorization required"):
+            KmerGutsClient(url).status()
+        st = KmerGutsClient(url, token="sekrit").status()
+        assert st["state"] == "OK"
+        with pytest.raises(ServerError, match="Authorization required"):
+            KmerGutsClient(url, token="wrong").status()
+    finally:
+        srv.shutdown()
+    lines = log.read_text().splitlines()
+    assert len(lines) == 3
+    assert '"POST / HTTP/1.1" 200 ' in lines[1]
+    assert '"POST / HTTP/1.1" 500 ' in lines[0]
+
+
 def test_perl_client_roundtrip(server, tmp_path):
     """Drive the live server through the shipped Perl client."""
     import shutil
