@@ -210,11 +210,33 @@ def make_handler(service: KmerGutsService, token: Optional[str] = None,
     return Handler
 
 
+class PooledHTTPServer(ThreadingHTTPServer):
+    """Bounded worker pool (the reference Jetty runs 5-200 threads,
+    scripts/jetty.xml:12-17; ThreadingHTTPServer alone is unbounded)."""
+
+    def __init__(self, addr, handler, max_workers: int = 32):
+        from concurrent.futures import ThreadPoolExecutor
+
+        super().__init__(addr, handler)
+        self._pool = ThreadPoolExecutor(max_workers=max_workers,
+                                        thread_name_prefix="rpc")
+
+    def process_request(self, request, client_address):
+        self._pool.submit(self.process_request_thread,
+                          request, client_address)
+
+    def server_close(self):
+        super().server_close()
+        self._pool.shutdown(wait=False)
+
+
 def serve(data_dir: Optional[str], port: int = 5000,
-          token: Optional[str] = None, access_log: Optional[str] = None):
+          token: Optional[str] = None, access_log: Optional[str] = None,
+          max_workers: int = 32):
     service = KmerGutsService(data_dir)
-    server = ThreadingHTTPServer(
-        ("0.0.0.0", port), make_handler(service, token, access_log))
+    server = PooledHTTPServer(
+        ("0.0.0.0", port), make_handler(service, token, access_log),
+        max_workers=max_workers)
     return server
 
 
@@ -229,8 +251,11 @@ def main(argv=None) -> int:
                     help="require this Authorization header on all requests")
     ap.add_argument("--access-log", default=None,
                     help="append NCSA-format request log to this file")
+    ap.add_argument("--max-workers", type=int, default=32,
+                    help="request worker pool size (Jetty ran 5-200)")
     args = ap.parse_args(argv)
-    server = serve(args.data_dir, args.port, args.token, args.access_log)
+    server = serve(args.data_dir, args.port, args.token, args.access_log,
+                   args.max_workers)
     print(f"serving on :{args.port} (data_dir={args.data_dir})")
     try:
         server.serve_forever()
