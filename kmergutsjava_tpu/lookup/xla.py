@@ -80,6 +80,31 @@ def probe_fingerprint_pass(
 
 
 @partial(jax.jit, static_argnames=("probe_window",))
+def probe_fingerprint_pass_sorted(
+    tbl_fp: jax.Array,
+    q_fp: jax.Array,
+    homes: jax.Array,
+    probe_window: int,
+):
+    """Fingerprint pass with a device-side home sort around the gather.
+
+    Sorting queries by home turns the plane gather from random HBM reads
+    into near-sequential ones (3-5x on HBM-bound planes, see
+    docs/performance.md) without burning feeder-thread CPU on a host
+    argsort. Outputs are scattered back to the caller's order, so this is
+    a drop-in replacement for probe_fingerprint_pass.
+    """
+    n = homes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    homes_s, idx_s = jax.lax.sort_key_val(homes, idx)
+    off_s, state_s = probe_fingerprint_pass(tbl_fp, q_fp[idx_s], homes_s,
+                                            probe_window)
+    off = jnp.zeros_like(off_s).at[idx_s].set(off_s)
+    state = jnp.zeros_like(state_s).at[idx_s].set(state_s)
+    return off, state
+
+
+@partial(jax.jit, static_argnames=("probe_window",))
 def probe_first_pass(
     tbl_kmer: jax.Array,  # [S + P] int64, padded with EMPTY_KMER
     values: jax.Array,
@@ -194,6 +219,12 @@ class XlaLookup:
     def probe_chunk(self, q_fp: jax.Array, homes: jax.Array):
         """One device dispatch of the fingerprint pass (jit-compiled)."""
         return probe_fingerprint_pass(self.tbl_fp, q_fp, homes, self.w1)
+
+    def probe_chunk_sorted(self, q_fp: jax.Array, homes: jax.Array):
+        """Fingerprint pass with an on-device home sort (HBM-bound planes;
+        keeps the feeder thread free of the host argsort)."""
+        return probe_fingerprint_pass_sorted(self.tbl_fp, q_fp, homes,
+                                             self.w1)
 
     def _host_full_window(self, values, homes, todo):
         """Exact full-window probe on the host k-mer array (for unresolved
@@ -315,12 +346,25 @@ class StreamingLookup:
 
     def __init__(self, lk: XlaLookup, sort_chunks: Optional[bool] = None,
                  compute_kmers_found: bool = False,
-                 async_resolve: bool = True):
+                 async_resolve: bool = True,
+                 device_sort: Optional[bool] = None):
+        import os
+
         self.lk = lk
         if sort_chunks is None:
-            # chunk-local home sort coalesces HBM-bound gathers
-            sort_chunks = lk.num_sigs * 2 > 32 * 1024 * 1024
+            if os.environ.get("KMER_SORT_CHUNKS") in ("0", "1"):
+                sort_chunks = os.environ["KMER_SORT_CHUNKS"] == "1"
+            else:
+                # chunk-local home sort coalesces HBM-bound gathers
+                sort_chunks = lk.num_sigs * 2 > 32 * 1024 * 1024
         self.sort_chunks = sort_chunks
+        if device_sort is None:
+            device_sort = os.environ.get("KMER_DEVICE_SORT", "") == "1"
+        # device_sort: do the home sort on-device inside the probe program
+        # (lax.sort_key_val) instead of a feeder-thread argsort. Same
+        # gather coalescing; frees host CPU, but host-side verification
+        # loses its locality — see docs/performance.md for the trade.
+        self.device_sort = device_sort and sort_chunks
         self.compute_kmers_found = compute_kmers_found
         self._buf: list = []
         self._count = 0
@@ -393,7 +437,7 @@ class StreamingLookup:
     def _dispatch(self, k: int) -> None:
         values, cnt, pos = self._take(k)
         homes = (values % np.int64(self.lk.num_sigs)).astype(np.int32)
-        if self.sort_chunks and len(values) > 1:
+        if self.sort_chunks and not self.device_sort and len(values) > 1:
             order = np.argsort(homes, kind="stable")
             values, cnt, pos, homes = (values[order], cnt[order], pos[order],
                                        homes[order])
@@ -406,7 +450,9 @@ class StreamingLookup:
             homes_p = np.pad(homes, (0, target - n))
         else:
             homes_p = homes
-        out = self.lk.probe_chunk(jnp.asarray(q_fp), jnp.asarray(homes_p))
+        probe = (self.lk.probe_chunk_sorted if self.device_sort
+                 else self.lk.probe_chunk)
+        out = probe(jnp.asarray(q_fp), jnp.asarray(homes_p))
         item = (values, cnt, pos, homes, out)
         if self._queue is not None:
             if self._worker_error is not None:

@@ -227,3 +227,50 @@ def test_streaming_lookup_tiny_chunks():
                           hits.wt.tolist())) == \
             sorted(zip(ref.pos.tolist(), ref.fi.tolist(), ref.wt.tolist()))
         assert hits.kmers_found == ref.kmers_found
+
+
+def test_probe_fingerprint_pass_sorted_matches_unsorted():
+    """Device-side home sort + unsort is a drop-in for the plain pass."""
+    import jax.numpy as jnp
+
+    from kmergutsjava_tpu.lookup.xla import (FP_MOD, probe_fingerprint_pass,
+                                             probe_fingerprint_pass_sorted)
+
+    rng = np.random.default_rng(91)
+    sig = random_signatures(rng, 3000)
+    table = build_table(**sig, load_factor=0.85)
+    lk = XlaLookup(table)
+    values, _, _ = make_queries(rng, sig["kmers"], 4096)
+    homes = (values % np.int64(table.num_sigs)).astype(np.int32)
+    q_fp = (values % FP_MOD).astype(np.uint16)
+    off_a, st_a = probe_fingerprint_pass(lk.tbl_fp, jnp.asarray(q_fp),
+                                         jnp.asarray(homes), lk.w1)
+    off_b, st_b = probe_fingerprint_pass_sorted(lk.tbl_fp, jnp.asarray(q_fp),
+                                                jnp.asarray(homes), lk.w1)
+    assert np.array_equal(np.asarray(off_a), np.asarray(off_b))
+    assert np.array_equal(np.asarray(st_a), np.asarray(st_b))
+
+
+def test_streaming_lookup_device_sort():
+    """StreamingLookup(device_sort=True) produces the same hits."""
+    from kmergutsjava_tpu.lookup.xla import StreamingLookup
+
+    rng = np.random.default_rng(44)
+    sig = random_signatures(rng, 2500)
+    table = build_table(**sig, load_factor=0.8)
+    values, cnt, pos = make_queries(rng, sig["kmers"], 8000)
+    lk = XlaLookup(table, chunk=1024)
+    s = StreamingLookup(lk, sort_chunks=True, device_sort=True,
+                        compute_kmers_found=True)
+    assert s.device_sort
+    i = 0
+    while i < len(values):
+        j = min(len(values), i + int(rng.integers(1, 900)))
+        s.add_batch(values[i:j], 0, pos[i:j])
+        i = j
+    hits = s.finish()
+    ref = lookup_stream(table, values, np.zeros(len(values)), pos)
+    assert sorted(zip(hits.pos.tolist(), hits.fi.tolist(),
+                      hits.wt.tolist())) == \
+        sorted(zip(ref.pos.tolist(), ref.fi.tolist(), ref.wt.tolist()))
+    assert hits.kmers_found == ref.kmers_found
