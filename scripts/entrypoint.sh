@@ -4,7 +4,14 @@
 set -e
 case "${1:-}" in
   "")
-    exec kmer_guts_server -D /data -p "${PORT:-5000}"
+    # optional deploy-config rendering (ref scripts/prepare_deploy_cfg.py)
+    if [ -n "${KMER_DEPLOY_TEMPLATE:-}" ]; then
+      python scripts/prepare_deploy_cfg.py "$KMER_DEPLOY_TEMPLATE" deploy.cfg
+    fi
+    exec kmer_guts_server -D "${DATA_DIR:-/data}" -p "${PORT:-5000}" \
+      ${KMER_SERVICE_TOKEN:+--token "$KMER_SERVICE_TOKEN"} \
+      ${ACCESS_LOG:+--access-log "$ACCESS_LOG"} \
+      ${MAX_WORKERS:+--max-workers "$MAX_WORKERS"}
     ;;
   test)
     exec python -m pytest tests/ -x -q

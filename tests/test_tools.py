@@ -74,3 +74,30 @@ def test_check_table_cli(tmp_path, capsys):
     rc = tmain(["check-table", str(tmp_path / "d")])
     out = capsys.readouterr().out
     assert rc == 1 and "last slot occupied" in out
+
+
+def test_prepare_deploy_cfg(tmp_path, monkeypatch):
+    """Stdlib deploy-config renderer (ref scripts/prepare_deploy_cfg.py)."""
+    import subprocess
+    import sys
+
+    tmpl = tmp_path / "t.cfg"
+    tmpl.write_text("dir={{ data_dir }}\nport={{ port }}\nwk={{ max_workers }}\n")
+    ini = tmp_path / "deploy.ini"
+    ini.write_text("[kmer_guts]\nmax_workers = 8\n")
+    out = tmp_path / "o.cfg"
+    env = {"PATH": "/usr/bin:/bin", "data_dir": "/data/x", "PORT": "5001",
+           "KMER_DEPLOYMENT_CONFIG": str(ini)}
+    r = subprocess.run([sys.executable, "scripts/prepare_deploy_cfg.py",
+                        str(tmpl), str(out)], env=env, cwd="/root/repo",
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == "dir=/data/x\nport=5001\nwk=8\n"
+
+    # unresolved placeholder -> loud failure naming the key
+    tmpl.write_text("x={{ nope_missing }}\n")
+    r = subprocess.run([sys.executable, "scripts/prepare_deploy_cfg.py",
+                        str(tmpl), str(out)], env=env, cwd="/root/repo",
+                       capture_output=True, text=True)
+    assert r.returncode == 1
+    assert "nope_missing" in r.stderr
