@@ -34,6 +34,8 @@ Arguments:
  --prepare IMPL - (optional) encode impl: native (default), numpy, jax
  --grouping IMPL - (optional) call grouping: host (default) or scan (lax.scan)
  --mesh DxT - (optional) device mesh for --backend sharded, e.g. 4x2
+ --sort-chunks 0|1 - (optional) force home-sorting of probe chunks (default: auto)
+ --device-sort - (optional) run the chunk home-sort on-device
  --profile DIR - (optional) write a jax.profiler trace of the run
 """
 
@@ -65,6 +67,10 @@ def parse_args(argv: List[str]):
                 cfg.mesh_shape = (int(d), int(t))
             elif name == "profile":
                 cfg.profile_dir = params.pop(0)
+            elif name == "sort-chunks":
+                cfg.sort_chunks = params.pop(0) == "1"
+            elif name == "device-sort":
+                cfg.device_sort = True
             else:
                 raise ValueError("Unknown parameter: --" + name)
             continue

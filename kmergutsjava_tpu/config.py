@@ -42,6 +42,11 @@ class EngineConfig:
     length_bucket_base: int = 256  # smallest padded batch length for aa mode
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, table) shards
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    # home-sort queries before probing (None = auto: HBM-bound tables only)
+    # and whether to run that sort on-device (lax.sort_key_val) instead of
+    # a feeder-thread argsort
+    sort_chunks: Optional[bool] = None
+    device_sort: Optional[bool] = None
 
     def resolved_temp_dir(self) -> str:
         return self.temp_dir if self.temp_dir is not None else tempfile.gettempdir()

@@ -121,7 +121,9 @@ class Engine:
 
             try:
                 lk = _cached_xla_lookup(self._table_path, table, cfg)
-                streaming = StreamingLookup(lk, compute_kmers_found=cfg.debug)
+                streaming = StreamingLookup(lk, compute_kmers_found=cfg.debug,
+                                            sort_chunks=cfg.sort_chunks,
+                                            device_sort=cfg.device_sort)
                 feed = streaming
             except ValueError as ex:
                 # e.g. pathologically dense table (probe window > 256):

@@ -237,6 +237,7 @@ def serve(data_dir: Optional[str], port: int = 5000,
     server = PooledHTTPServer(
         ("0.0.0.0", port), make_handler(service, token, access_log),
         max_workers=max_workers)
+    server.service = service
     return server
 
 
@@ -253,9 +254,15 @@ def main(argv=None) -> int:
                     help="append NCSA-format request log to this file")
     ap.add_argument("--max-workers", type=int, default=32,
                     help="request worker pool size (Jetty ran 5-200)")
+    ap.add_argument("--warm", action="store_true",
+                    help="preload table + device planes before serving")
     args = ap.parse_args(argv)
     server = serve(args.data_dir, args.port, args.token, args.access_log,
                    args.max_workers)
+    if args.warm:
+        st = server.service.warm([])[0]
+        print(f"warm: num_sigs={st['num_sigs']} max_probe={st['max_probe']} "
+              f"probe_window={st['probe_window']}")
     print(f"serving on :{args.port} (data_dir={args.data_dir})")
     try:
         server.serve_forever()
