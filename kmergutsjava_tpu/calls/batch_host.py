@@ -19,7 +19,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from ..constants import K, MAX_HITS_PER_SEQ
+from ..constants import K
 from ..utils.javafmt import jformat
 from .grouping import GroupingParams
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import sys
 import time
 import traceback
-from typing import Dict, List, Optional, TextIO
+from typing import Dict, Optional, TextIO
 
 import numpy as np
 

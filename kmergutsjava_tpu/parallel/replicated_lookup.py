@@ -11,7 +11,6 @@ the gather automatically from the in_shardings, which is exactly the
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -35,8 +35,6 @@ def test_cli_flag_parsing_extras():
 
 
 def test_profile_flag_writes_trace(tmp_path):
-    import os
-
     from kmergutsjava_tpu.tools import main as tmain
 
     faa = tmp_path / "p.faa"
