@@ -84,13 +84,22 @@ def bench_tpu(table, values, reps: int, chunk: int = 1 << 20):
         outs = []
         for fc, hc in zip(f_chunks, h_chunks):
             outs.append(lk.probe_chunk(fc, hc))
-        jax.block_until_ready(outs)
         return outs
 
-    device_pass()  # compile + warm
+    def sync(outs):
+        # block_until_ready does NOT synchronize through the TPU relay —
+        # only a real device->host transfer does. The device stream is
+        # in-order, so fetching one byte of the last enqueued output
+        # proves every earlier dispatch completed.
+        jax.device_get(outs[-1][1][:1])
+
+    sync(device_pass())  # compile + warm
+    # enqueue all reps, then one forced sync: latency amortizes over reps,
+    # compute dominates the measurement
     t0 = time.time()
     for _ in range(reps):
         outs = device_pass()
+    sync(outs)
     device_secs = (time.time() - t0) / reps
 
     # end-to-end host-level lookup (includes transfers, pass 2, compaction)
@@ -166,7 +175,9 @@ def main():
         jax.config.update("jax_platforms", plat)
     n_sigs = int(os.environ.get("BENCH_SIGS", 2_000_000))
     n_queries = int(os.environ.get("BENCH_QUERIES", 4_000_000))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    # enough reps that compute swamps the one sync round trip (the timing
+    # loop enqueues all reps then forces a single device_get)
+    reps = int(os.environ.get("BENCH_REPS", 50))
     hit_fraction = float(os.environ.get("BENCH_HIT_FRACTION", 0.5))
 
     table, kmers = build_fixture(n_sigs)
