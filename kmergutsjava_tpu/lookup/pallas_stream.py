@@ -1,0 +1,221 @@
+"""Pallas TPU kernel: dense slot-major streaming probe (zero-gather).
+
+TPU-native replacement for the reference's sequential table scan
+(/root/reference/lib/src/kmergutsjava/KmerGutsJava.java:964-1026), designed
+around two measured facts of this hardware:
+
+- Mosaic caps dynamic gathers at one vreg along the gather dimension, so
+  the per-query window gather of lookup/pallas_kernel.py cannot compile;
+- XLA's [N, W] dynamic gather falls off its fast path once the fingerprint
+  plane far exceeds on-chip memory (a 512 MB plane measured ~4M lookups/s).
+
+This kernel contains NO gather at all.  The query->slot indirection is
+turned into a dense *scatter on the host/device front-end* plus *static
+shifts in the kernel*:
+
+- queries are bucketed by home slot into a dense tile ``qfp[c, s]`` holding
+  the fingerprint of the c-th query whose home is slot ``s`` (up to C
+  channels per slot; the rare extras fall back to the exact path);
+- the grid walks the table in BLOCK-slot steps; each step reads the block's
+  fingerprint slice (plus a 128-lane halo) and the block's query tile —
+  purely sequential HBM traffic, double-buffered by the Pallas pipeline;
+- the probe ``fp[home + l] == qfp`` becomes, for each window offset l, a
+  *static lane shift* of the fp slice broadcast-compared against the whole
+  query tile.  W static shifts replace N dynamic gathers.
+
+Per block the kernel emits one int32 per (channel, slot) packing
+``state | first_candidate_offset << 2`` (state bit0 = fingerprint candidate
+before first empty, bit1 = empty seen).  Host-side verification against the
+full k-mer values and the exact fallback for the unresolved remainder are
+shared with the XLA backend (same semantics as lookup/xla.py, pinned by the
+same differential tests against lookup/parity.py).
+
+HBM traffic: (2 + 2C + 4C') bytes per table slot per pass (fp in, query
+tile in, packed result out; C' = C/4 when channels pack into one int32) —
+independent of the probe window and of the table size, so throughput does
+not collapse on multi-hundred-MB planes.  The regime where streaming the
+whole table beats per-query gathers is dense query sets: N within roughly
+an order of magnitude of numSigs (metagenome sweeps, the reference's own
+merge-join regime, ref :944-1034).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.kmer_table import KmerTable
+from .parity import LookupHits
+from .xla import FP_EMPTY, FP_MOD, XlaLookup, _round_up_pow2
+
+BLOCK = 8192  # table slots per grid step (lane-dim multiple of 128)
+HALO = 128    # probe-window halo; also the max supported window
+CHANNELS = 4  # query channels per slot (home-collision capacity)
+
+
+def _stream_block_kernel(w: int, fp_ref, qfp_ref, out_ref):
+    # fp slice for this block, upcast once: Mosaic compares/selects are
+    # 32-bit-lane ops (HBM traffic stays uint16 via the block spec)
+    fp = fp_ref[0].astype(jnp.int32)          # [1, BLOCK + HALO]
+    qfp = qfp_ref[0].astype(jnp.int32)        # [C, BLOCK]
+    big = jnp.int32(w)
+    first_cand = jnp.full(qfp.shape, w, jnp.int32)
+    first_empty = jnp.full((1, BLOCK), w, jnp.int32)
+    for l in range(w):
+        win = fp[:, l:l + BLOCK]              # static lane shift, no gather
+        lane = jnp.int32(l)
+        first_cand = jnp.minimum(first_cand,
+                                 jnp.where(win == qfp, lane, big))
+        first_empty = jnp.minimum(first_empty,
+                                  jnp.where(win == jnp.int32(FP_EMPTY),
+                                            lane, big))
+    # candidate counts only if it appears strictly before the first empty
+    # slot (first_empty == w when no empty: the comparison covers both)
+    has_cand = (first_cand < big) & (first_cand < first_empty)
+    empty_any = (first_empty < big).astype(jnp.int32)  # [1, BLOCK]
+    off = jnp.where(has_cand, first_cand, 0)
+    val = has_cand.astype(jnp.int32) + 2 * empty_any + 4 * off  # [C, BLOCK]
+    # pack the C channels bytewise into one int32 lane: 4 B/slot out
+    acc = val[0:1, :]
+    for c in range(1, CHANNELS):
+        acc = acc | (val[c:c + 1, :] << (8 * c))
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("nblocks", "w", "interpret"))
+def stream_probe_blocks(fp_blocks, qfp_tiles, nblocks, w, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # pure int32/uint16 kernel: keep jnp helpers from minting i64 under x64
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_stream_block_kernel, w),
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((1, 1, BLOCK + HALO), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CHANNELS, BLOCK), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nblocks, 1, BLOCK), jnp.int32),
+            interpret=interpret,
+        )(fp_blocks, qfp_tiles)
+
+
+class PallasStreamLookup:
+    """Merge-join-regime lookup: dense query tiles vs the streamed table.
+
+    Same exact-result contract as XlaLookup (differentially tested against
+    lookup/parity.py); intended for query sets dense relative to the table,
+    where one sequential pass over the fingerprint plane costs less than
+    per-query random gathers.
+    """
+
+    def __init__(self, table: KmerTable, probe_window: Optional[int] = None,
+                 chunk: int = 1 << 19, device=None,
+                 interpret: Optional[bool] = None):
+        if table.max_probe is None:
+            table.compute_max_probe()
+        self.table = table
+        self.num_sigs = table.num_sigs
+        # byte-packed results carry a 6-bit offset: windows cap at 64
+        self.w = min(max(8, _round_up_pow2(table.max_probe)), 64)
+        if table.max_probe > 64:
+            raise ValueError(
+                "max_probe exceeds the packed-offset budget (64); rebuild "
+                "the table at a lower load factor or use the xla backend")
+        # exact path: host verification plane + full-window fallback
+        self._exact = XlaLookup(table, probe_window=probe_window, chunk=chunk,
+                                device=device)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+
+        s = table.num_sigs
+        self.nblocks = -(-s // BLOCK)
+        fp = np.full(self.nblocks * BLOCK + HALO, FP_EMPTY, dtype=np.uint16)
+        occ = table.occupied
+        fp[:s][occ] = (table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
+        strides = np.lib.stride_tricks.as_strided(
+            fp, shape=(self.nblocks, BLOCK + HALO), strides=(BLOCK * 2, 2))
+        self.fp_blocks = jax.device_put(
+            jnp.asarray(np.ascontiguousarray(strides)[:, None, :]),
+            device=device)
+
+    def _scatter_dense(self, values: np.ndarray):
+        """Bucket queries into the dense [nblocks, C, BLOCK] tile.
+
+        Returns (qfp_tiles, ok_index, blk, rank, within, homes) where
+        ok_index are the original indices placed in the tile and the rest
+        overflowed their slot's C channels.
+        """
+        n = len(values)
+        homes = (values % np.int64(self.num_sigs)).astype(np.int64)
+        order = np.argsort(homes, kind="stable")
+        h_s = homes[order]
+        rank = np.arange(n) - np.searchsorted(h_s, h_s)
+        ok = rank < CHANNELS
+        blk = (h_s[ok] // BLOCK).astype(np.int64)
+        within = (h_s[ok] % BLOCK).astype(np.int64)
+        rk = rank[ok]
+        qfp_tiles = np.zeros((self.nblocks, CHANNELS, BLOCK), dtype=np.uint16)
+        qfp_tiles[blk, rk, within] = (values[order[ok]] % FP_MOD).astype(
+            np.uint16)
+        return qfp_tiles, order[ok], order[~ok], blk, rk, within, homes
+
+    def lookup(self, values: np.ndarray, cnt_id: np.ndarray, pos: np.ndarray,
+               progress=None, compute_kmers_found: bool = True) -> LookupHits:
+        values = np.asarray(values, dtype=np.int64)
+        n = len(values)
+        if n == 0:
+            z = np.zeros(0)
+            return LookupHits.from_lists(z, z, z, z, z, z, 0)
+        (qfp_tiles, sel, overflow_idx, blk, rk, within,
+         homes) = self._scatter_dense(values)
+
+        out = jax.device_get(stream_probe_blocks(
+            self.fp_blocks, jnp.asarray(qfp_tiles), self.nblocks, self.w,
+            self.interpret))
+        packed = out[blk, 0, within] >> (8 * rk)
+        st = packed & 0x3
+        off = (packed >> 2) & 0x3F
+
+        found = np.zeros(n, dtype=bool)
+        slot_off = np.zeros(n, dtype=np.int64)
+        has_cand = (st & 1) != 0
+        empty_any = (st & 2) != 0
+        cand_slot = homes[sel] + off
+        verified = has_cand & (self._exact.host_kmer[
+            np.minimum(cand_slot, len(self._exact.host_kmer) - 1)]
+            == values[sel])
+        found[sel] = verified
+        slot_off[sel] = off
+        unresolved_sel = sel[(~verified & has_cand) | (~has_cand & ~empty_any)]
+        todo = np.concatenate([unresolved_sel, overflow_idx]).astype(np.int64)
+
+        if len(todo):
+            f2, o2 = self._exact._host_full_window(
+                values, homes.astype(np.int32), todo)
+            found[todo] = f2
+            slot_off[todo] = o2
+
+        mask = found
+        slots = np.minimum(homes[mask] + slot_off[mask], self.num_sigs - 1)
+        t = self.table.slots
+        if progress is not None:
+            progress.update(n, int(mask.sum()))
+        return LookupHits(
+            cnt_id=np.asarray(cnt_id)[mask].astype(np.int64),
+            pos=np.asarray(pos)[mask].astype(np.int64),
+            otu=t["otu"][slots].copy(), avg_from_end=t["avg_from_end"][slots].copy(),
+            fi=t["fi"][slots].copy(), wt=t["wt"][slots].copy(),
+            kmers_found=(int(np.unique(values[mask]).size)
+                         if compute_kmers_found else -1),
+        )

@@ -80,6 +80,44 @@ def probe_fingerprint_pass(
 
 
 @partial(jax.jit, static_argnames=("probe_window",))
+def probe_fingerprint_rows(
+    tbl_fp2d: jax.Array,  # [R, 128] uint16 plane (row-major reshape, +1 row)
+    q_fp: jax.Array,  # [N] uint16
+    homes: jax.Array,  # [N] int32
+    probe_window: int,
+):
+    """Row-gather fingerprint probe.
+
+    TPU XLA cannot vectorize gathers from a 1-D operand (measured ~6M
+    lookups/s on-chip regardless of plane size — scalar-gather bound, see
+    docs/performance.md). Gathers of whole 128-lane ROWS from a 2-D operand
+    do vectorize, and a probe window of W <= 128 always lies within two
+    consecutive rows, so: gather rows home>>7 and home>>7 + 1, then select
+    the window with pure lane arithmetic. Reads 512 B/query instead of
+    2W B, but rides the fast gather path. Same (off, state) contract as
+    probe_fingerprint_pass.
+    """
+    assert probe_window <= 128
+    r = jax.lax.shift_right_logical(homes, jnp.int32(7))
+    o = (homes & jnp.int32(127)).astype(jnp.int32)
+    row0 = jnp.take(tbl_fp2d, r, axis=0)  # [N, 128] vectorized row gather
+    row1 = jnp.take(tbl_fp2d, r + 1, axis=0)
+    win = jnp.concatenate([row0, row1], axis=1)  # [N, 256]
+    rel = (jnp.arange(256, dtype=jnp.int32)[None, :] - o[:, None])
+    in_window = (rel >= 0) & (rel < probe_window)
+    big = jnp.int32(probe_window)
+    cand = (win == q_fp[:, None]) & in_window
+    empty = (win == jnp.uint16(FP_EMPTY)) & in_window
+    first_cand = jnp.min(jnp.where(cand, rel, big), axis=1)
+    first_empty = jnp.min(jnp.where(empty, rel, big), axis=1)
+    has_cand = (first_cand < big) & (first_cand < first_empty)
+    empty_any = first_empty < big
+    off = jnp.where(has_cand, first_cand, 0).astype(jnp.uint8)
+    state = (has_cand.astype(jnp.uint8) + 2 * empty_any.astype(jnp.uint8))
+    return off, state
+
+
+@partial(jax.jit, static_argnames=("probe_window",))
 def probe_fingerprint_pass_sorted(
     tbl_fp: jax.Array,
     q_fp: jax.Array,
@@ -98,6 +136,25 @@ def probe_fingerprint_pass_sorted(
     idx = jnp.arange(n, dtype=jnp.int32)
     homes_s, idx_s = jax.lax.sort_key_val(homes, idx)
     off_s, state_s = probe_fingerprint_pass(tbl_fp, q_fp[idx_s], homes_s,
+                                            probe_window)
+    off = jnp.zeros_like(off_s).at[idx_s].set(off_s)
+    state = jnp.zeros_like(state_s).at[idx_s].set(state_s)
+    return off, state
+
+
+@partial(jax.jit, static_argnames=("probe_window",))
+def probe_fingerprint_rows_sorted(
+    tbl_fp2d: jax.Array,
+    q_fp: jax.Array,
+    homes: jax.Array,
+    probe_window: int,
+):
+    """Row-gather probe with a device-side home sort around the gather
+    (coalesces HBM row reads); results scattered back to input order."""
+    n = homes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    homes_s, idx_s = jax.lax.sort_key_val(homes, idx)
+    off_s, state_s = probe_fingerprint_rows(tbl_fp2d, q_fp[idx_s], homes_s,
                                             probe_window)
     off = jnp.zeros_like(off_s).at[idx_s].set(off_s)
     state = jnp.zeros_like(state_s).at[idx_s].set(state_s)
@@ -159,7 +216,10 @@ class XlaLookup:
     def __init__(self, table: KmerTable, probe_window: Optional[int] = None,
                  chunk: int = 1 << 19, device=None,
                  first_pass_window: int = FIRST_PASS_WINDOW,
-                 use_fingerprint: bool = True):
+                 use_fingerprint: bool = True,
+                 probe_impl: Optional[str] = None):
+        import os
+
         from .. import enable_compile_cache
 
         enable_compile_cache()
@@ -188,7 +248,20 @@ class XlaLookup:
         fp = np.full(plane_len, FP_EMPTY, dtype=np.uint16)
         occ = table.occupied
         fp[:s][occ] = (table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
-        self.tbl_fp = put(fp)
+        # probe_impl "rows": gather whole 128-lane rows of a 2-D plane (the
+        # vectorized-gather path; 1-D operand gathers measure ~6M/s scalar
+        # on TPU) — needs w1 <= 128. "flat": classic [N, W] 1-D gather.
+        if probe_impl is None:
+            probe_impl = os.environ.get("KMER_PROBE_IMPL", "rows")
+        if self.w1 > 128:
+            probe_impl = "flat"
+        self.probe_impl = probe_impl
+        if probe_impl == "rows":
+            fp2d = np.concatenate(
+                [fp, np.full(128, FP_EMPTY, np.uint16)]).reshape(-1, 128)
+            self.tbl_fp = put(fp2d)
+        else:
+            self.tbl_fp = put(fp)
         self.tbl_kmer = put(self.host_kmer) if not use_fingerprint else None
         self.chunk = chunk
 
@@ -218,11 +291,16 @@ class XlaLookup:
 
     def probe_chunk(self, q_fp: jax.Array, homes: jax.Array):
         """One device dispatch of the fingerprint pass (jit-compiled)."""
+        if self.probe_impl == "rows":
+            return probe_fingerprint_rows(self.tbl_fp, q_fp, homes, self.w1)
         return probe_fingerprint_pass(self.tbl_fp, q_fp, homes, self.w1)
 
     def probe_chunk_sorted(self, q_fp: jax.Array, homes: jax.Array):
         """Fingerprint pass with an on-device home sort (HBM-bound planes;
         keeps the feeder thread free of the host argsort)."""
+        if self.probe_impl == "rows":
+            return probe_fingerprint_rows_sorted(self.tbl_fp, q_fp, homes,
+                                                 self.w1)
         return probe_fingerprint_pass_sorted(self.tbl_fp, q_fp, homes,
                                              self.w1)
 

@@ -19,7 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..formats.kmer_table import KmerTable
 from ..lookup.parity import LookupHits
-from ..lookup.xla import FP_EMPTY, FP_MOD, XlaLookup, probe_fingerprint_pass
+from ..lookup.xla import (FP_EMPTY, FP_MOD, XlaLookup,
+                          probe_fingerprint_pass, probe_fingerprint_rows)
 
 AXIS = "data"
 
@@ -57,7 +58,9 @@ class ReplicatedLookup:
         qfp[:n] = (values % FP_MOD).astype(np.uint16)
         homes = np.zeros(n_pad, np.int32)
         homes[:n] = (values % np.int64(self.num_sigs)).astype(np.int32)
-        off, state = jax.device_get(probe_fingerprint_pass(
+        probe = (probe_fingerprint_rows if self._lk.probe_impl == "rows"
+                 else probe_fingerprint_pass)
+        off, state = jax.device_get(probe(
             self._lk.tbl_fp,
             jax.device_put(jnp.asarray(qfp), self._query_sharding),
             jax.device_put(jnp.asarray(homes), self._query_sharding),

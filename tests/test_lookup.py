@@ -239,7 +239,7 @@ def test_probe_fingerprint_pass_sorted_matches_unsorted():
     rng = np.random.default_rng(91)
     sig = random_signatures(rng, 3000)
     table = build_table(**sig, load_factor=0.85)
-    lk = XlaLookup(table)
+    lk = XlaLookup(table, probe_impl="flat")
     values, _, _ = make_queries(rng, sig["kmers"], 4096)
     homes = (values % np.int64(table.num_sigs)).astype(np.int32)
     q_fp = (values % FP_MOD).astype(np.uint16)
@@ -249,6 +249,39 @@ def test_probe_fingerprint_pass_sorted_matches_unsorted():
                                                 jnp.asarray(homes), lk.w1)
     assert np.array_equal(np.asarray(off_a), np.asarray(off_b))
     assert np.array_equal(np.asarray(st_a), np.asarray(st_b))
+
+
+def test_probe_rows_matches_flat():
+    """Row-gather probe == flat-gather probe on identical queries, and the
+    sorted row variant matches too (exercises both probe_impl paths)."""
+    import jax.numpy as jnp
+
+    from kmergutsjava_tpu.lookup.xla import (FP_MOD, probe_fingerprint_pass,
+                                             probe_fingerprint_rows,
+                                             probe_fingerprint_rows_sorted)
+
+    rng = np.random.default_rng(92)
+    sig = random_signatures(rng, 5000)
+    table = build_table(**sig, load_factor=0.9)
+    flat = XlaLookup(table, probe_impl="flat")
+    rows = XlaLookup(table, probe_impl="rows")
+    assert rows.tbl_fp.ndim == 2 and rows.tbl_fp.shape[1] == 128
+    values, _, _ = make_queries(rng, sig["kmers"], 4096)
+    # force homes onto row boundaries too (o = 0 and o = 127 edge cases)
+    values[:64] = (values[:64] // 128) * 128
+    homes = (values % np.int64(table.num_sigs)).astype(np.int32)
+    q_fp = (values % FP_MOD).astype(np.uint16)
+    off_a, st_a = probe_fingerprint_pass(flat.tbl_fp, jnp.asarray(q_fp),
+                                         jnp.asarray(homes), flat.w1)
+    off_b, st_b = probe_fingerprint_rows(rows.tbl_fp, jnp.asarray(q_fp),
+                                         jnp.asarray(homes), rows.w1)
+    off_c, st_c = probe_fingerprint_rows_sorted(
+        rows.tbl_fp, jnp.asarray(q_fp), jnp.asarray(homes), rows.w1)
+    assert flat.w1 == rows.w1
+    assert np.array_equal(np.asarray(off_a), np.asarray(off_b))
+    assert np.array_equal(np.asarray(st_a), np.asarray(st_b))
+    assert np.array_equal(np.asarray(off_b), np.asarray(off_c))
+    assert np.array_equal(np.asarray(st_b), np.asarray(st_c))
 
 
 def test_streaming_lookup_device_sort():

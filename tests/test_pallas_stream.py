@@ -1,0 +1,63 @@
+"""PallasStreamLookup (interpret mode on CPU) vs the parity oracle.
+
+Covers the dense-tile scatter (home collisions beyond C channels fall back
+to the exact path), byte-packed result decoding across all four channels,
+and the empty-before-candidate rule under high load factors.
+"""
+import numpy as np
+import pytest
+
+from kmergutsjava_tpu.formats.kmer_table import build_table
+from kmergutsjava_tpu.lookup.pallas_stream import CHANNELS, PallasStreamLookup
+from kmergutsjava_tpu.lookup.parity import lookup_stream
+from test_lookup import canon, make_queries
+from test_table import random_signatures
+
+
+@pytest.mark.parametrize("seed,load,nq", [(0, 0.6, 3000), (1, 0.9, 6000)])
+def test_stream_vs_parity(seed, load, nq):
+    rng = np.random.default_rng(seed)
+    sig = random_signatures(rng, 3000)
+    table = build_table(**sig, load_factor=load)
+    values, cnt, pos = make_queries(rng, sig["kmers"], nq)
+    a = lookup_stream(table, values, cnt, pos)
+    b = PallasStreamLookup(table).lookup(values, cnt, pos)
+    assert canon(a) == canon(b)
+    assert a.kmers_found == b.kmers_found
+
+
+def test_stream_dense_queries():
+    """Query every signature (the kernel's target regime)."""
+    rng = np.random.default_rng(7)
+    sig = random_signatures(rng, 5000)
+    table = build_table(**sig)
+    v = sig["kmers"]
+    a = lookup_stream(table, v, np.zeros(len(v)), np.arange(len(v)))
+    b = PallasStreamLookup(table).lookup(v, np.zeros(len(v)), np.arange(len(v)))
+    assert len(b) == len(v)
+    assert canon(a) == canon(b)
+
+
+def test_stream_channel_overflow():
+    """Many duplicate values share one home slot: ranks beyond C must take
+    the exact fallback and still produce identical results."""
+    rng = np.random.default_rng(11)
+    sig = random_signatures(rng, 400)
+    table = build_table(**sig)
+    base = sig["kmers"][:8]
+    values = np.concatenate([np.repeat(base, CHANNELS * 3),
+                             rng.integers(0, 10**9, 200, dtype=np.int64)])
+    rng.shuffle(values)
+    cnt = np.arange(len(values), dtype=np.int64) % 5
+    pos = np.arange(len(values), dtype=np.int64)
+    a = lookup_stream(table, values, cnt, pos)
+    b = PallasStreamLookup(table).lookup(values, cnt, pos)
+    assert canon(a) == canon(b)
+
+
+def test_stream_empty_input():
+    rng = np.random.default_rng(3)
+    sig = random_signatures(rng, 100)
+    table = build_table(**sig)
+    z = np.zeros(0, dtype=np.int64)
+    assert len(PallasStreamLookup(table).lookup(z, z, z)) == 0
