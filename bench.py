@@ -59,48 +59,60 @@ def make_queries(kmers: np.ndarray, n_queries: int, hit_fraction: float,
     return values
 
 
-def bench_tpu(table, values, reps: int, chunk: int = 1 << 20):
+def _sync(x):
+    """Force real device completion. block_until_ready does NOT
+    synchronize through the TPU relay — only a device->host transfer
+    does; the device stream is in-order, so one byte of the last output
+    proves every earlier op completed."""
     import jax
     import jax.numpy as jnp
 
-    from kmergutsjava_tpu.lookup.xla import XlaLookup
+    jax.device_get(jnp.ravel(x)[:1])
 
-    from kmergutsjava_tpu.lookup.xla import FP_MOD
 
-    lk = XlaLookup(table, chunk=chunk)
-    homes = (values % np.int64(table.num_sigs)).astype(np.int32)
+def bench_tpu_stream(table, values, reps: int):
+    """Headline: the zero-gather Pallas stream kernel, timed as ONE device
+    program (a leading rep grid dimension re-streams the plane `reps`
+    times) ended by a forced device_get — honest on-chip throughput, no
+    per-dispatch relay latency in the measurement."""
+    import jax.numpy as jnp
+
+    from kmergutsjava_tpu.lookup.pallas_stream import PallasStreamLookup
+    from scripts.microbench_probe import stream_reps
+
+    lk = PallasStreamLookup(table, interpret=False)
+    qfp_tiles = lk._scatter_dense(values)[0]
+    tiles = jnp.asarray(qfp_tiles)
     n = len(values)
-    n_pad = -(-n // chunk) * chunk
-    qf = np.zeros(n_pad, np.uint16)
-    qf[:n] = (values % FP_MOD).astype(np.uint16)
-    h = np.zeros(n_pad, np.int32)
-    h[:n] = homes
-    f_chunks = [jax.device_put(jnp.asarray(qf[i: i + chunk]))
-                for i in range(0, n_pad, chunk)]
-    h_chunks = [jax.device_put(jnp.asarray(h[i: i + chunk]))
-                for i in range(0, n_pad, chunk)]
-
-    def device_pass():
-        outs = []
-        for fc, hc in zip(f_chunks, h_chunks):
-            outs.append(lk.probe_chunk(fc, hc))
-        return outs
-
-    def sync(outs):
-        # block_until_ready does NOT synchronize through the TPU relay —
-        # only a real device->host transfer does. The device stream is
-        # in-order, so fetching one byte of the last enqueued output
-        # proves every earlier dispatch completed.
-        jax.device_get(outs[-1][1][:1])
-
-    sync(device_pass())  # compile + warm
-    # enqueue all reps, then one forced sync: latency amortizes over reps,
-    # compute dominates the measurement
+    _sync(stream_reps(lk.fp_blocks, tiles, lk.nsuper, lk.w, 1))  # compile+warm
     t0 = time.time()
-    for _ in range(reps):
-        outs = device_pass()
-    sync(outs)
-    device_secs = (time.time() - t0) / reps
+    out = stream_reps(lk.fp_blocks, tiles, lk.nsuper, lk.w, reps)
+    _sync(out)
+    dt = time.time() - t0
+    return {"stream_lookups_per_sec": n * reps / dt, "stream_w": lk.w,
+            "stream_secs": round(dt, 3)}
+
+
+def bench_tpu_rows(table, values, reps: int, chunk: int = 1 << 19):
+    """Secondary: the vectorized row-gather probe (sparse-regime path),
+    on-chip rate via an in-program fori_loop rep chain, plus the full
+    host-level lookup (transfers + verification + pass 2 + compaction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmergutsjava_tpu.lookup.xla import FP_MOD, XlaLookup
+    from scripts.microbench_probe import rows_loop
+
+    lk = XlaLookup(table, chunk=chunk, probe_impl="rows")
+    n = len(values)
+    with jax.enable_x64(False):  # the rep chain is pure int32/uint16
+        homes = jnp.asarray((values % np.int64(table.num_sigs)).astype(np.int32))
+        qf = jnp.asarray((values % FP_MOD).astype(np.uint16))
+        _sync(rows_loop(lk.tbl_fp, qf, homes, lk.w1, 2))  # compile + warm
+        t0 = time.time()
+        out = rows_loop(lk.tbl_fp, qf, homes, lk.w1, reps)
+        _sync(out)
+        device_secs = (time.time() - t0) / reps
 
     # end-to-end host-level lookup (includes transfers, pass 2, compaction)
     cnt = np.zeros(n, np.int64)
@@ -109,13 +121,10 @@ def bench_tpu(table, values, reps: int, chunk: int = 1 << 20):
     t0 = time.time()
     hits = lk.lookup(values, cnt, pos)
     e2e_secs = time.time() - t0
-    state = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
-    unresolved = int(((state & 3) == 0).sum())  # no candidate, no empty seen
     return {
-        "device_lookups_per_sec": n_pad / device_secs,
+        "rows_lookups_per_sec": n / device_secs,
         "e2e_lookups_per_sec": n / e2e_secs,
         "hits": len(hits),
-        "first_pass_unresolved": unresolved,
         "probe_w1": lk.w1,
         "probe_full": lk.full_window,
     }
@@ -191,40 +200,47 @@ def main():
         # median of measured runs on this class of host (docs/performance.md)
         base = {"lookups_per_sec": 8.5e6, "hits": -1}
     PARTIAL["baseline_lookups_per_sec"] = round(base["lookups_per_sec"], 1)
-    tpu = bench_tpu(table, values, reps)
-    PARTIAL.update({
-        "value": round(tpu["device_lookups_per_sec"], 1),
-        "vs_baseline": round(tpu["device_lookups_per_sec"]
-                             / base["lookups_per_sec"], 1),
-        "e2e_lookups_per_sec": round(tpu["e2e_lookups_per_sec"], 1),
-    })
 
-    if base["hits"] >= 0 and base["hits"] != tpu["hits"]:
-        print(f"WARNING: hit mismatch tpu={tpu['hits']} baseline={base['hits']}",
+    rows = bench_tpu_rows(table, values, max(4, reps // 4))
+    PARTIAL.update({
+        "value": round(rows["rows_lookups_per_sec"], 1),
+        "vs_baseline": round(rows["rows_lookups_per_sec"]
+                             / base["lookups_per_sec"], 1),
+        "e2e_lookups_per_sec": round(rows["e2e_lookups_per_sec"], 1),
+    })
+    stream = bench_tpu_stream(table, values, reps)
+
+    if base["hits"] >= 0 and base["hits"] != rows["hits"]:
+        print(f"WARNING: hit mismatch tpu={rows['hits']} baseline={base['hits']}",
               file=sys.stderr)
 
     e2e_corpus = None
     if os.environ.get("BENCH_E2E") == "1":
         e2e_corpus = bench_corpus_reads()
 
-    value = tpu["device_lookups_per_sec"]
+    value = stream["stream_lookups_per_sec"]
     result = {
         "metric": "aa_8mer_lookups_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "lookups/s",
         "vs_baseline": round(value / base["lookups_per_sec"], 1),
-        "e2e_lookups_per_sec": round(tpu["e2e_lookups_per_sec"], 1),
+        "rows_gather_lookups_per_sec": round(rows["rows_lookups_per_sec"], 1),
+        "e2e_lookups_per_sec": round(rows["e2e_lookups_per_sec"], 1),
         "baseline_lookups_per_sec": round(base["lookups_per_sec"], 1),
         "baseline": "single-core C++ streaming merge-join (reference algorithm)",
-        "note": ("value = on-chip probe throughput (the reference's lookup "
-                 "loop analog); e2e includes host verify/compaction and this "
-                 "harness's remote-TPU relay transfers, which are far slower "
-                 "than a real host link"),
+        "note": ("value = on-chip throughput of the zero-gather Pallas "
+                 "stream kernel (dense regime), measured as one device "
+                 "program ended by a forced device_get; rows_gather = the "
+                 "vectorized-gather sparse-regime path measured the same "
+                 "way; e2e includes host verify/compaction and this "
+                 "harness's remote-TPU relay transfers, which are far "
+                 "slower than a real host link"),
         "num_sigs": table.num_sigs,
         "queries": n_queries,
-        "hits": tpu["hits"],
-        "probe_windows": [tpu["probe_w1"], tpu["probe_full"]],
-        "first_pass_unresolved": tpu["first_pass_unresolved"],
+        "hits": rows["hits"],
+        "probe_windows": [rows["probe_w1"], rows["probe_full"],
+                          stream["stream_w"]],
+        "stream_secs": stream["stream_secs"],
     }
     if e2e_corpus:
         result.update(e2e_corpus)

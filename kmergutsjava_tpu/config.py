@@ -27,7 +27,7 @@ class EngineConfig:
     temp_dir: Optional[str] = None
 
     # TPU-native extensions
-    backend: str = "xla"  # "parity" | "xla" | "pallas"
+    backend: str = "xla"  # "parity" | "xla" | "stream" | "pallas" | ...
     # encode/translate implementation for the feeder pipeline: "native"
     # (C++ feeder via ctypes, default; numpy fallback if no toolchain),
     # "numpy" (vectorized host twin), or "jax" (the jitted device ops;

@@ -52,42 +52,54 @@ from ..formats.kmer_table import KmerTable
 from .parity import LookupHits
 from .xla import FP_EMPTY, FP_MOD, XlaLookup, _round_up_pow2
 
-BLOCK = 8192  # table slots per grid step (lane-dim multiple of 128)
-HALO = 128    # probe-window halo; also the max supported window
+BLOCK = 2048  # table slots per block row (lane-dim multiple of 128;
+#               kept small: the unrolled shift loop stack-allocates its
+#               temporaries in VMEM and 8192-slot rows blew the 16MB limit)
+ROWS = 8      # block rows per grid step: full-sublane [8, BLOCK] i32 vregs
+HALO = 128    # probe-window halo per row; also the max supported window
 CHANNELS = 4  # query channels per slot (home-collision capacity)
 
 
-def _stream_block_kernel(w: int, fp_ref, qfp_ref, out_ref):
-    # fp slice for this block, upcast once: Mosaic compares/selects are
-    # 32-bit-lane ops (HBM traffic stays uint16 via the block spec)
-    fp = fp_ref[0].astype(jnp.int32)          # [1, BLOCK + HALO]
-    qfp = qfp_ref[0].astype(jnp.int32)        # [C, BLOCK]
+def _stream_block_kernel(w: int, fp_ref, qfp_ref, out_ref,
+                         block: int = BLOCK, rows: int = ROWS,
+                         channels: int = CHANNELS):
+    # One grid step = ROWS consecutive BLOCK-slot rows: every elementwise
+    # op below runs on full [ROWS, BLOCK] int32 vregs (a [1, BLOCK] layout
+    # would idle 7 of 8 sublanes), and the per-shift lane rotate of the fp
+    # slice is shared across all channels. Upcast once, outside the shift
+    # loop — HBM traffic stays uint16 via the block specs. (A native
+    # 16-bit formulation would double per-op lanes, but this Mosaic
+    # release crashes on packed vector<...x2xi16> compares.)
+    fp = fp_ref[0].astype(jnp.int32)          # [rows, block + HALO]
+    qfp = [qfp_ref[0, c].astype(jnp.int32) for c in range(channels)]
     big = jnp.int32(w)
-    first_cand = jnp.full(qfp.shape, w, jnp.int32)
-    first_empty = jnp.full((1, BLOCK), w, jnp.int32)
+    first_cand = [jnp.full((rows, block), w, jnp.int32)
+                  for _ in range(channels)]
+    first_empty = jnp.full((rows, block), w, jnp.int32)
     for l in range(w):
-        win = fp[:, l:l + BLOCK]              # static lane shift, no gather
+        win = fp[:, l:l + block]              # static lane shift, no gather
         lane = jnp.int32(l)
-        first_cand = jnp.minimum(first_cand,
-                                 jnp.where(win == qfp, lane, big))
+        for c in range(channels):
+            first_cand[c] = jnp.minimum(
+                first_cand[c], jnp.where(win == qfp[c], lane, big))
         first_empty = jnp.minimum(first_empty,
                                   jnp.where(win == jnp.int32(FP_EMPTY),
                                             lane, big))
-    # candidate counts only if it appears strictly before the first empty
-    # slot (first_empty == w when no empty: the comparison covers both)
-    has_cand = (first_cand < big) & (first_cand < first_empty)
-    empty_any = (first_empty < big).astype(jnp.int32)  # [1, BLOCK]
-    off = jnp.where(has_cand, first_cand, 0)
-    val = has_cand.astype(jnp.int32) + 2 * empty_any + 4 * off  # [C, BLOCK]
-    # pack the C channels bytewise into one int32 lane: 4 B/slot out
-    acc = val[0:1, :]
-    for c in range(1, CHANNELS):
-        acc = acc | (val[c:c + 1, :] << (8 * c))
+    # a candidate counts only if it appears strictly before the first
+    # empty slot (first_empty == w when no empty: the comparison covers
+    # both); pack the C channels bytewise into one int32 lane: 4 B/slot
+    empty_any = (first_empty < big).astype(jnp.int32)
+    acc = jnp.zeros((rows, block), jnp.int32)
+    for c in range(channels):
+        has_cand = (first_cand[c] < big) & (first_cand[c] < first_empty)
+        off = jnp.where(has_cand, first_cand[c], 0)
+        val = has_cand.astype(jnp.int32) + 2 * empty_any + 4 * off
+        acc = acc | (val << (8 * c))
     out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("nblocks", "w", "interpret"))
-def stream_probe_blocks(fp_blocks, qfp_tiles, nblocks, w, interpret=False):
+@functools.partial(jax.jit, static_argnames=("nsuper", "w", "interpret"))
+def stream_probe_blocks(fp_blocks, qfp_tiles, nsuper, w, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -95,16 +107,17 @@ def stream_probe_blocks(fp_blocks, qfp_tiles, nblocks, w, interpret=False):
     with jax.enable_x64(False):
         return pl.pallas_call(
             functools.partial(_stream_block_kernel, w),
-            grid=(nblocks,),
+            grid=(nsuper,),
             in_specs=[
-                pl.BlockSpec((1, 1, BLOCK + HALO), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, ROWS, BLOCK + HALO), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CHANNELS, BLOCK), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, CHANNELS, ROWS, BLOCK),
+                             lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, ROWS, BLOCK), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nblocks, 1, BLOCK), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((nsuper, ROWS, BLOCK), jnp.int32),
             interpret=interpret,
         )(fp_blocks, qfp_tiles)
 
@@ -139,22 +152,24 @@ class PallasStreamLookup:
         self.interpret = interpret
 
         s = table.num_sigs
-        self.nblocks = -(-s // BLOCK)
-        fp = np.full(self.nblocks * BLOCK + HALO, FP_EMPTY, dtype=np.uint16)
+        self.nsuper = -(-s // (ROWS * BLOCK))
+        nblocks = self.nsuper * ROWS
+        fp = np.full(nblocks * BLOCK + HALO, FP_EMPTY, dtype=np.uint16)
         occ = table.occupied
         fp[:s][occ] = (table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
         strides = np.lib.stride_tricks.as_strided(
-            fp, shape=(self.nblocks, BLOCK + HALO), strides=(BLOCK * 2, 2))
+            fp, shape=(nblocks, BLOCK + HALO), strides=(BLOCK * 2, 2))
         self.fp_blocks = jax.device_put(
-            jnp.asarray(np.ascontiguousarray(strides)[:, None, :]),
+            jnp.asarray(np.ascontiguousarray(strides).reshape(
+                self.nsuper, ROWS, BLOCK + HALO)),
             device=device)
 
     def _scatter_dense(self, values: np.ndarray):
-        """Bucket queries into the dense [nblocks, C, BLOCK] tile.
+        """Bucket queries into the dense [nsuper, C, ROWS, BLOCK] tile.
 
-        Returns (qfp_tiles, ok_index, blk, rank, within, homes) where
-        ok_index are the original indices placed in the tile and the rest
-        overflowed their slot's C channels.
+        Returns (qfp_tiles, ok_index, overflow_index, sup, rank, row,
+        within, homes) where ok_index are the original indices placed in
+        the tile and overflow_index exceeded their slot's C channels.
         """
         n = len(values)
         homes = (values % np.int64(self.num_sigs)).astype(np.int64)
@@ -162,13 +177,16 @@ class PallasStreamLookup:
         h_s = homes[order]
         rank = np.arange(n) - np.searchsorted(h_s, h_s)
         ok = rank < CHANNELS
-        blk = (h_s[ok] // BLOCK).astype(np.int64)
+        blk = h_s[ok] // BLOCK
+        sup = (blk // ROWS).astype(np.int64)
+        row = (blk % ROWS).astype(np.int64)
         within = (h_s[ok] % BLOCK).astype(np.int64)
         rk = rank[ok]
-        qfp_tiles = np.zeros((self.nblocks, CHANNELS, BLOCK), dtype=np.uint16)
-        qfp_tiles[blk, rk, within] = (values[order[ok]] % FP_MOD).astype(
+        qfp_tiles = np.zeros((self.nsuper, CHANNELS, ROWS, BLOCK),
+                             dtype=np.uint16)
+        qfp_tiles[sup, rk, row, within] = (values[order[ok]] % FP_MOD).astype(
             np.uint16)
-        return qfp_tiles, order[ok], order[~ok], blk, rk, within, homes
+        return qfp_tiles, order[ok], order[~ok], sup, rk, row, within, homes
 
     def lookup(self, values: np.ndarray, cnt_id: np.ndarray, pos: np.ndarray,
                progress=None, compute_kmers_found: bool = True) -> LookupHits:
@@ -177,13 +195,13 @@ class PallasStreamLookup:
         if n == 0:
             z = np.zeros(0)
             return LookupHits.from_lists(z, z, z, z, z, z, 0)
-        (qfp_tiles, sel, overflow_idx, blk, rk, within,
+        (qfp_tiles, sel, overflow_idx, sup, rk, row, within,
          homes) = self._scatter_dense(values)
 
         out = jax.device_get(stream_probe_blocks(
-            self.fp_blocks, jnp.asarray(qfp_tiles), self.nblocks, self.w,
+            self.fp_blocks, jnp.asarray(qfp_tiles), self.nsuper, self.w,
             self.interpret))
-        packed = out[blk, 0, within] >> (8 * rk)
+        packed = out[sup, row, within] >> (8 * rk)
         st = packed & 0x3
         off = (packed >> 2) & 0x3F
 

@@ -312,6 +312,15 @@ class Engine:
             lk = PallasLookup(table, probe_window=cfg.probe_window,
                               chunk=cfg.lookup_chunk)
             return lk.lookup(rec["value"], rec["cnt"], rec["pos"])
+        if cfg.backend == "stream":
+            # dense-regime Pallas kernel: the table is streamed once per
+            # batch, queries scattered into slot-major channel tiles
+            from ..lookup.pallas_stream import PallasStreamLookup
+            lk = PallasStreamLookup(table, probe_window=cfg.probe_window,
+                                    chunk=cfg.lookup_chunk)
+            return lk.lookup(rec["value"], rec["cnt"], rec["pos"],
+                             progress=self._progress(len(rec)),
+                             compute_kmers_found=cfg.debug)
         if cfg.backend == "sharded":
             return self._sharded_lookup(table, rec)
         if cfg.backend == "replicated":

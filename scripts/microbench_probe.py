@@ -122,47 +122,51 @@ def bench_rows(n_slots: int, n_queries: int, reps: int, floor: float):
             "lookups_per_sec": round(n_queries * reps / dt, 1)}
 
 
-def stream_reps(fp_blocks, qfp_tiles, nblocks, w, reps):
+def stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps):
     """stream_probe_blocks with a leading rep grid dim (one dispatch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from kmergutsjava_tpu.lookup.pallas_stream import (BLOCK, CHANNELS, HALO,
+                                                       ROWS,
                                                        _stream_block_kernel)
 
     with jax.enable_x64(False):
         return pl.pallas_call(
             partial(_stream_block_kernel, w),
-            grid=(reps, nblocks),
+            grid=(reps, nsuper),
             in_specs=[
-                pl.BlockSpec((1, 1, BLOCK + HALO), lambda r, i: (i, 0, 0),
+                pl.BlockSpec((1, ROWS, BLOCK + HALO),
+                             lambda r, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CHANNELS, BLOCK), lambda r, i: (i, 0, 0),
+                pl.BlockSpec((1, CHANNELS, ROWS, BLOCK),
+                             lambda r, i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, BLOCK), lambda r, i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, ROWS, BLOCK), lambda r, i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nblocks, 1, BLOCK), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((nsuper, ROWS, BLOCK), jnp.int32),
         )(fp_blocks, qfp_tiles)
 
 
 def bench_stream(n_slots: int, reps: int, floor: float, w: int = W):
-    from kmergutsjava_tpu.lookup.pallas_stream import BLOCK, CHANNELS, HALO
+    from kmergutsjava_tpu.lookup.pallas_stream import (BLOCK, CHANNELS, HALO,
+                                                       ROWS)
 
-    nblocks = -(-n_slots // BLOCK)
+    nsuper = -(-n_slots // (ROWS * BLOCK))
     k1, k2 = jax.random.split(jax.random.key(1))
     with jax.enable_x64(False):
-        fp_blocks = jax.random.bits(k1, (nblocks, 1, BLOCK + HALO),
+        fp_blocks = jax.random.bits(k1, (nsuper, ROWS, BLOCK + HALO),
                                     dtype=jnp.uint16)
-        qfp_tiles = jax.random.bits(k2, (nblocks, CHANNELS, BLOCK),
+        qfp_tiles = jax.random.bits(k2, (nsuper, CHANNELS, ROWS, BLOCK),
                                     dtype=jnp.uint16)
-        out = stream_reps(fp_blocks, qfp_tiles, nblocks, w, 1)
+        out = stream_reps(fp_blocks, qfp_tiles, nsuper, w, 1)
         sync(out)
         t0 = time.time()
-        out = stream_reps(fp_blocks, qfp_tiles, nblocks, w, reps)
+        out = stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps)
         sync(out)
         dt = max(time.time() - t0 - floor, 1e-9)
-    slots = nblocks * BLOCK
+    slots = nsuper * ROWS * BLOCK
     return {"kind": "pallas_stream", "plane_mb": slots * 2 / 2**20, "w": w,
             "slot_channels": slots * CHANNELS, "reps": reps,
             "secs": round(dt, 4),

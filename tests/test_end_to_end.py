@@ -60,7 +60,8 @@ def test_cross_backend_aa_random(tmp_path, min_hits, max_gap):
     kw = dict(aa=True, min_hits=min_hits, max_gap=max_gap)
     r_parity = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
     r_xla = run_engine(tmp_path / "d", fasta, backend="xla", **kw)
-    assert r_parity == r_xla
+    r_stream = run_engine(tmp_path / "d", fasta, backend="stream", **kw)
+    assert r_parity == r_xla == r_stream
     assert r_parity.count("PROTEIN-ID") == len(prots)
     assert "CALL\t" in r_parity
 
@@ -91,7 +92,8 @@ def test_cross_backend_dna_random(tmp_path):
     kw = dict(aa=False, min_hits=3, max_gap=200)
     r_parity = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
     r_xla = run_engine(tmp_path / "d", fasta, backend="xla", **kw)
-    assert r_parity == r_xla
+    r_stream = run_engine(tmp_path / "d", fasta, backend="stream", **kw)
+    assert r_parity == r_xla == r_stream
     assert r_parity.count("processing ") == len(contigs)
     assert r_parity.count("TRANSLATION") == 6 * len(contigs)
     assert "CALL\t" in r_parity
