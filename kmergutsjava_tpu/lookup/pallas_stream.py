@@ -87,37 +87,44 @@ def _stream_block_kernel(w: int, fp_ref, qfp_ref, out_ref,
                                             lane, big))
     # a candidate counts only if it appears strictly before the first
     # empty slot (first_empty == w when no empty: the comparison covers
-    # both); pack the C channels bytewise into one int32 lane: 4 B/slot
+    # both); pack the channels bytewise, 4 per int32 output plane
     empty_any = (first_empty < big).astype(jnp.int32)
-    acc = jnp.zeros((rows, block), jnp.int32)
-    for c in range(channels):
-        has_cand = (first_cand[c] < big) & (first_cand[c] < first_empty)
-        off = jnp.where(has_cand, first_cand[c], 0)
-        val = has_cand.astype(jnp.int32) + 2 * empty_any + 4 * off
-        acc = acc | (val << (8 * c))
-    out_ref[0] = acc
+    for p in range(channels // 4):
+        acc = jnp.zeros((rows, block), jnp.int32)
+        for c4 in range(4):
+            c = 4 * p + c4
+            has_cand = (first_cand[c] < big) & (first_cand[c] < first_empty)
+            off = jnp.where(has_cand, first_cand[c], 0)
+            val = has_cand.astype(jnp.int32) + 2 * empty_any + 4 * off
+            acc = acc | (val << (8 * c4))
+        out_ref[0, p] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("nsuper", "w", "interpret"))
-def stream_probe_blocks(fp_blocks, qfp_tiles, nsuper, w, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("nsuper", "w", "channels", "interpret"))
+def stream_probe_blocks(fp_blocks, qfp_tiles, nsuper, w, channels=CHANNELS,
+                        interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    planes = channels // 4
     # pure int32/uint16 kernel: keep jnp helpers from minting i64 under x64
     with jax.enable_x64(False):
         return pl.pallas_call(
-            functools.partial(_stream_block_kernel, w),
+            functools.partial(_stream_block_kernel, w, channels=channels),
             grid=(nsuper,),
             in_specs=[
                 pl.BlockSpec((1, ROWS, BLOCK + HALO), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CHANNELS, ROWS, BLOCK),
+                pl.BlockSpec((1, channels, ROWS, BLOCK),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, ROWS, BLOCK), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, planes, ROWS, BLOCK),
+                                   lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nsuper, ROWS, BLOCK), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((nsuper, planes, ROWS, BLOCK),
+                                           jnp.int32),
             interpret=interpret,
         )(fp_blocks, qfp_tiles)
 
@@ -133,7 +140,12 @@ class PallasStreamLookup:
 
     def __init__(self, table: KmerTable, probe_window: Optional[int] = None,
                  chunk: int = 1 << 19, device=None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 channels: int = CHANNELS):
+        if channels % 4:
+            raise ValueError("channels must be a multiple of 4 (bytewise "
+                             "int32 packing)")
+        self.channels = channels
         if table.max_probe is None:
             table.compute_max_probe()
         self.table = table
@@ -176,13 +188,13 @@ class PallasStreamLookup:
         order = np.argsort(homes, kind="stable")
         h_s = homes[order]
         rank = np.arange(n) - np.searchsorted(h_s, h_s)
-        ok = rank < CHANNELS
+        ok = rank < self.channels
         blk = h_s[ok] // BLOCK
         sup = (blk // ROWS).astype(np.int64)
         row = (blk % ROWS).astype(np.int64)
         within = (h_s[ok] % BLOCK).astype(np.int64)
         rk = rank[ok]
-        qfp_tiles = np.zeros((self.nsuper, CHANNELS, ROWS, BLOCK),
+        qfp_tiles = np.zeros((self.nsuper, self.channels, ROWS, BLOCK),
                              dtype=np.uint16)
         qfp_tiles[sup, rk, row, within] = (values[order[ok]] % FP_MOD).astype(
             np.uint16)
@@ -200,8 +212,8 @@ class PallasStreamLookup:
 
         out = jax.device_get(stream_probe_blocks(
             self.fp_blocks, jnp.asarray(qfp_tiles), self.nsuper, self.w,
-            self.interpret))
-        packed = out[sup, row, within] >> (8 * rk)
+            self.channels, self.interpret))
+        packed = out[sup, rk >> 2, row, within] >> (8 * (rk & 3))
         st = packed & 0x3
         off = (packed >> 2) & 0x3F
 

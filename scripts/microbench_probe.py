@@ -77,7 +77,7 @@ def bench_gather(n_slots: int, n_queries: int, reps: int, floor: float):
         qfp = jax.random.bits(k2, (n_queries,), dtype=jnp.uint16)
         homes = jax.random.randint(k3, (n_queries,), 0, n_slots - W,
                                    dtype=jnp.int32)
-        out = gather_loop(fp, qfp, homes, W, 2)  # compile + warm
+        out = gather_loop(fp, qfp, homes, W, reps)  # compile + warm (same executable)
         sync(out)
         t0 = time.time()
         out = gather_loop(fp, qfp, homes, W, reps)
@@ -111,7 +111,7 @@ def bench_rows(n_slots: int, n_queries: int, reps: int, floor: float):
         qfp = jax.random.bits(k2, (n_queries,), dtype=jnp.uint16)
         homes = jax.random.randint(k3, (n_queries,), 0, n_slots - W,
                                    dtype=jnp.int32)
-        out = rows_loop(fp2d, qfp, homes, W, 2)
+        out = rows_loop(fp2d, qfp, homes, W, reps)
         sync(out)
         t0 = time.time()
         out = rows_loop(fp2d, qfp, homes, W, reps)
@@ -122,7 +122,7 @@ def bench_rows(n_slots: int, n_queries: int, reps: int, floor: float):
             "lookups_per_sec": round(n_queries * reps / dt, 1)}
 
 
-def stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps):
+def stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps, channels=None):
     """stream_probe_blocks with a leading rep grid dim (one dispatch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -131,21 +131,25 @@ def stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps):
                                                        ROWS,
                                                        _stream_block_kernel)
 
+    if channels is None:
+        channels = CHANNELS
     with jax.enable_x64(False):
         return pl.pallas_call(
-            partial(_stream_block_kernel, w),
+            partial(_stream_block_kernel, w, channels=channels),
             grid=(reps, nsuper),
             in_specs=[
                 pl.BlockSpec((1, ROWS, BLOCK + HALO),
                              lambda r, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CHANNELS, ROWS, BLOCK),
+                pl.BlockSpec((1, channels, ROWS, BLOCK),
                              lambda r, i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, ROWS, BLOCK), lambda r, i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, channels // 4, ROWS, BLOCK),
+                                   lambda r, i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nsuper, ROWS, BLOCK), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct(
+                (nsuper, channels // 4, ROWS, BLOCK), jnp.int32),
         )(fp_blocks, qfp_tiles)
 
 
@@ -160,7 +164,9 @@ def bench_stream(n_slots: int, reps: int, floor: float, w: int = W):
                                     dtype=jnp.uint16)
         qfp_tiles = jax.random.bits(k2, (nsuper, CHANNELS, ROWS, BLOCK),
                                     dtype=jnp.uint16)
-        out = stream_reps(fp_blocks, qfp_tiles, nsuper, w, 1)
+        # warm with the SAME static reps (a different grid = a different
+        # executable whose first call would time its remote compile)
+        out = stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps)
         sync(out)
         t0 = time.time()
         out = stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps)

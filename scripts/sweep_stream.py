@@ -23,9 +23,9 @@ import jax.numpy as jnp
 import kmergutsjava_tpu  # noqa: F401
 from kmergutsjava_tpu.lookup.pallas_stream import HALO, _stream_block_kernel
 
-W = 16
-N_SLOTS = 64_000_000  # 122 MB plane
-REPS = 16
+W = int(os.environ.get("SWEEP_W", 16))
+N_SLOTS = int(os.environ.get("SWEEP_SLOTS", 64_000_000))  # 122 MB plane
+REPS = int(os.environ.get("SWEEP_REPS", 16))
 
 
 def sync(x):
@@ -57,11 +57,11 @@ def run(block, rows, channels, vmem_mb):
                                  lambda r, i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, rows, block),
-                                       lambda r, i: (i, 0, 0),
+                out_specs=pl.BlockSpec((1, channels // 4, rows, block),
+                                       lambda r, i: (i, 0, 0, 0),
                                        memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((nsuper, rows, block),
-                                               jnp.int32),
+                out_shape=jax.ShapeDtypeStruct(
+                    (nsuper, channels // 4, rows, block), jnp.int32),
                 **params,
             )(fp_blocks, qfp_tiles)
 
@@ -70,7 +70,10 @@ def run(block, rows, channels, vmem_mb):
                                     dtype=jnp.uint16)
         qfp_tiles = jax.random.bits(k2, (nsuper, channels, rows, block),
                                     dtype=jnp.uint16)
-    sync(call(1, fp_blocks, qfp_tiles))
+    # warm with the SAME static reps: a different grid is a different
+    # executable, and timing a first call of a fresh executable would
+    # include its (remote, slow) compile
+    sync(call(REPS, fp_blocks, qfp_tiles))
     t0 = time.time()
     out = call(REPS, fp_blocks, qfp_tiles)
     sync(out)
@@ -83,16 +86,11 @@ def run(block, rows, channels, vmem_mb):
 
 def main():
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
-    for cfg in [
-        (2048, 8, 4, 0),       # current production geometry
-        (2048, 16, 4, 64),
-        (2048, 32, 4, 100),
-        (4096, 16, 4, 100),
-        (8192, 8, 4, 64),
-        (8192, 16, 4, 100),
-        (2048, 8, 8, 64),      # more channels per pass
-        (4096, 32, 4, 100),
-    ]:
+    default = ("2048,8,4,0 2048,16,4,64 2048,32,4,100 4096,16,4,100 "
+               "8192,8,4,64 8192,16,4,100 2048,8,8,64 4096,32,4,100")
+    cfgs = [tuple(int(x) for x in c.split(","))
+            for c in os.environ.get("SWEEP_CFGS", default).split()]
+    for cfg in cfgs:
         try:
             print(json.dumps(run(*cfg)), flush=True)
         except Exception as ex:

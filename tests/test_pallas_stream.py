@@ -55,6 +55,24 @@ def test_stream_channel_overflow():
     assert canon(a) == canon(b)
 
 
+def test_stream_eight_channels():
+    """channels=8 (two packed output planes) matches the oracle, including
+    ranks 4-7 of heavily colliding homes."""
+    rng = np.random.default_rng(21)
+    sig = random_signatures(rng, 2000)
+    table = build_table(**sig)
+    base = sig["kmers"][:40]
+    values = np.concatenate([np.repeat(base, 6),
+                             rng.integers(0, 10**9, 500, dtype=np.int64),
+                             sig["kmers"]])
+    rng.shuffle(values)
+    cnt = np.arange(len(values), dtype=np.int64) % 9
+    pos = np.arange(len(values), dtype=np.int64)
+    a = lookup_stream(table, values, cnt, pos)
+    b = PallasStreamLookup(table, channels=8).lookup(values, cnt, pos)
+    assert canon(a) == canon(b)
+
+
 def test_stream_empty_input():
     rng = np.random.default_rng(3)
     sig = random_signatures(rng, 100)
