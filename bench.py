@@ -101,17 +101,31 @@ def bench_tpu_stream(table, values, reps: int):
     qfp_tiles = lk._scatter_dense(values)[0]
     tiles = jnp.asarray(qfp_tiles)
     n = len(values)
-    # warm with the SAME static reps: a different rep-grid is a different
-    # executable and a first call would time its (remote, slow) compile
-    _sync(stream_reps(lk.fp_blocks, tiles, lk.nsuper, lk.w, reps,
-                      lk.channels))
-    t0 = time.time()
-    out = stream_reps(lk.fp_blocks, tiles, lk.nsuper, lk.w, reps,
-                      lk.channels)
-    _sync(out)
-    dt = time.time() - t0
-    return {"stream_lookups_per_sec": n * reps / dt, "stream_w": lk.w,
-            "stream_secs": round(dt, 3)}
+
+    def timed(r):
+        # warm with the SAME static reps: a different rep-grid is a
+        # different executable and a first call would time its (remote,
+        # slow) compile
+        _sync(stream_reps(lk.fp_blocks, tiles, lk.nsuper, lk.w, r,
+                          lk.channels))
+        t0 = time.time()
+        _sync(stream_reps(lk.fp_blocks, tiles, lk.nsuper, lk.w, r,
+                          lk.channels))
+        return time.time() - t0
+
+    # Two-point fit: this harness's relay charges a fixed ~1.5s per
+    # dispatch (measured; absent on a directly-attached host), so the
+    # honest ON-CHIP rate is the marginal one, d(work)/d(time) between
+    # two rep counts of the same program. Both raw rates are reported.
+    r1, r2 = 4 * reps, 16 * reps
+    t1, t2 = timed(r1), timed(r2)
+    marginal = n * (r2 - r1) / max(t2 - t1, 1e-9)
+    fixed = max((t1 * r2 - t2 * r1) / (r2 - r1), 0.0)
+    return {"stream_lookups_per_sec": marginal,
+            "stream_raw_lookups_per_sec": n * r2 / t2,
+            "stream_dispatch_overhead_s": round(fixed, 3),
+            "stream_w": lk.w,
+            "stream_secs": round(t2, 3), "stream_reps": [r1, r2]}
 
 
 def bench_tpu_rows(table, values, reps: int, chunk: int = 1 << 19):
@@ -129,11 +143,17 @@ def bench_tpu_rows(table, values, reps: int, chunk: int = 1 << 19):
     with jax.enable_x64(False):  # the rep chain is pure int32/uint16
         homes = jnp.asarray((values % np.int64(table.num_sigs)).astype(np.int32))
         qf = jnp.asarray((values % FP_MOD).astype(np.uint16))
-        _sync(rows_loop(lk.tbl_fp, qf, homes, lk.w1, reps))  # compile + warm
-        t0 = time.time()
-        out = rows_loop(lk.tbl_fp, qf, homes, lk.w1, reps)
-        _sync(out)
-        device_secs = (time.time() - t0) / reps
+
+        def timed(r):
+            _sync(rows_loop(lk.tbl_fp, qf, homes, lk.w1, r))  # warm same r
+            t0 = time.time()
+            _sync(rows_loop(lk.tbl_fp, qf, homes, lk.w1, r))
+            return time.time() - t0
+
+        # marginal rate (two-point fit; see bench_tpu_stream)
+        r1, r2 = reps, 4 * reps
+        t1, t2 = timed(r1), timed(r2)
+        device_secs = max(t2 - t1, 1e-9) / (r2 - r1)
 
     # end-to-end host-level lookup (includes transfers, pass 2, compaction)
     cnt = np.zeros(n, np.int64)
@@ -184,7 +204,7 @@ def _arm_watchdog():
     best-known partial result and exit rather than dying silently."""
     import threading
 
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", 480))
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", 900))
 
     def fire():
         print(json.dumps(PARTIAL), flush=True)
@@ -254,21 +274,27 @@ def main():
         "e2e_lookups_per_sec": round(rows["e2e_lookups_per_sec"], 1),
         "baseline_lookups_per_sec": round(base["lookups_per_sec"], 1),
         "baseline": "single-core C++ streaming merge-join (reference algorithm)",
-        "note": ("value = on-chip throughput of the zero-gather Pallas "
-                 "stream kernel on a dense saturation sweep (one query per "
-                 "slot-channel; the baseline ran the SAME sweep), measured "
-                 "as one device program ended by a forced device_get; "
-                 "rows_gather = the vectorized-gather sparse-regime path "
-                 "on the random workload, same methodology; e2e includes "
-                 "host verify/compaction and this harness's remote-TPU "
-                 "relay transfers, which are far slower than a real host "
-                 "link"),
+        "note": ("value = marginal on-chip throughput of the zero-gather "
+                 "Pallas stream kernel on a dense saturation sweep (one "
+                 "query per slot-channel; the baseline ran the SAME "
+                 "sweep): two rep counts of one device program, each "
+                 "device_get-synced, rate = d(work)/d(time) — this "
+                 "harness's relay charges ~1.5s fixed per dispatch "
+                 "(reported as stream_dispatch_overhead_s; raw rate "
+                 "including it also reported); rows_gather = the "
+                 "vectorized-gather sparse-regime path on the random "
+                 "workload, same methodology; e2e includes host "
+                 "verify/compaction and this harness's remote-TPU relay "
+                 "transfers, which are far slower than a real host link"),
         "num_sigs": table.num_sigs,
         "queries": n_queries,
         "dense_queries": len(dense),
         "hits": rows["hits"],
         "probe_windows": [rows["probe_w1"], rows["probe_full"],
                           stream["stream_w"]],
+        "stream_raw_lookups_per_sec": round(
+            stream["stream_raw_lookups_per_sec"], 1),
+        "stream_dispatch_overhead_s": stream["stream_dispatch_overhead_s"],
         "stream_secs": stream["stream_secs"],
     }
     if e2e_corpus:

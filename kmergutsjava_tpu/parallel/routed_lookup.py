@@ -44,11 +44,13 @@ def _routed_step(fp_ref, qfp, homes, valid, *, s_loc, probe_window, cap,
                  n_shards):
     """Per-device body under shard_map.
 
-    fp_ref: [1, s_loc + probe_window] local fingerprint slice (+halo)
+    fp_ref: [1, rows_loc, 128] local fingerprint slice (slot-range slice
+    + probe halo, reshaped to 128-lane rows — TPU XLA vectorizes row
+    gathers but runs 1-D-operand gathers scalar, see docs/performance.md)
     qfp/homes/valid: [n_loc] local query slice
     Returns (off_u8, state_u8, overflow_bool) for the local queries.
     """
-    fp = fp_ref[0]
+    fp2d = fp_ref[0]
     n_loc = qfp.shape[0]
     owner = jnp.clip(homes // s_loc, 0, n_shards - 1).astype(jnp.int32)
     owner = jnp.where(valid, owner, n_shards)  # park invalid lanes
@@ -82,20 +84,27 @@ def _routed_step(fp_ref, qfp, homes, valid, *, s_loc, probe_window, cap,
     recv_home = jax.lax.all_to_all(bin_home, AXIS, split_axis=0,
                                    concat_axis=0, tiled=True)
 
-    # local probe of the received queries against our slot slice
+    # local probe of the received queries against our slot slice: the
+    # row-gather formulation (a window of W <= 128 always lies within two
+    # consecutive 128-lane rows, selected with lane arithmetic)
     shard = jax.lax.axis_index(AXIS)
     local = recv_home.reshape(-1).astype(jnp.int32) - shard * s_loc
     local = jnp.clip(local, 0, s_loc - 1)
-    widx = local[:, None] + jnp.arange(probe_window, dtype=jnp.int32)
-    win = fp[widx]
+    r = jax.lax.shift_right_logical(local, jnp.int32(7))
+    o = local & jnp.int32(127)
+    row0 = jnp.take(fp2d, r, axis=0)
+    row1 = jnp.take(fp2d, r + 1, axis=0)
+    win = jnp.concatenate([row0, row1], axis=1)  # [n, 256]
+    rel = jnp.arange(256, dtype=jnp.int32)[None, :] - o[:, None]
+    in_window = (rel >= 0) & (rel < probe_window)
+    big = jnp.int32(probe_window)
     rq = recv_qfp.reshape(-1)
-    cand = win == rq[:, None]
-    empty = win == jnp.uint16(FP_EMPTY)
-    cand_any = jnp.any(cand, axis=-1)
-    empty_any = jnp.any(empty, axis=-1)
-    first_cand = jnp.argmax(cand, axis=-1).astype(jnp.int32)
-    first_empty = jnp.argmax(empty, axis=-1).astype(jnp.int32)
-    has_cand = cand_any & (~empty_any | (first_cand < first_empty))
+    cand = (win == rq[:, None]) & in_window
+    empty = (win == jnp.uint16(FP_EMPTY)) & in_window
+    first_cand = jnp.min(jnp.where(cand, rel, big), axis=1)
+    first_empty = jnp.min(jnp.where(empty, rel, big), axis=1)
+    has_cand = (first_cand < big) & (first_cand < first_empty)
+    empty_any = first_empty < big
     off = jnp.where(has_cand, first_cand, 0).astype(jnp.uint8)
     state = (has_cand.astype(jnp.uint8) + 2 * empty_any.astype(jnp.uint8))
 
@@ -130,16 +139,28 @@ class RoutedLookup:
         self.slack = slack
         # exact single-device fallback (overflow + verification failures)
         self._exact = XlaLookup(table)
+        if probe_window > 128:
+            raise ValueError("routed lookup requires probe_window <= 128 "
+                             "(two-row gather); rebuild the table at a "
+                             "lower load factor")
         total = self.n_shards * self.s_loc + probe_window
         fp = np.full(total, FP_EMPTY, dtype=np.uint16)
         occ = table.occupied
         fp[: table.num_sigs][occ] = (
             table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
-        shards = np.stack([fp[i * self.s_loc: i * self.s_loc + self.s_loc
-                              + probe_window]
-                           for i in range(self.n_shards)])
+        # per-shard slice (slot range + halo), padded to whole 128-lane
+        # rows plus one spill row: the step's two-row gather never reads
+        # out of bounds
+        slice_len = self.s_loc + probe_window
+        rows_loc = -(-slice_len // 128) + 1
+        shards = np.full((self.n_shards, rows_loc * 128), FP_EMPTY,
+                         dtype=np.uint16)
+        for i in range(self.n_shards):
+            shards[i, :slice_len] = fp[i * self.s_loc:
+                                       i * self.s_loc + slice_len]
         self.fp_shards = jax.device_put(
-            shards, NamedSharding(mesh, P(AXIS, None)))
+            shards.reshape(self.n_shards, rows_loc, 128),
+            NamedSharding(mesh, P(AXIS, None, None)))
         self._step_cache = {}
 
     def _step(self, n_loc: int, cap: int):
@@ -150,7 +171,7 @@ class RoutedLookup:
                          n_shards=self.n_shards)
             self._step_cache[key] = jax.jit(jax.shard_map(
                 fn, mesh=self.mesh,
-                in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS)),
+                in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS), P(AXIS)),
                 out_specs=(P(AXIS), P(AXIS), P(AXIS)),
             ))
         return self._step_cache[key]
