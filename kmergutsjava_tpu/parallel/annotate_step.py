@@ -56,7 +56,7 @@ def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_encode_and_probe, s_loc=planes["s_loc"],
                  probe_window=probe_window, num_sigs=table.num_sigs)
-    table_spec = P(TABLE_AXIS, None)
+    table_spec = P(TABLE_AXIS, None, None)
     step = jax.jit(
         jax.shard_map(
             fn, mesh=mesh,
@@ -115,7 +115,7 @@ def make_sharded_dna_step(mesh, table: KmerTable, probe_window: int
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_dna_encode_and_probe, s_loc=planes["s_loc"],
                  probe_window=probe_window, num_sigs=table.num_sigs)
-    table_spec = P(TABLE_AXIS, None)
+    table_spec = P(TABLE_AXIS, None, None)
     step = jax.jit(
         jax.shard_map(
             fn, mesh=mesh,

@@ -28,10 +28,19 @@ from .mesh import DATA_AXIS, TABLE_AXIS
 
 
 def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
-    """Host-side prep: planes as [n_shards, slice + halo] stacked arrays."""
+    """Host-side prep: per-shard slot-range slices (+ probe halo) reshaped
+    to 128-lane rows plus one spill row — TPU XLA vectorizes whole-row
+    gathers but runs 1-D-operand gathers scalar (docs/performance.md), so
+    every plane is [n_shards, rows_loc, 128]."""
+    if probe_window > 128:
+        raise ValueError("sharded lookup requires probe_window <= 128 "
+                         "(two-row gather); rebuild the table at a lower "
+                         "load factor")
     s = table.num_sigs
     s_loc = -(-s // n_shards)
-    total = n_shards * s_loc + probe_window
+    slice_len = s_loc + probe_window
+    rows_loc = -(-slice_len // 128) + 1
+    total = n_shards * s_loc + slice_len
     kmer = np.full(total, EMPTY_KMER, dtype=np.int64)
     kmer[:s] = table.slots["kmer"]
     otu = np.zeros(total, np.int32)
@@ -43,35 +52,58 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
     wt = np.zeros(total, np.float32)
     wt[:s] = table.slots["wt"]
 
-    def window(a):
-        return np.stack([a[i * s_loc: i * s_loc + s_loc + probe_window]
-                         for i in range(n_shards)])
+    def window(a, fill):
+        out = np.full((n_shards, rows_loc * 128), fill, dtype=a.dtype)
+        for i in range(n_shards):
+            out[i, :slice_len] = a[i * s_loc: i * s_loc + slice_len]
+        return out.reshape(n_shards, rows_loc, 128)
 
-    return {"kmer": window(kmer), "otu": window(otu), "avg": window(avg),
-            "fi": window(fi), "wt": window(wt), "s_loc": s_loc}
+    return {"kmer": window(kmer, EMPTY_KMER), "otu": window(otu, 0),
+            "avg": window(avg, 0), "fi": window(fi, 0),
+            "wt": window(wt, 0), "s_loc": s_loc}
+
+
+def _lane_select(rows, lane):
+    """rows[q, lane[q]] without a minor-dim gather: one-hot mask + sum."""
+    onehot = jnp.arange(128, dtype=jnp.int32)[None, :] == lane[:, None]
+    return jnp.sum(jnp.where(onehot, rows, jnp.zeros_like(rows)), axis=1)
 
 
 def _local_probe(tk, t_otu, t_avg, t_fi, t_wt, values, homes, s_loc, probe_window):
     """Probe queries whose home falls in this shard's slice. Runs inside
-    shard_map; leading shard dim of the table planes is squeezed to 1."""
+    shard_map; leading shard dim of the table planes is squeezed to 1.
+    Row-gather formulation: a W<=128 window always lies within two
+    consecutive 128-lane rows; metadata is row-gathered at the matched
+    slot and the lane selected with a one-hot sum (no scalar gathers)."""
     tk = tk[0]
     t_otu, t_avg, t_fi, t_wt = t_otu[0], t_avg[0], t_fi[0], t_wt[0]
     shard = jax.lax.axis_index(TABLE_AXIS)
     local = homes.astype(jnp.int32) - shard * s_loc
     mine = (local >= 0) & (local < s_loc)
     base = jnp.where(mine, local, 0)
-    idx = base[:, None] + jnp.arange(probe_window, dtype=jnp.int32)
-    match = tk[idx] == values[:, None]
-    found = jnp.any(match, axis=-1) & mine
-    off = jnp.argmax(match, axis=-1).astype(jnp.int32)
-    slot = jnp.where(found, base + off, 0)
+    r = jax.lax.shift_right_logical(base, jnp.int32(7))
+    o = base & jnp.int32(127)
+    win = jnp.concatenate([jnp.take(tk, r, axis=0),
+                           jnp.take(tk, r + 1, axis=0)], axis=1)  # [N, 256]
+    rel = jnp.arange(256, dtype=jnp.int32)[None, :] - o[:, None]
+    match = ((win == values[:, None])
+             & (rel >= 0) & (rel < probe_window))
+    big = jnp.int32(probe_window)
+    off = jnp.min(jnp.where(match, rel, big), axis=1)
+    found = (off < big) & mine
+    off = jnp.where(found, off, 0)
+    # matched slot's row/lane within the local slice
+    pos = o + off
+    r2 = r + jax.lax.shift_right_logical(pos, jnp.int32(7))
+    lane = pos & jnp.int32(127)
     z = jnp.int32(0)
     out = (
         found.astype(jnp.int32),
-        jnp.where(found, t_otu[slot], z),
-        jnp.where(found, t_avg[slot], z),
-        jnp.where(found, t_fi[slot], z),
-        jnp.where(found, t_wt[slot], jnp.float32(0)),
+        jnp.where(found, _lane_select(jnp.take(t_otu, r2, axis=0), lane), z),
+        jnp.where(found, _lane_select(jnp.take(t_avg, r2, axis=0), lane), z),
+        jnp.where(found, _lane_select(jnp.take(t_fi, r2, axis=0), lane), z),
+        jnp.where(found, _lane_select(jnp.take(t_wt, r2, axis=0), lane),
+                  jnp.float32(0)),
     )
     return tuple(jax.lax.psum(o, TABLE_AXIS) for o in out)
 
@@ -88,7 +120,7 @@ def make_sharded_lookup(mesh, table: KmerTable, probe_window: int
     planes = shard_table_planes(table, n_shards, probe_window)
     s_loc = planes["s_loc"]
 
-    table_spec = P(TABLE_AXIS, None)
+    table_spec = P(TABLE_AXIS, None, None)
     query_spec = P(DATA_AXIS)
 
     fn = partial(_local_probe, s_loc=s_loc, probe_window=probe_window)
