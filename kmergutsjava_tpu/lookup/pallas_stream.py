@@ -73,30 +73,37 @@ def _stream_block_kernel(w: int, fp_ref, qfp_ref, out_ref,
     fp = fp_ref[0].astype(jnp.int32)          # [rows, block + HALO]
     qfp = [qfp_ref[0, c].astype(jnp.int32) for c in range(channels)]
     big = jnp.int32(w)
+    # first-match scan, VPU-op-minimal form: iterate lanes in REVERSE and
+    # overwrite on match (cmp + select = 2 ops per shift-channel; the
+    # forward cmp+select+min form costs 3 — the kernel is compute-bound,
+    # so this is a direct throughput lever)
     first_cand = [jnp.full((rows, block), w, jnp.int32)
                   for _ in range(channels)]
     first_empty = jnp.full((rows, block), w, jnp.int32)
-    for l in range(w):
+    for l in reversed(range(w)):
         win = fp[:, l:l + block]              # static lane shift, no gather
         lane = jnp.int32(l)
         for c in range(channels):
-            first_cand[c] = jnp.minimum(
-                first_cand[c], jnp.where(win == qfp[c], lane, big))
-        first_empty = jnp.minimum(first_empty,
-                                  jnp.where(win == jnp.int32(FP_EMPTY),
-                                            lane, big))
-    # a candidate counts only if it appears strictly before the first
-    # empty slot (first_empty == w when no empty: the comparison covers
-    # both); pack the channels bytewise, 4 per int32 output plane
-    empty_any = (first_empty < big).astype(jnp.int32)
+            first_cand[c] = jnp.where(win == qfp[c], lane, first_cand[c])
+        first_empty = jnp.where(win == jnp.int32(FP_EMPTY), lane, first_empty)
+    # A candidate counts only if strictly before the first empty slot.
+    # first_cand < first_empty covers every case (both default to w when
+    # absent; equality is impossible because a real query fingerprint is
+    # < FP_EMPTY): no empty -> fe == w, cand -> fc < w; empty first ->
+    # fc > fe. Pack channels bytewise, 4 per int32 output plane; the
+    # select zeroes the offset bits when there is no candidate, and
+    # `& 63` is an identity there (fc < w <= 64 under has_cand) kept so
+    # Mosaic sees the byte can't overflow.
+    empty_any2 = jnp.where(first_empty < big, jnp.int32(2), jnp.int32(0))
     for p in range(channels // 4):
-        acc = jnp.zeros((rows, block), jnp.int32)
+        acc = None
         for c4 in range(4):
             c = 4 * p + c4
-            has_cand = (first_cand[c] < big) & (first_cand[c] < first_empty)
-            off = jnp.where(has_cand, first_cand[c], 0)
-            val = has_cand.astype(jnp.int32) + 2 * empty_any + 4 * off
-            acc = acc | (val << (8 * c4))
+            has_cand = first_cand[c] < first_empty
+            off4 = (first_cand[c] & jnp.int32(63)) << 2
+            val = jnp.where(has_cand, off4 + jnp.int32(1),
+                            jnp.int32(0)) + empty_any2
+            acc = val if acc is None else acc | (val << (8 * c4))
         out_ref[0, p] = acc
 
 

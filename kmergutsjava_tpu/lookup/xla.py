@@ -418,6 +418,13 @@ class StreamingLookup:
 
     Duck-types the query store's ``add_batch`` so the prepare functions
     feed it directly.
+
+    Threading layout (all queues bounded, so backpressure caps memory):
+    the caller's thread only parses/encodes and hands raw chunks to a
+    *dispatch* worker (home sort + pad + host->device transfer + probe
+    call — the transfer blocks in C and releases the GIL); a *resolve*
+    worker does device_get + host verification. FASTA IO, transfers,
+    device probing, and verification therefore all overlap.
     """
 
     MAX_IN_FLIGHT = 4
@@ -425,7 +432,8 @@ class StreamingLookup:
     def __init__(self, lk: XlaLookup, sort_chunks: Optional[bool] = None,
                  compute_kmers_found: bool = False,
                  async_resolve: bool = True,
-                 device_sort: Optional[bool] = None):
+                 device_sort: Optional[bool] = None,
+                 async_dispatch: Optional[bool] = None):
         import os
 
         self.lk = lk
@@ -456,6 +464,8 @@ class StreamingLookup:
         self._worker = None
         self._queue = None
         self._worker_error = None
+        self._dispatcher = None
+        self._dq = None
         if async_resolve:
             import queue
             import threading
@@ -476,6 +486,30 @@ class StreamingLookup:
 
             self._worker = threading.Thread(target=drain, daemon=True)
             self._worker.start()
+        if async_dispatch is None:
+            env = os.environ.get("KMER_ASYNC_DISPATCH")
+            async_dispatch = (env == "1" if env in ("0", "1")
+                              else async_resolve)
+        if async_dispatch and async_resolve:
+            import queue
+            import threading
+
+            self._dq = queue.Queue(maxsize=2)
+
+            def dispatch_drain():
+                while True:
+                    chunk = self._dq.get()
+                    if chunk is None:
+                        return
+                    try:
+                        self._dispatch_chunk(*chunk)
+                    except BaseException as ex:  # surfaced at finish()
+                        self._worker_error = ex
+                        return
+
+            self._dispatcher = threading.Thread(target=dispatch_drain,
+                                                daemon=True)
+            self._dispatcher.start()
 
     # --- store interface ---
     def add_batch(self, values: np.ndarray, cnt_id, pos: np.ndarray) -> None:
@@ -489,6 +523,27 @@ class StreamingLookup:
         self.total_fed += n
         while self._count >= self.lk.chunk:
             self._dispatch(self.lk.chunk)
+
+    def _dispatch(self, k: int) -> None:
+        chunk = self._take(k)
+        if self._dq is not None:
+            self._put_checked(self._dq, chunk)  # bounded = feeder backpressure
+        else:
+            self._dispatch_chunk(*chunk)
+
+    def _put_checked(self, q, item) -> None:
+        """Bounded put that can't deadlock on a dead consumer: re-check the
+        shared worker error whenever the queue stays full."""
+        import queue
+
+        while True:
+            if self._worker_error is not None:
+                raise self._worker_error
+            try:
+                q.put(item, timeout=1.0)
+                return
+            except queue.Full:
+                continue
 
     def _take(self, k: int):
         out_v, out_c, out_p = [], [], []
@@ -512,8 +567,7 @@ class StreamingLookup:
         return (np.concatenate(out_v), np.concatenate(out_c),
                 np.concatenate(out_p))
 
-    def _dispatch(self, k: int) -> None:
-        values, cnt, pos = self._take(k)
+    def _dispatch_chunk(self, values, cnt, pos) -> None:
         homes = (values % np.int64(self.lk.num_sigs)).astype(np.int32)
         if self.sort_chunks and not self.device_sort and len(values) > 1:
             order = np.argsort(homes, kind="stable")
@@ -533,9 +587,7 @@ class StreamingLookup:
         out = probe(jnp.asarray(q_fp), jnp.asarray(homes_p))
         item = (values, cnt, pos, homes, out)
         if self._queue is not None:
-            if self._worker_error is not None:
-                raise self._worker_error
-            self._queue.put(item)  # bounded queue = dispatch backpressure
+            self._put_checked(self._queue, item)  # dispatch backpressure
         else:
             self._pending.append(item)
             while len(self._pending) > self.MAX_IN_FLIGHT:
@@ -579,8 +631,13 @@ class StreamingLookup:
     def finish(self) -> LookupHits:
         if self._count:
             self._dispatch(self._count)
+        if self._dq is not None:
+            self._put_checked(self._dq, None)
+            self._dispatcher.join()
+            self._dispatcher = None
+            self._dq = None
         if self._queue is not None:
-            self._queue.put(None)
+            self._put_checked(self._queue, None)
             self._worker.join()
             self._worker = None
             self._queue = None
