@@ -33,7 +33,7 @@ Arguments:
  --chunk N - (optional) queries per device dispatch (default 524288)
  --prepare IMPL - (optional) encode impl: native (default), numpy, jax
  --grouping IMPL - (optional) call grouping: host (default) or scan (lax.scan)
- --mesh DxT - (optional) device mesh for --backend sharded, e.g. 4x2
+ --mesh DxT - (optional) device mesh for --backend sharded/routed/replicated/stream, e.g. 4x2
  --sort-chunks 0|1 - (optional) force home-sorting of probe chunks (default: auto)
  --device-sort - (optional) run the chunk home-sort on-device
  --profile DIR - (optional) write a jax.profiler trace of the run

@@ -72,38 +72,25 @@ def _stream_block_kernel(w: int, fp_ref, qfp_ref, out_ref,
     # release crashes on packed vector<...x2xi16> compares.)
     fp = fp_ref[0].astype(jnp.int32)          # [rows, block + HALO]
     qfp = [qfp_ref[0, c].astype(jnp.int32) for c in range(channels)]
-    big = jnp.int32(w)
-    # first-match scan, VPU-op-minimal form: iterate lanes in REVERSE and
-    # overwrite on match (cmp + select = 2 ops per shift-channel; the
+    # Pure candidate scan, VPU-op-minimal form: iterate lanes in REVERSE
+    # and overwrite on match (cmp + select = 2 ops per shift-channel; the
     # forward cmp+select+min form costs 3 — the kernel is compute-bound,
-    # so this is a direct throughput lever)
+    # so this is a direct throughput lever). Empty-slot semantics (a probe
+    # stops at the first empty slot) involve no query data at all, so they
+    # live entirely on the host: lookup() compares the packed first-match
+    # offset against a precomputed per-slot empty-distance plane.
     first_cand = [jnp.full((rows, block), w, jnp.int32)
                   for _ in range(channels)]
-    first_empty = jnp.full((rows, block), w, jnp.int32)
     for l in reversed(range(w)):
         win = fp[:, l:l + block]              # static lane shift, no gather
         lane = jnp.int32(l)
         for c in range(channels):
             first_cand[c] = jnp.where(win == qfp[c], lane, first_cand[c])
-        first_empty = jnp.where(win == jnp.int32(FP_EMPTY), lane, first_empty)
-    # A candidate counts only if strictly before the first empty slot.
-    # first_cand < first_empty covers every case (both default to w when
-    # absent; equality is impossible because a real query fingerprint is
-    # < FP_EMPTY): no empty -> fe == w, cand -> fc < w; empty first ->
-    # fc > fe. Pack channels bytewise, 4 per int32 output plane; the
-    # select zeroes the offset bits when there is no candidate, and
-    # `& 63` is an identity there (fc < w <= 64 under has_cand) kept so
-    # Mosaic sees the byte can't overflow.
-    empty_any2 = jnp.where(first_empty < big, jnp.int32(2), jnp.int32(0))
+    # pack the raw offsets bytewise (w <= 64 < 256), 4 channels per int32
     for p in range(channels // 4):
-        acc = None
-        for c4 in range(4):
-            c = 4 * p + c4
-            has_cand = first_cand[c] < first_empty
-            off4 = (first_cand[c] & jnp.int32(63)) << 2
-            val = jnp.where(has_cand, off4 + jnp.int32(1),
-                            jnp.int32(0)) + empty_any2
-            acc = val if acc is None else acc | (val << (8 * c4))
+        acc = first_cand[4 * p]
+        for c4 in range(1, 4):
+            acc = acc | (first_cand[4 * p + c4] << (8 * c4))
         out_ref[0, p] = acc
 
 
@@ -148,7 +135,7 @@ class PallasStreamLookup:
     def __init__(self, table: KmerTable, probe_window: Optional[int] = None,
                  chunk: int = 1 << 19, device=None,
                  interpret: Optional[bool] = None,
-                 channels: int = CHANNELS):
+                 channels: int = CHANNELS, nsuper_multiple: int = 1):
         if channels % 4:
             raise ValueError("channels must be a multiple of 4 (bytewise "
                              "int32 packing)")
@@ -172,16 +159,36 @@ class PallasStreamLookup:
 
         s = table.num_sigs
         self.nsuper = -(-s // (ROWS * BLOCK))
+        if nsuper_multiple > 1:  # shard-divisible superblock count
+            self.nsuper = -(-self.nsuper // nsuper_multiple) * nsuper_multiple
         nblocks = self.nsuper * ROWS
         fp = np.full(nblocks * BLOCK + HALO, FP_EMPTY, dtype=np.uint16)
         occ = table.occupied
         fp[:s][occ] = (table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
+        # Per-slot distance to the first empty slot at or after it, capped
+        # at w — the probe's stop-at-empty semantics depend only on the
+        # table, so they are precomputed here once and applied host-side;
+        # the device kernel is a pure candidate scan. (The padded tail is
+        # all-empty, so every slot has a next empty.)
+        L = len(fp)
+        e_idx = np.where(fp == FP_EMPTY, np.arange(L, dtype=np.int64),
+                         np.int64(2 * L))
+        nxt = np.minimum.accumulate(e_idx[::-1])[::-1]
+        self.fe_plane = np.minimum(nxt - np.arange(L, dtype=np.int64),
+                                   self.w).astype(np.uint8)
         strides = np.lib.stride_tricks.as_strided(
             fp, shape=(nblocks, BLOCK + HALO), strides=(BLOCK * 2, 2))
-        self.fp_blocks = jax.device_put(
-            jnp.asarray(np.ascontiguousarray(strides).reshape(
-                self.nsuper, ROWS, BLOCK + HALO)),
-            device=device)
+        self.fp_blocks = self._place_plane(
+            np.ascontiguousarray(strides).reshape(
+                self.nsuper, ROWS, BLOCK + HALO), device)
+
+    def _place_plane(self, fp_host: np.ndarray, device):
+        return jax.device_put(jnp.asarray(fp_host), device=device)
+
+    def _probe(self, qfp_tiles: np.ndarray):
+        return stream_probe_blocks(
+            self.fp_blocks, jnp.asarray(qfp_tiles), self.nsuper, self.w,
+            self.channels, self.interpret)
 
     def _scatter_dense(self, values: np.ndarray):
         """Bucket queries into the dense [nsuper, C, ROWS, BLOCK] tile.
@@ -217,17 +224,18 @@ class PallasStreamLookup:
         (qfp_tiles, sel, overflow_idx, sup, rk, row, within,
          homes) = self._scatter_dense(values)
 
-        out = jax.device_get(stream_probe_blocks(
-            self.fp_blocks, jnp.asarray(qfp_tiles), self.nsuper, self.w,
-            self.channels, self.interpret))
+        out = jax.device_get(self._probe(qfp_tiles))
         packed = out[sup, rk >> 2, row, within] >> (8 * (rk & 3))
-        st = packed & 0x3
-        off = (packed >> 2) & 0x3F
+        off = (packed & 0xFF).astype(np.int64)  # first fp-match offset, w if none
+        fe = self.fe_plane[homes[sel]].astype(np.int64)
 
         found = np.zeros(n, dtype=bool)
         slot_off = np.zeros(n, dtype=np.int64)
-        has_cand = (st & 1) != 0
-        empty_any = (st & 2) != 0
+        # a candidate counts only strictly before the first empty slot;
+        # off == w (no match) can't pass because fe <= w and equality with
+        # a real match offset is impossible (a slot isn't both)
+        has_cand = off < fe
+        empty_any = fe < self.w
         cand_slot = homes[sel] + off
         verified = has_cand & (self._exact.host_kmer[
             np.minimum(cand_slot, len(self._exact.host_kmer) - 1)]

@@ -314,10 +314,20 @@ class Engine:
             return lk.lookup(rec["value"], rec["cnt"], rec["pos"])
         if cfg.backend == "stream":
             # dense-regime Pallas kernel: the table is streamed once per
-            # batch, queries scattered into slot-major channel tiles
-            from ..lookup.pallas_stream import PallasStreamLookup
-            lk = PallasStreamLookup(table, probe_window=cfg.probe_window,
-                                    chunk=cfg.lookup_chunk)
+            # batch, queries scattered into slot-major channel tiles;
+            # with --mesh, plane + tiles shard by superblock range (the
+            # scatter already routed queries home, so zero collectives)
+            if cfg.mesh_shape:
+                from ..parallel.stream_shards import (StreamShardedLookup,
+                                                      make_stream_mesh)
+                n = cfg.mesh_shape[0] * cfg.mesh_shape[1]
+                lk = StreamShardedLookup(table, mesh=make_stream_mesh(n),
+                                         probe_window=cfg.probe_window,
+                                         chunk=cfg.lookup_chunk)
+            else:
+                from ..lookup.pallas_stream import PallasStreamLookup
+                lk = PallasStreamLookup(table, probe_window=cfg.probe_window,
+                                        chunk=cfg.lookup_chunk)
             return lk.lookup(rec["value"], rec["cnt"], rec["pos"],
                              progress=self._progress(len(rec)),
                              compute_kmers_found=cfg.debug)
