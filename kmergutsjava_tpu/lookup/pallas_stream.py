@@ -23,12 +23,14 @@ shifts in the kernel*:
   *static lane shift* of the fp slice broadcast-compared against the whole
   query tile.  W static shifts replace N dynamic gathers.
 
-Per block the kernel emits one int32 per (channel, slot) packing
-``state | first_candidate_offset << 2`` (state bit0 = fingerprint candidate
-before first empty, bit1 = empty seen).  Host-side verification against the
-full k-mer values and the exact fallback for the unresolved remainder are
-shared with the XLA backend (same semantics as lookup/xla.py, pinned by the
-same differential tests against lookup/parity.py).
+Per block the kernel emits one int32 per (4 channels, slot): the raw
+first-fingerprint-match offset of each channel, packed bytewise (w if no
+match).  Stop-at-empty semantics involve no query data, so they are applied
+host-side against a precomputed per-slot empty-distance plane.  Host-side
+verification against the full k-mer values and the exact fallback for the
+unresolved remainder are shared with the XLA backend (same semantics as
+lookup/xla.py, pinned by the same differential tests against
+lookup/parity.py).
 
 HBM traffic: (2 + 2C + 4C') bytes per table slot per pass (fp in, query
 tile in, packed result out; C' = C/4 when channels pack into one int32) —
@@ -190,26 +192,35 @@ class PallasStreamLookup:
             self.fp_blocks, jnp.asarray(qfp_tiles), self.nsuper, self.w,
             self.channels, self.interpret)
 
-    def _scatter_dense(self, values: np.ndarray):
+    def _scatter_dense(self, values: np.ndarray, tiles: Optional[np.ndarray]
+                       = None, occ: Optional[np.ndarray] = None):
         """Bucket queries into the dense [nsuper, C, ROWS, BLOCK] tile.
 
         Returns (qfp_tiles, ok_index, overflow_index, sup, rank, row,
         within, homes) where ok_index are the original indices placed in
         the tile and overflow_index exceeded their slot's C channels.
+        With ``tiles``/``occ`` given (the incremental streaming path),
+        scatters into the caller's tile and advances the per-slot channel
+        occupancy instead of starting fresh.
         """
         n = len(values)
         homes = (values % np.int64(self.num_sigs)).astype(np.int64)
         order = np.argsort(homes, kind="stable")
         h_s = homes[order]
         rank = np.arange(n) - np.searchsorted(h_s, h_s)
+        if occ is not None:
+            rank = rank + occ[h_s]
+            uniq, counts = np.unique(h_s, return_counts=True)
+            occ[uniq] = np.minimum(occ[uniq].astype(np.int64) + counts,
+                                   255).astype(occ.dtype)
         ok = rank < self.channels
         blk = h_s[ok] // BLOCK
         sup = (blk // ROWS).astype(np.int64)
         row = (blk % ROWS).astype(np.int64)
         within = (h_s[ok] % BLOCK).astype(np.int64)
         rk = rank[ok]
-        qfp_tiles = np.zeros((self.nsuper, self.channels, ROWS, BLOCK),
-                             dtype=np.uint16)
+        qfp_tiles = (np.zeros((self.nsuper, self.channels, ROWS, BLOCK),
+                              dtype=np.uint16) if tiles is None else tiles)
         qfp_tiles[sup, rk, row, within] = (values[order[ok]] % FP_MOD).astype(
             np.uint16)
         return qfp_tiles, order[ok], order[~ok], sup, rk, row, within, homes
@@ -223,44 +234,119 @@ class PallasStreamLookup:
             return LookupHits.from_lists(z, z, z, z, z, z, 0)
         (qfp_tiles, sel, overflow_idx, sup, rk, row, within,
          homes) = self._scatter_dense(values)
-
         out = jax.device_get(self._probe(qfp_tiles))
+        cnt = np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,))
+        pos = np.asarray(pos, dtype=np.int64)
+        placed = (values[sel], cnt[sel], pos[sel], homes[sel],
+                  sup, rk, row, within)
+        over = (values[overflow_idx], cnt[overflow_idx], pos[overflow_idx],
+                homes[overflow_idx])
+        return self._decode(out, placed, over, n, progress,
+                            compute_kmers_found)
+
+    def _decode(self, out, placed, over, n_total: int, progress,
+                compute_kmers_found: bool) -> LookupHits:
+        """Resolve kernel output into hits: fingerprint-candidate
+        verification against the full k-mer values, then the exact
+        full-window pass for unresolved + channel-overflow queries."""
+        pv, pc, pp, ph, sup, rk, row, within = placed
         packed = out[sup, rk >> 2, row, within] >> (8 * (rk & 3))
         off = (packed & 0xFF).astype(np.int64)  # first fp-match offset, w if none
-        fe = self.fe_plane[homes[sel]].astype(np.int64)
-
-        found = np.zeros(n, dtype=bool)
-        slot_off = np.zeros(n, dtype=np.int64)
+        fe = self.fe_plane[ph].astype(np.int64)
         # a candidate counts only strictly before the first empty slot;
         # off == w (no match) can't pass because fe <= w and equality with
         # a real match offset is impossible (a slot isn't both)
         has_cand = off < fe
         empty_any = fe < self.w
-        cand_slot = homes[sel] + off
-        verified = has_cand & (self._exact.host_kmer[
-            np.minimum(cand_slot, len(self._exact.host_kmer) - 1)]
-            == values[sel])
-        found[sel] = verified
-        slot_off[sel] = off
-        unresolved_sel = sel[(~verified & has_cand) | (~has_cand & ~empty_any)]
-        todo = np.concatenate([unresolved_sel, overflow_idx]).astype(np.int64)
-
-        if len(todo):
+        host_kmer = self._exact.host_kmer
+        cand_slot = np.minimum(ph + off, len(host_kmer) - 1)
+        verified = has_cand & (host_kmer[cand_slot] == pv)
+        unresolved = (~verified & has_cand) | (~has_cand & ~empty_any)
+        ov, oc, op_, oh = over
+        tv = np.concatenate([pv[unresolved], ov])
+        tc = np.concatenate([pc[unresolved], oc])
+        tp = np.concatenate([pp[unresolved], op_])
+        th = np.concatenate([ph[unresolved], oh])
+        if len(tv):
             f2, o2 = self._exact._host_full_window(
-                values, homes.astype(np.int32), todo)
-            found[todo] = f2
-            slot_off[todo] = o2
-
-        mask = found
-        slots = np.minimum(homes[mask] + slot_off[mask], self.num_sigs - 1)
+                tv, th.astype(np.int32), np.arange(len(tv), dtype=np.int64))
+        else:
+            f2 = np.zeros(0, dtype=bool)
+            o2 = np.zeros(0, dtype=np.int64)
+        slots = np.concatenate([
+            cand_slot[verified],
+            np.minimum(th[f2] + o2[f2], self.num_sigs - 1)])
+        hit_v = np.concatenate([pv[verified], tv[f2]])
         t = self.table.slots
         if progress is not None:
-            progress.update(n, int(mask.sum()))
+            progress.update(n_total, len(slots))
         return LookupHits(
-            cnt_id=np.asarray(cnt_id)[mask].astype(np.int64),
-            pos=np.asarray(pos)[mask].astype(np.int64),
-            otu=t["otu"][slots].copy(), avg_from_end=t["avg_from_end"][slots].copy(),
+            cnt_id=np.concatenate([pc[verified], tc[f2]]).astype(np.int64),
+            pos=np.concatenate([pp[verified], tp[f2]]).astype(np.int64),
+            otu=t["otu"][slots].copy(),
+            avg_from_end=t["avg_from_end"][slots].copy(),
             fi=t["fi"][slots].copy(), wt=t["wt"][slots].copy(),
-            kmers_found=(int(np.unique(values[mask]).size)
+            kmers_found=(int(np.unique(hit_v).size)
                          if compute_kmers_found else -1),
         )
+
+
+class StreamingStreamLookup:
+    """Feed-as-you-parse front end for the stream kernel.
+
+    Duck-types the query store's ``add_batch`` (like xla.StreamingLookup)
+    so the prepare phase scatters each chunk of query k-mers straight into
+    the persistent dense tiles — a per-slot channel-occupancy counter
+    carries collision ranks across chunks — and ``finish()`` runs ONE
+    kernel pass over the table. The buffering copy through the query store
+    and its final full-size argsort disappear; decode bookkeeping is kept
+    columnar per chunk and concatenated once.
+    """
+
+    def __init__(self, lk: PallasStreamLookup,
+                 compute_kmers_found: bool = False):
+        self.lk = lk
+        self.compute_kmers_found = compute_kmers_found
+        self.qfp_tiles = np.zeros((lk.nsuper, lk.channels, ROWS, BLOCK),
+                                  dtype=np.uint16)
+        self._occ = np.zeros(lk.num_sigs, dtype=np.uint8)
+        self._placed: list = []   # per chunk: (v, cnt, pos, homes, sup, rk, row, within)
+        self._over: list = []     # per chunk: (v, cnt, pos, homes)
+        self.total_fed = 0
+
+    def add_batch(self, values: np.ndarray, cnt_id, pos: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.int64)
+        n = len(values)
+        if n == 0:
+            return
+        cnt = np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,))
+        pos = np.asarray(pos, dtype=np.int64)
+        self.total_fed += n
+        (_, sel, overflow_idx, sup, rk, row, within,
+         homes) = self.lk._scatter_dense(values, tiles=self.qfp_tiles,
+                                         occ=self._occ)
+        self._placed.append((values[sel], cnt[sel].copy(), pos[sel],
+                             homes[sel], sup, rk, row, within))
+        if len(overflow_idx):
+            self._over.append((values[overflow_idx],
+                               cnt[overflow_idx].copy(), pos[overflow_idx],
+                               homes[overflow_idx]))
+
+    def partial_hits(self) -> LookupHits:
+        """Nothing is probed before finish(); an error mid-prepare has
+        found no hits yet (the reference reports whatever was found,
+        ref :797-802)."""
+        z = np.zeros(0)
+        return LookupHits.from_lists(z, z, z, z, z, z,
+                                     0 if self.compute_kmers_found else -1)
+
+    def finish(self, progress=None) -> LookupHits:
+        if not self.total_fed:
+            return self.partial_hits()
+        out = jax.device_get(self.lk._probe(self.qfp_tiles))
+        cat = lambda parts, k: (np.concatenate([p[k] for p in parts])
+                                if parts else np.zeros(0, dtype=np.int64))
+        placed = tuple(cat(self._placed, k) for k in range(8))
+        over = tuple(cat(self._over, k) for k in range(4))
+        return self.lk._decode(out, placed, over, self.total_fed, progress,
+                               self.compute_kmers_found)

@@ -136,6 +136,27 @@ class Engine:
                                        cfg.resolved_temp_dir())
                 feed = store
                 self.config = cfg = _replace_backend(cfg, "parity")
+        elif cfg.backend == "stream" and not table.truncated:
+            # the dense-regime kernel's streaming front end: each prepare
+            # chunk scatters straight into the persistent query tiles;
+            # finish() runs one kernel pass over the whole table
+            from ..lookup.pallas_stream import StreamingStreamLookup
+
+            try:
+                streaming = StreamingStreamLookup(
+                    self._stream_lookup(table, cfg),
+                    compute_kmers_found=cfg.debug)
+                feed = streaming
+            except ValueError as ex:
+                # e.g. max_probe beyond the packed-offset budget
+                import warnings
+
+                warnings.warn(f"stream backend unavailable ({ex}); "
+                              "falling back to the parity scan")
+                store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
+                                       cfg.resolved_temp_dir())
+                feed = store
+                self.config = cfg = _replace_backend(cfg, "parity")
         else:
             store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
                                    cfg.resolved_temp_dir())
@@ -314,20 +335,8 @@ class Engine:
             return lk.lookup(rec["value"], rec["cnt"], rec["pos"])
         if cfg.backend == "stream":
             # dense-regime Pallas kernel: the table is streamed once per
-            # batch, queries scattered into slot-major channel tiles;
-            # with --mesh, plane + tiles shard by superblock range (the
-            # scatter already routed queries home, so zero collectives)
-            if cfg.mesh_shape:
-                from ..parallel.stream_shards import (StreamShardedLookup,
-                                                      make_stream_mesh)
-                n = cfg.mesh_shape[0] * cfg.mesh_shape[1]
-                lk = StreamShardedLookup(table, mesh=make_stream_mesh(n),
-                                         probe_window=cfg.probe_window,
-                                         chunk=cfg.lookup_chunk)
-            else:
-                from ..lookup.pallas_stream import PallasStreamLookup
-                lk = PallasStreamLookup(table, probe_window=cfg.probe_window,
-                                        chunk=cfg.lookup_chunk)
+            # batch, queries scattered into slot-major channel tiles
+            lk = self._stream_lookup(table, cfg)
             return lk.lookup(rec["value"], rec["cnt"], rec["pos"],
                              progress=self._progress(len(rec)),
                              compute_kmers_found=cfg.debug)
@@ -352,6 +361,37 @@ class Engine:
                               probe_window=max(16, table.max_probe or 16))
             return rl.lookup(rec["value"], rec["cnt"], rec["pos"])
         raise ValueError(f"unknown lookup backend: {cfg.backend}")
+
+    def _stream_lookup(self, table, cfg):
+        """Build (with a warm-state cache) the stream-kernel lookup; with
+        --mesh, plane + tiles shard by superblock range over the devices
+        (the scatter already routed queries home, so zero collectives)."""
+        import os
+
+        try:
+            ident = (os.path.realpath(self._table_path),
+                     os.path.getmtime(self._table_path),
+                     os.path.getsize(self._table_path))
+        except (OSError, TypeError):
+            ident = (self._table_path, None, None)
+        key = ("stream", ident, cfg.probe_window, cfg.lookup_chunk,
+               cfg.mesh_shape)
+        lk = _LOOKUP_CACHE.get(key)
+        if lk is None:
+            if cfg.mesh_shape:
+                from ..parallel.stream_shards import (StreamShardedLookup,
+                                                      make_stream_mesh)
+                n = cfg.mesh_shape[0] * cfg.mesh_shape[1]
+                lk = StreamShardedLookup(table, mesh=make_stream_mesh(n),
+                                         probe_window=cfg.probe_window,
+                                         chunk=cfg.lookup_chunk)
+            else:
+                from ..lookup.pallas_stream import PallasStreamLookup
+                lk = PallasStreamLookup(table, probe_window=cfg.probe_window,
+                                        chunk=cfg.lookup_chunk)
+            _LOOKUP_CACHE.clear()
+            _LOOKUP_CACHE[key] = lk
+        return lk
 
     def _sharded_lookup(self, table, rec) -> LookupHits:
         """Multi-device lookup over a (data, table) mesh; mesh shape from

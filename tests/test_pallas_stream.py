@@ -79,3 +79,37 @@ def test_stream_empty_input():
     table = build_table(**sig)
     z = np.zeros(0, dtype=np.int64)
     assert len(PallasStreamLookup(table).lookup(z, z, z)) == 0
+
+
+@pytest.mark.parametrize("seed,n_chunks", [(3, 1), (4, 7), (5, 23)])
+def test_streaming_stream_matches_oneshot(seed, n_chunks):
+    """Chunk-by-chunk tile accumulation == one-shot scatter: the per-slot
+    occupancy counter must carry collision ranks across chunk boundaries
+    (same home hit from different chunks -> different channels)."""
+    from kmergutsjava_tpu.lookup.pallas_stream import StreamingStreamLookup
+
+    rng = np.random.default_rng(seed)
+    sig = random_signatures(rng, 2000)
+    table = build_table(**sig, load_factor=0.8)
+    values, cnt, pos = make_queries(rng, sig["kmers"], 9000)
+    # force cross-chunk collisions: many duplicates of the same homes
+    values[::5] = values[0]
+    lk = PallasStreamLookup(table)
+    a = lk.lookup(values, cnt, pos)
+    s = StreamingStreamLookup(lk, compute_kmers_found=True)
+    for part in np.array_split(np.arange(len(values)), n_chunks):
+        s.add_batch(values[part], cnt[part], pos[part])
+    b = s.finish()
+    assert canon(a) == canon(b)
+    assert a.kmers_found == b.kmers_found
+
+
+def test_streaming_stream_empty():
+    from kmergutsjava_tpu.lookup.pallas_stream import StreamingStreamLookup
+
+    rng = np.random.default_rng(9)
+    sig = random_signatures(rng, 500)
+    table = build_table(**sig)
+    s = StreamingStreamLookup(PallasStreamLookup(table))
+    assert len(s.finish()) == 0
+    assert len(s.partial_hits()) == 0
