@@ -27,7 +27,11 @@ class EngineConfig:
     temp_dir: Optional[str] = None
 
     # TPU-native extensions
-    backend: str = "xla"  # "parity" | "xla" | "stream" | "pallas" | ...
+    # lookup backend: "auto" (default; picks stream vs xla from the
+    # estimated query count vs table size — both are exact, a wrong guess
+    # only costs speed) | "parity" | "xla" | "stream" | "pallas" |
+    # "sharded" | "routed" | "replicated"
+    backend: str = "auto"
     # encode/translate implementation for the feeder pipeline: "native"
     # (C++ feeder via ctypes, default; numpy fallback if no toolchain),
     # "numpy" (vectorized host twin), or "jax" (the jitted device ops;

@@ -47,6 +47,34 @@ def _replace_backend(cfg: EngineConfig, backend: str) -> EngineConfig:
     return dataclasses.replace(cfg, backend=backend)
 
 
+def _auto_backend(table, query: Optional[str], cfg: EngineConfig) -> str:
+    """Density heuristic for backend 'auto' (both candidates are exact, so
+    a wrong guess only costs speed). The stream kernel pays one plane pass
+    (~channels*numSigs slot-channels) regardless of query count while the
+    row-gather path pays per query; the measured crossover is about
+    numSigs/12 queries (docs/performance.md). Query count is estimated
+    from the input size upfront: ~1 query k-mer per FASTA byte in aa mode,
+    ~2 per byte for DNA (6 frames of len/3 windows, two strands), ~3.5x
+    for gzip. Unknown sizes (stdin) keep the streaming xla path. With an
+    explicit --mesh, the sparse side routes instead (the multi-chip
+    sparse path); the dense side shards the stream kernel.
+    """
+    import os
+
+    dense, sparse = ("stream", "routed") if cfg.mesh_shape \
+        else ("stream", "xla")
+    if query is None:
+        return sparse
+    try:
+        size = os.path.getsize(query)
+    except OSError:
+        return sparse
+    if query.endswith(".gz"):
+        size *= 3.5
+    est_queries = size * (1.0 if cfg.aa else 2.0)
+    return dense if est_queries > table.num_sigs / 12 else sparse
+
+
 def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup":
     import os
 
@@ -92,8 +120,15 @@ class Engine:
             stdout: bool = False, query_stream: Optional[TextIO] = None) -> None:
         from ..utils.timing import maybe_profile
 
-        with maybe_profile(self.config.profile_dir):
-            self._run(data_dir, query, out_stream, stdout, query_stream)
+        # _run may resolve backend "auto" (or degrade to "parity") by
+        # rebinding self.config; restore so a reused Engine (the server)
+        # re-resolves per request
+        orig_config = self.config
+        try:
+            with maybe_profile(self.config.profile_dir):
+                self._run(data_dir, query, out_stream, stdout, query_stream)
+        finally:
+            self.config = orig_config
 
     def _run(self, data_dir: str, query: Optional[str], out_stream: TextIO,
              stdout: bool = False, query_stream: Optional[TextIO] = None) -> None:
@@ -107,6 +142,9 @@ class Engine:
         self._table_path = table_path
         functions = load_function_index(func_path)
         table = read_table(table_path)
+        if cfg.backend == "auto":
+            self.config = cfg = _replace_backend(
+                cfg, _auto_backend(table, query, cfg))
 
         # --- phase 1: prepare (ref :776-795) ---
         # xla backend: the feeder streams k-mer batches straight into the

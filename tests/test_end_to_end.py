@@ -293,3 +293,45 @@ def test_combined_gz_spill_parity_dna(tmp_path):
                      "-o", str(out2)]) == 0
     assert out1.read_text() == out2.read_text()
     assert "CALL\t" in out1.read_text()
+
+
+def test_auto_backend_resolution(tmp_path):
+    """backend 'auto' picks stream for dense inputs, xla for sparse/stdin,
+    routed for sparse with a mesh — and the report is identical either way."""
+    import io
+
+    from kmergutsjava_tpu.config import EngineConfig
+    from kmergutsjava_tpu.formats.table_tools import (signatures_from_proteins,
+                                                      write_data_dir)
+    from kmergutsjava_tpu.models.pipeline import Engine, _auto_backend
+    from kmergutsjava_tpu.formats.kmer_table import read_table, resolve_table_files
+
+    aa = "ACDEFGHIKLMNPQRSTVWY"
+    d = str(tmp_path / "d")
+    write_data_dir(d, signatures_from_proteins([(aa, 0, 3)], weight=0.5),
+                   ["funcA"])
+    table = read_table(resolve_table_files(d)[0])
+    fasta = tmp_path / "q.faa"
+    fasta.write_text(">P1\n" + aa + "\n")
+
+    cfg = EngineConfig(aa=True)
+    # tiny table (dozens of slots) vs a ~30-byte file -> dense -> stream
+    assert _auto_backend(table, str(fasta), cfg) == "stream"
+    assert _auto_backend(table, None, cfg) == "xla"  # stdin: unknown size
+    cfg_mesh = EngineConfig(aa=True, mesh_shape=(4, 2))
+    assert _auto_backend(table, None, cfg_mesh) == "routed"
+
+    # sparse: inflate num_sigs far beyond the estimate
+    class FakeTable:
+        num_sigs = 10**9
+    assert _auto_backend(FakeTable, str(fasta), cfg) == "xla"
+
+    outs = []
+    for backend in ("auto", "xla"):
+        out = io.StringIO()
+        eng = Engine(EngineConfig(aa=True, backend=backend))
+        eng.run(d, str(fasta), out, stdout=True)
+        assert eng.config.backend == backend  # restored after the run
+        outs.append(out.getvalue())
+    assert outs[0] == outs[1]
+    assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000" in outs[0]
