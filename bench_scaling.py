@@ -100,6 +100,21 @@ def main() -> None:
                         "mode": "all_to_all",
                         "lookups_per_sec": round(n_queries / dt, 1),
                         "hits": len(hits)})
+    # zero-collective sharded stream kernel over the full device set
+    from kmergutsjava_tpu.parallel.stream_shards import (StreamShardedLookup,
+                                                         make_stream_mesh)
+
+    for shards in [s for s in (2, n_devices) if s <= n_devices]:
+        sl = StreamShardedLookup(table, mesh=make_stream_mesh(shards))
+        sl.lookup(values, np.zeros(len(values)), np.arange(len(values)))
+        t0 = time.time()
+        hits = sl.lookup(values, np.zeros(len(values)),
+                         np.arange(len(values)))
+        dt = time.time() - t0
+        results.append({"mesh": f"stream-{shards}", "devices": shards,
+                        "mode": "zero_collective_stream",
+                        "lookups_per_sec": round(n_queries / dt, 1),
+                        "hits": len(hits)})
     print(json.dumps({
         "metric": "sharded_lookup_scaling",
         "platform": platform,
