@@ -105,19 +105,27 @@ def bench_tpu_stream(table, values, reps: int):
     def timed(r):
         # warm with the SAME static reps: a different rep-grid is a
         # different executable and a first call would time its (remote,
-        # slow) compile
+        # slow) compile; then take the min of two timed runs — relay
+        # latency noise is additive-positive, so min is the honest
+        # estimator
         _sync(stream_reps(lk.fp_blocks, tiles, lk.nsuper, lk.w, r,
                           lk.channels))
-        t0 = time.time()
-        _sync(stream_reps(lk.fp_blocks, tiles, lk.nsuper, lk.w, r,
-                          lk.channels))
-        return time.time() - t0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _sync(stream_reps(lk.fp_blocks, tiles, lk.nsuper, lk.w, r,
+                              lk.channels))
+            best = min(best, time.time() - t0)
+        return best
 
     # Two-point fit: this harness's relay charges a fixed ~1.5s per
-    # dispatch (measured; absent on a directly-attached host), so the
-    # honest ON-CHIP rate is the marginal one, d(work)/d(time) between
-    # two rep counts of the same program. Both raw rates are reported.
-    r1, r2 = 4 * reps, 16 * reps
+    # dispatch (measured; absent on a directly-attached host) with
+    # ~±0.5s run-to-run variance, so the honest ON-CHIP rate is the
+    # marginal one, d(work)/d(time) between two rep counts of the same
+    # program — and the rep spread must be wide enough that the compute
+    # delta dwarfs that variance (16x here: ~4-20s of pure compute
+    # between the points). Both raw rates are reported.
+    r1, r2 = 4 * reps, 64 * reps
     t1, t2 = timed(r1), timed(r2)
     marginal = n * (r2 - r1) / max(t2 - t1, 1e-9)
     fixed = max((t1 * r2 - t2 * r1) / (r2 - r1), 0.0)
@@ -146,12 +154,16 @@ def bench_tpu_rows(table, values, reps: int, chunk: int = 1 << 19):
 
         def timed(r):
             _sync(rows_loop(lk.tbl_fp, qf, homes, lk.w1, r))  # warm same r
-            t0 = time.time()
-            _sync(rows_loop(lk.tbl_fp, qf, homes, lk.w1, r))
-            return time.time() - t0
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _sync(rows_loop(lk.tbl_fp, qf, homes, lk.w1, r))
+                best = min(best, time.time() - t0)
+            return best
 
-        # marginal rate (two-point fit; see bench_tpu_stream)
-        r1, r2 = reps, 4 * reps
+        # marginal rate (two-point fit, min-of-2, wide rep spread; see
+        # bench_tpu_stream)
+        r1, r2 = reps, 8 * reps
         t1, t2 = timed(r1), timed(r2)
         device_secs = max(t2 - t1, 1e-9) / (r2 - r1)
 

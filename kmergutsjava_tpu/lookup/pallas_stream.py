@@ -203,16 +203,23 @@ class PallasStreamLookup:
         scatters into the caller's tile and advances the per-slot channel
         occupancy instead of starting fresh.
         """
-        n = len(values)
         homes = (values % np.int64(self.num_sigs)).astype(np.int64)
-        order = np.argsort(homes, kind="stable")
-        h_s = homes[order]
-        rank = np.arange(n) - np.searchsorted(h_s, h_s)
+        # Duplicate values share one tile cell: equal values have the same
+        # home and fingerprint, so one probe answers every copy. Real
+        # corpora repeat k-mers heavily — deduplication keeps duplicates
+        # from exhausting a slot's C channels (which would dump them on
+        # the host exact path).
+        uniq, inv = np.unique(values, return_inverse=True)
+        nu = len(uniq)
+        h_u = uniq % np.int64(self.num_sigs)
+        order = np.argsort(h_u, kind="stable")
+        h_s = h_u[order]
+        rank = np.arange(nu) - np.searchsorted(h_s, h_s)
         if occ is not None:
             rank = rank + occ[h_s]
-            uniq, counts = np.unique(h_s, return_counts=True)
-            occ[uniq] = np.minimum(occ[uniq].astype(np.int64) + counts,
-                                   255).astype(occ.dtype)
+            uh, counts = np.unique(h_s, return_counts=True)
+            occ[uh] = np.minimum(occ[uh].astype(np.int64) + counts,
+                                 255).astype(occ.dtype)
         ok = rank < self.channels
         blk = h_s[ok] // BLOCK
         sup = (blk // ROWS).astype(np.int64)
@@ -221,9 +228,23 @@ class PallasStreamLookup:
         rk = rank[ok]
         qfp_tiles = (np.zeros((self.nsuper, self.channels, ROWS, BLOCK),
                               dtype=np.uint16) if tiles is None else tiles)
-        qfp_tiles[sup, rk, row, within] = (values[order[ok]] % FP_MOD).astype(
+        qfp_tiles[sup, rk, row, within] = (uniq[order[ok]] % FP_MOD).astype(
             np.uint16)
-        return qfp_tiles, order[ok], order[~ok], sup, rk, row, within, homes
+        # expand unique placements back to the original query indices
+        placed_ids = order[ok]
+        placed = np.zeros(nu, dtype=bool)
+        placed[placed_ids] = True
+        sup_u = np.zeros(nu, dtype=np.int64)
+        rk_u = np.zeros(nu, dtype=np.int64)
+        row_u = np.zeros(nu, dtype=np.int64)
+        within_u = np.zeros(nu, dtype=np.int64)
+        sup_u[placed_ids], rk_u[placed_ids] = sup, rk
+        row_u[placed_ids], within_u[placed_ids] = row, within
+        ok_mask = placed[inv]
+        ok_index = np.flatnonzero(ok_mask)
+        iu = inv[ok_index]
+        return (qfp_tiles, ok_index, np.flatnonzero(~ok_mask),
+                sup_u[iu], rk_u[iu], row_u[iu], within_u[iu], homes)
 
     def lookup(self, values: np.ndarray, cnt_id: np.ndarray, pos: np.ndarray,
                progress=None, compute_kmers_found: bool = True) -> LookupHits:
