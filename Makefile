@@ -1,7 +1,7 @@
 # Build/test entry points (counterpart of the reference's Makefile/build.xml)
 .PHONY: all test bench baseline clean
 
-all: baseline feeder
+all: baseline feeder grouping
 
 baseline: native/kmer_guts_baseline
 
@@ -11,6 +11,11 @@ native/kmer_guts_baseline: native/kmer_guts_baseline.cpp
 feeder: native/feeder.so
 
 native/feeder.so: native/feeder.cpp
+	g++ -O3 -shared -fPIC -o $@ $<
+
+grouping: native/grouping.so
+
+native/grouping.so: native/grouping.cpp
 	g++ -O3 -shared -fPIC -o $@ $<
 
 test:
@@ -23,4 +28,4 @@ bench: baseline
 	python bench.py
 
 clean:
-	rm -f native/kmer_guts_baseline native/feeder.so
+	rm -f native/kmer_guts_baseline native/feeder.so native/grouping.so

@@ -496,9 +496,11 @@ class Engine:
         # batch-evaluate the single-function fast path globally (per-CALL
         # python work instead of per-container numpy work)
         cfg = self.config
-        global_ok = (not params.debug and params.min_hits >= 2
-                     and not params.order_constraint
-                     and cfg.grouping_impl == "host")
+        batch_ok = (not params.debug and params.min_hits >= 2
+                    and cfg.grouping_impl == "host")
+        # the single-fi reduction proof additionally needs no collinearity
+        # filter (ref :490 can reject hits); the native machine handles it
+        global_ok = batch_ok and not params.order_constraint
         pre = {}
         elig = np.zeros(len(prep.containers), dtype=bool)
         if global_ok and len(uniq):
@@ -514,6 +516,22 @@ class Engine:
                 if elig[cid]:
                     by_container[key] = empty_pre
 
+        # everything else (multi-function, capped, order-constrained) runs
+        # through the native batch machine in ONE ctypes call
+        native_pre = {}
+        if batch_ok and len(uniq):
+            from ..calls.batch_native import batch_group_calls, \
+                native_available
+
+            if native_available():
+                todo = np.array([k for k, cid in enumerate(uniq.tolist())
+                                 if not elig[cid]
+                                 and cnt_to_key.get(cid) is not None],
+                                dtype=np.int64)
+                native_pre = batch_group_calls(
+                    cnt_s, pos_s, otu_s, avg_s, fi_s, wt_s, todo, bounds,
+                    functions, params)
+
         bounds_l = bounds.tolist()
         for k, cid in enumerate(uniq.tolist()):
             key = cnt_to_key.get(cid)
@@ -522,6 +540,9 @@ class Engine:
             if elig[cid]:
                 lines, updates = pre.get(cid, ([], []))
                 by_container[key] = ("pre", lines, updates)
+                continue
+            if cid in native_pre:
+                by_container[key] = native_pre[cid]
                 continue
             a, b = bounds_l[k], bounds_l[k + 1]
             by_container[key] = (pos_s[a:b], otu_s[a:b], avg_s[a:b],

@@ -49,3 +49,42 @@ def load_feeder() -> Optional[ctypes.CDLL]:
         except Exception:
             _lib = None
         return _lib
+
+
+_GRP_SRC = os.path.join(os.path.dirname(_SRC), "grouping.cpp")
+_GRP_SO = os.path.join(os.path.dirname(_SRC), "grouping.so")
+_F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+_grp_lib = None
+_grp_tried = False
+
+
+def load_grouping() -> Optional[ctypes.CDLL]:
+    """Native batch grouping core (native/grouping.cpp); None without g++."""
+    global _grp_lib, _grp_tried
+    with _lock:
+        if _grp_lib is not None or _grp_tried:
+            return _grp_lib
+        _grp_tried = True
+        try:
+            if (not os.path.exists(_GRP_SO)
+                    or os.path.getmtime(_GRP_SO) < os.path.getmtime(_GRP_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _GRP_SO,
+                     _GRP_SRC], check=True, capture_output=True)
+            lib = ctypes.CDLL(_GRP_SO)
+            fn = lib.group_batch
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                _I64P, _I32P, _I32P, _I32P, _F32P,           # hit columns
+                _I64P, ctypes.c_int64,                        # bounds
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32,                               # params
+                _I64P, _I64P, _I64P, _I32P, _I32P, _F32P,     # call records
+                _I32P, _I32P, _I32P,                          # nupd + updates
+                ctypes.c_int64, ctypes.c_int64,               # capacities
+            ]
+            _grp_lib = lib
+        except Exception:
+            _grp_lib = None
+        return _grp_lib
