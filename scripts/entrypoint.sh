@@ -1,6 +1,7 @@
 #!/bin/bash
 # Mode dispatch, mirroring the reference's entrypoint contract
-# (ref scripts/entrypoint.sh: no-arg -> server, test, bash, one-shot run).
+# (ref scripts/entrypoint.sh: no-arg -> server, test, async, init, bash,
+# report; plus a one-shot CLI "run" mode).
 set -e
 case "${1:-}" in
   "")
@@ -25,8 +26,24 @@ case "${1:-}" in
   async)
     shift; exec python -m kmergutsjava_tpu.service.async_job "$@" -D /data
     ;;
+  init)
+    # reference "init" is a no-op echo; here it validates the mounted data
+    # directory (header, slot invariants, function index) so a bad mount
+    # fails at deploy time instead of on the first request
+    d="${DATA_DIR:-/data}"
+    if [ -d "$d" ]; then
+      exec python -m kmergutsjava_tpu.tools check-table "$d"
+    fi
+    echo "init: no data directory at $d; nothing to validate"
+    ;;
+  report)
+    # reference "report" reruns codegen with KB_SDK_COMPILE_REPORT_FILE
+    # set; this module has no codegen, so the report is emitted directly
+    exec python -m kmergutsjava_tpu.service.compile_report \
+      "${KMER_COMPILE_REPORT_FILE:-./work/compile_report.json}"
+    ;;
   *)
-    echo "Unknown mode: $1 (expected: <none>|test|bash|run|async)" >&2
+    echo "Unknown mode: $1 (expected: <none>|test|bash|run|async|init|report)" >&2
     exit 2
     ;;
 esac

@@ -99,3 +99,45 @@ def test_prepare_deploy_cfg(tmp_path, monkeypatch):
                        capture_output=True, text=True)
     assert r.returncode == 1
     assert "nope_missing" in r.stderr
+
+
+def test_compile_report(tmp_path, capsys):
+    import json
+
+    from kmergutsjava_tpu.service.compile_report import main as report_main
+
+    out = tmp_path / "work" / "compile_report.json"
+    rc = report_main([str(out)])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert rep["module_name"] == "KmerGutsJava"
+    names = {f["name"] for f in rep["functions"]}
+    assert {"status", "annotate", "_annotate_submit", "_check_job"} <= names
+
+
+def test_entrypoint_init_and_report_modes(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo,
+               DATA_DIR=str(tmp_path / "missing"),
+               KMER_COMPILE_REPORT_FILE=str(tmp_path / "rep.json"))
+    ep = os.path.join(repo, "scripts", "entrypoint.sh")
+    r = subprocess.run(["bash", ep, "init"], env=env, cwd=repo,
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and "nothing to validate" in r.stdout
+    # init against a real data dir validates it
+    from kmergutsjava_tpu.tools import main as tmain
+
+    faa = tmp_path / "p.faa"
+    faa.write_text(f">p1 fn\n{AA}\n")
+    tmain(["build-table", "-o", str(tmp_path / "d"), "--fasta", str(faa)])
+    env["DATA_DIR"] = str(tmp_path / "d")
+    r = subprocess.run(["bash", ep, "init"], env=env, cwd=repo,
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and "OK" in r.stdout
+    r = subprocess.run(["bash", ep, "report"], env=env, cwd=repo,
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and (tmp_path / "rep.json").exists()
