@@ -1,7 +1,7 @@
 # Build/test entry points (counterpart of the reference's Makefile/build.xml)
 .PHONY: all test bench baseline clean
 
-all: baseline feeder grouping
+all: baseline feeder grouping scatter
 
 baseline: native/kmer_guts_baseline
 
@@ -18,6 +18,11 @@ grouping: native/grouping.so
 native/grouping.so: native/grouping.cpp
 	g++ -O3 -shared -fPIC -o $@ $<
 
+scatter: native/scatter.so
+
+native/scatter.so: native/scatter.cpp
+	g++ -O3 -shared -fPIC -o $@ $<
+
 test:
 	python -m pytest tests/ -x -q
 
@@ -28,4 +33,5 @@ bench: baseline
 	python bench.py
 
 clean:
-	rm -f native/kmer_guts_baseline native/feeder.so native/grouping.so
+	rm -f native/kmer_guts_baseline native/feeder.so native/grouping.so \
+	      native/scatter.so

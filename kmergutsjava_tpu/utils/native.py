@@ -51,6 +51,47 @@ def load_feeder() -> Optional[ctypes.CDLL]:
         return _lib
 
 
+_SCAT_SRC = os.path.join(os.path.dirname(_SRC), "scatter.cpp")
+_SCAT_SO = os.path.join(os.path.dirname(_SRC), "scatter.so")
+_U16P = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+
+_scat_lib = None
+_scat_tried = False
+
+
+def load_scatter() -> Optional[ctypes.CDLL]:
+    """Native dense-tile scatter (native/scatter.cpp); None without g++."""
+    global _scat_lib, _scat_tried
+    with _lock:
+        if _scat_lib is not None or _scat_tried:
+            return _scat_lib
+        _scat_tried = True
+        if os.environ.get("KMER_NO_NATIVE_SCATTER"):
+            return None
+        try:
+            if (not os.path.exists(_SCAT_SO)
+                    or os.path.getmtime(_SCAT_SO)
+                    < os.path.getmtime(_SCAT_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SCAT_SO,
+                     _SCAT_SRC], check=True, capture_output=True)
+            lib = ctypes.CDLL(_SCAT_SO)
+            fn = lib.scatter_chunk
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                _I64P, ctypes.c_int64,                        # values, n
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,               # dims, fp_mod
+                _U16P, _U8P,                                  # tiles, occ
+                _I64P, _I64P, _I32P,                          # homes, flat, shift
+                _I64P, ctypes.c_int64,                        # ht, ht_size
+            ]
+            _scat_lib = lib
+        except Exception:
+            _scat_lib = None
+        return _scat_lib
+
+
 _GRP_SRC = os.path.join(os.path.dirname(_SRC), "grouping.cpp")
 _GRP_SO = os.path.join(os.path.dirname(_SRC), "grouping.so")
 _F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
