@@ -155,6 +155,7 @@ class PallasStreamLookup:
         # exact path: host verification plane + full-window fallback
         self._exact = XlaLookup(table, probe_window=probe_window, chunk=chunk,
                                 device=device)
+        self._cols = None  # contiguous table columns, built on first decode
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -196,14 +197,14 @@ class PallasStreamLookup:
                        = None, occ: Optional[np.ndarray] = None):
         """Bucket queries into the dense [nsuper, C, ROWS, BLOCK] tile.
 
-        Returns (qfp_tiles, ok_index, overflow_index, flat, shift, homes):
-        ok_index are the original indices placed in the tile, and for each
-        of them ``flat`` is the element index into the *flattened* kernel
+        Returns (qfp_tiles, homes, flat, shift), all columns full query
+        length: ``flat`` is the element index into the *flattened* kernel
         output [nsuper, C//4, ROWS, BLOCK] and ``shift`` the bit shift of
-        its packed byte; overflow_index exceeded their slot's C channels.
-        With ``tiles``/``occ`` given (the incremental streaming path),
-        scatters into the caller's tile and advances the per-slot channel
-        occupancy instead of starting fresh.
+        the query's packed byte, or shift = -1 where the query exceeded
+        its home slot's C channels (decode routes those to the exact
+        fallback). With ``tiles``/``occ`` given (the incremental streaming
+        path), scatters into the caller's tile and advances the per-slot
+        channel occupancy instead of starting fresh.
         """
         from ..utils.native import load_scatter
         lib = load_scatter()
@@ -245,23 +246,20 @@ class PallasStreamLookup:
         shift = (8 * (rk & 3)).astype(np.int32)
         # expand unique placements back to the original query indices
         placed_ids = order[ok]
-        placed = np.zeros(nu, dtype=bool)
-        placed[placed_ids] = True
         flat_u = np.zeros(nu, dtype=np.int64)
-        shift_u = np.zeros(nu, dtype=np.int32)
+        shift_u = np.full(nu, -1, dtype=np.int32)
         flat_u[placed_ids], shift_u[placed_ids] = flat, shift
-        ok_mask = placed[inv]
-        ok_index = np.flatnonzero(ok_mask)
-        iu = inv[ok_index]
-        return (qfp_tiles, ok_index, np.flatnonzero(~ok_mask),
-                flat_u[iu], shift_u[iu], homes)
+        return qfp_tiles, homes, flat_u[inv], shift_u[inv]
 
     def _scatter_dense_native(self, lib, values, tiles=None, occ=None):
-        """C++ radix/hash scatter (native/scatter.cpp): sequential
-        dedup-and-place, ~10x the numpy path. Chooses channel ranks in
-        encounter order rather than value order — a different (equally
-        valid) overflow split; results are identical after the exact
-        fallback, pinned by tests/test_pallas_stream.py."""
+        """C++ scatter (native/scatter.cpp): sequential place-and-dedup,
+        ~10x the numpy path. Dedup is by (home, fingerprint) against the
+        tile itself, so it is GLOBAL across streaming chunks with no
+        auxiliary structure; the rare fp-collision cell shares are
+        resolved exactly by _decode's value verification + fallback.
+        Channel ranks follow encounter order rather than the numpy path's
+        value order — a different (equally valid) overflow split; results
+        are identical, pinned by tests/test_native_scatter.py."""
         n = len(values)
         qfp_tiles = (np.zeros((self.nsuper, self.channels, ROWS, BLOCK),
                               dtype=np.uint16) if tiles is None else tiles)
@@ -270,44 +268,94 @@ class PallasStreamLookup:
         homes = np.empty(n, dtype=np.int64)
         flat = np.empty(n, dtype=np.int64)
         shift = np.empty(n, dtype=np.int32)
-        ht_size = 1
-        while ht_size < 2 * n:
-            ht_size <<= 1
-        ht_keys = np.empty(ht_size, dtype=np.int64)
         lib.scatter_chunk(
             np.ascontiguousarray(values), n, self.num_sigs, self.channels,
             BLOCK, ROWS, np.int64(FP_MOD),
-            qfp_tiles.reshape(-1), occ, homes, flat, shift,
-            ht_keys, ht_size)
-        ok_mask = shift >= 0
-        ok_index = np.flatnonzero(ok_mask)
-        return (qfp_tiles, ok_index, np.flatnonzero(~ok_mask),
-                flat[ok_index], shift[ok_index], homes)
+            qfp_tiles.reshape(-1), occ, homes, flat, shift)
+        return qfp_tiles, homes, flat, shift
 
     def lookup(self, values: np.ndarray, cnt_id: np.ndarray, pos: np.ndarray,
                progress=None, compute_kmers_found: bool = True) -> LookupHits:
-        values = np.asarray(values, dtype=np.int64)
+        values = np.ascontiguousarray(values, dtype=np.int64)
         n = len(values)
         if n == 0:
             z = np.zeros(0)
             return LookupHits.from_lists(z, z, z, z, z, z, 0)
-        (qfp_tiles, sel, overflow_idx, flat, shift,
-         homes) = self._scatter_dense(values)
+        qfp_tiles, homes, flat, shift = self._scatter_dense(values)
         out = jax.device_get(self._probe(qfp_tiles))
-        cnt = np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,))
-        pos = np.asarray(pos, dtype=np.int64)
-        placed = (values[sel], cnt[sel], pos[sel], homes[sel], flat, shift)
-        over = (values[overflow_idx], cnt[overflow_idx], pos[overflow_idx],
-                homes[overflow_idx])
-        return self._decode(out, placed, over, n, progress,
-                            compute_kmers_found)
+        cnt = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,)))
+        pos = np.ascontiguousarray(pos, dtype=np.int64)
+        return self._decode(out, [(values, cnt, pos, homes, flat, shift)],
+                            n, progress, compute_kmers_found)
 
-    def _decode(self, out, placed, over, n_total: int, progress,
+    def _table_columns(self):
+        """Contiguous copies of the table value columns (the structured
+        slot array strides at 24 bytes, which C can't take directly)."""
+        if self._cols is None:
+            t = self.table.slots
+            self._cols = (np.ascontiguousarray(t["otu"]),
+                          np.ascontiguousarray(t["avg_from_end"]),
+                          np.ascontiguousarray(t["fi"]),
+                          np.ascontiguousarray(t["wt"]))
+        return self._cols
+
+    def _decode(self, out, chunks, n_total: int, progress,
                 compute_kmers_found: bool) -> LookupHits:
         """Resolve kernel output into hits: fingerprint-candidate
-        verification against the full k-mer values, then the exact
-        full-window pass for unresolved + channel-overflow queries."""
-        pv, pc, pp, ph, flat, shift = placed
+        verification against the full k-mer values, the exact full-window
+        pass for unresolved + channel-overflow queries, and hit
+        compaction. ``chunks`` is a list of full-length query column
+        tuples (v, cnt, pos, homes, flat, shift)."""
+        from ..utils.native import load_scatter
+        lib = load_scatter()
+        if lib is not None:
+            return self._decode_native(lib, out, chunks, n_total, progress,
+                                       compute_kmers_found)
+        return self._decode_numpy(out, chunks, n_total, progress,
+                                  compute_kmers_found)
+
+    def _decode_native(self, lib, out, chunks, n_total: int, progress,
+                       compute_kmers_found: bool) -> LookupHits:
+        """Fused one-pass decode (native/scatter.cpp decode_hits): no
+        intermediate masks/concats — the dominant cost of the numpy twin
+        at metagenome scales (~20 full-size array passes)."""
+        t_otu, t_avg, t_fi, t_wt = self._table_columns()
+        hk = self._exact.host_kmer
+        out_flat = np.ascontiguousarray(out.reshape(-1))
+        o_cnt = np.empty(n_total, dtype=np.int64)
+        o_pos = np.empty(n_total, dtype=np.int64)
+        o_otu = np.empty(n_total, dtype=np.int32)
+        o_avg = np.empty(n_total, dtype=np.int32)
+        o_fi = np.empty(n_total, dtype=np.int32)
+        o_wt = np.empty(n_total, dtype=np.float32)
+        o_val = np.empty(n_total, dtype=np.int64)
+        k = 0
+        for v, c, p, h, fl, sh in chunks:
+            k += lib.decode_hits(
+                v, c, p, h, fl, sh, len(v), out_flat, self.fe_plane, hk,
+                len(hk), self.w, self._exact.full_window,
+                t_otu, t_avg, t_fi, t_wt,
+                o_cnt[k:], o_pos[k:], o_otu[k:], o_avg[k:], o_fi[k:],
+                o_wt[k:], o_val[k:])
+        if progress is not None:
+            progress.update(n_total, k)
+        return LookupHits(
+            cnt_id=o_cnt[:k].copy(), pos=o_pos[:k].copy(),
+            otu=o_otu[:k].copy(), avg_from_end=o_avg[:k].copy(),
+            fi=o_fi[:k].copy(), wt=o_wt[:k].copy(),
+            kmers_found=(int(np.unique(o_val[:k]).size)
+                         if compute_kmers_found else -1),
+        )
+
+    def _decode_numpy(self, out, chunks, n_total: int, progress,
+                      compute_kmers_found: bool) -> LookupHits:
+        cat = lambda k: (np.concatenate([ch[k] for ch in chunks])
+                         if chunks else np.zeros(0, dtype=np.int64))
+        av, ac, ap, ah, aflat, ashift = (cat(k) for k in range(6))
+        sel = ashift >= 0
+        pv, pc, pp, ph = av[sel], ac[sel], ap[sel], ah[sel]
+        flat, shift = aflat[sel], ashift[sel]
         packed = out.reshape(-1)[flat] >> shift
         off = (packed & 0xFF).astype(np.int64)  # first fp-match offset, w if none
         fe = self.fe_plane[ph].astype(np.int64)
@@ -320,14 +368,20 @@ class PallasStreamLookup:
         cand_slot = np.minimum(ph + off, len(host_kmer) - 1)
         verified = has_cand & (host_kmer[cand_slot] == pv)
         unresolved = (~verified & has_cand) | (~has_cand & ~empty_any)
-        ov, oc, op_, oh = over
-        tv = np.concatenate([pv[unresolved], ov])
-        tc = np.concatenate([pc[unresolved], oc])
-        tp = np.concatenate([pp[unresolved], op_])
-        th = np.concatenate([ph[unresolved], oh])
+        over = ~sel
+        tv = np.concatenate([pv[unresolved], av[over]])
+        tc = np.concatenate([pc[unresolved], ac[over]])
+        tp = np.concatenate([pp[unresolved], ap[over]])
+        th = np.concatenate([ph[unresolved], ah[over]])
         if len(tv):
-            f2, o2 = self._exact._host_full_window(
-                tv, th.astype(np.int32), np.arange(len(tv), dtype=np.int64))
+            # the fallback outcome depends only on the VALUE (home and
+            # window contents derive from it); metagenome-coverage inputs
+            # repeat values heavily, so probe each distinct value once
+            uv, inv = np.unique(tv, return_inverse=True)
+            fu, ou = self._exact._host_full_window(
+                uv, (uv % np.int64(self.num_sigs)).astype(np.int32),
+                np.arange(len(uv), dtype=np.int64))
+            f2, o2 = fu[inv], ou[inv]
         else:
             f2 = np.zeros(0, dtype=bool)
             o2 = np.zeros(0, dtype=np.int64)
@@ -368,27 +422,21 @@ class StreamingStreamLookup:
         self.qfp_tiles = np.zeros((lk.nsuper, lk.channels, ROWS, BLOCK),
                                   dtype=np.uint16)
         self._occ = np.zeros(lk.num_sigs, dtype=np.uint8)
-        self._placed: list = []   # per chunk: (v, cnt, pos, homes, flat, shift)
-        self._over: list = []     # per chunk: (v, cnt, pos, homes)
+        self._chunks: list = []   # per chunk: (v, cnt, pos, homes, flat, shift)
         self.total_fed = 0
 
     def add_batch(self, values: np.ndarray, cnt_id, pos: np.ndarray) -> None:
-        values = np.asarray(values, dtype=np.int64)
+        values = np.ascontiguousarray(values, dtype=np.int64)
         n = len(values)
         if n == 0:
             return
-        cnt = np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,))
-        pos = np.asarray(pos, dtype=np.int64)
+        cnt = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,)))
+        pos = np.ascontiguousarray(pos, dtype=np.int64)
         self.total_fed += n
-        (_, sel, overflow_idx, flat, shift,
-         homes) = self.lk._scatter_dense(values, tiles=self.qfp_tiles,
-                                         occ=self._occ)
-        self._placed.append((values[sel], cnt[sel].copy(), pos[sel],
-                             homes[sel], flat, shift))
-        if len(overflow_idx):
-            self._over.append((values[overflow_idx],
-                               cnt[overflow_idx].copy(), pos[overflow_idx],
-                               homes[overflow_idx]))
+        _, homes, flat, shift = self.lk._scatter_dense(
+            values, tiles=self.qfp_tiles, occ=self._occ)
+        self._chunks.append((values, cnt, pos, homes, flat, shift))
 
     def partial_hits(self) -> LookupHits:
         """Nothing is probed before finish(); an error mid-prepare has
@@ -402,9 +450,5 @@ class StreamingStreamLookup:
         if not self.total_fed:
             return self.partial_hits()
         out = jax.device_get(self.lk._probe(self.qfp_tiles))
-        cat = lambda parts, k: (np.concatenate([p[k] for p in parts])
-                                if parts else np.zeros(0, dtype=np.int64))
-        placed = tuple(cat(self._placed, k) for k in range(6))
-        over = tuple(cat(self._over, k) for k in range(4))
-        return self.lk._decode(out, placed, over, self.total_fed, progress,
+        return self.lk._decode(out, self._chunks, self.total_fed, progress,
                                self.compute_kmers_found)

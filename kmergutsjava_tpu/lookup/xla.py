@@ -306,11 +306,19 @@ class XlaLookup:
 
     def _host_full_window(self, values, homes, todo):
         """Exact full-window probe on the host k-mer array (for unresolved
-        queries — a vanishing fraction)."""
-        idx = homes[todo].astype(np.int64)[:, None] + np.arange(self.full_window)
-        match = self.host_kmer[idx] == values[todo, None]
-        found = match.any(axis=1)
-        off = np.argmax(match, axis=1).astype(np.uint8)
+        queries). W flat gathers instead of one [N, W] advanced-index
+        gather: the latter materializes N*W int64 temporaries and measured
+        ~6x slower at metagenome scales (30s vs 5s for 6.7M x 32)."""
+        idx = homes[todo].astype(np.int64)
+        v = values[todo]
+        found = np.zeros(len(idx), dtype=bool)
+        off = np.zeros(len(idx), dtype=np.uint8)
+        hk = self.host_kmer
+        # reverse order + overwrite == first-match offset
+        for l in range(self.full_window - 1, -1, -1):
+            m = hk[idx + l] == v
+            off[m] = l
+            found |= m
         return found, np.where(found, off, 0)
 
     def lookup(self, values: np.ndarray, cnt_id: np.ndarray, pos: np.ndarray,

@@ -55,24 +55,104 @@ def _auto_backend(table, query: Optional[str], cfg: EngineConfig) -> str:
     numSigs/12 queries (docs/performance.md). Query count is estimated
     from the input size upfront: ~1 query k-mer per FASTA byte in aa mode,
     ~2 per byte for DNA (6 frames of len/3 windows, two strands), ~3.5x
-    for gzip. Unknown sizes (stdin) keep the streaming xla path. With an
-    explicit --mesh, the sparse side routes instead (the multi-chip
-    sparse path); the dense side shards the stream kernel.
+    for gzip. Unknown sizes (stdin / server streams) return None — the
+    caller defers the choice to _DeferredAutoFeed, which decides from the
+    ACTUAL query count mid-prepare. With an explicit --mesh, the sparse
+    side routes instead (the multi-chip sparse path); the dense side
+    shards the stream kernel.
     """
     import os
 
-    dense, sparse = ("stream", "routed") if cfg.mesh_shape \
-        else ("stream", "xla")
+    dense, sparse = _auto_candidates(cfg)
     if query is None:
-        return sparse
+        return None
     try:
         size = os.path.getsize(query)
     except OSError:
-        return sparse
+        return None
     if query.endswith(".gz"):
         size *= 3.5
     est_queries = size * (1.0 if cfg.aa else 2.0)
     return dense if est_queries > table.num_sigs / 12 else sparse
+
+
+def _auto_candidates(cfg: EngineConfig):
+    return ("stream", "routed") if cfg.mesh_shape else ("stream", "xla")
+
+
+class _DeferredAutoFeed:
+    """Backend-'auto' front end for unknown-size inputs (stdin and server
+    streams, where no upfront size estimate exists): buffers prepare
+    chunks in RAM, and the moment the query count crosses the stream
+    kernel's density crossover (numSigs/12) upgrades itself in place to
+    the stream backend's incremental scatter, draining the buffer. A run
+    that stays below the threshold finishes on the sparse one-shot path
+    instead — below the crossover the buffered queries are small by
+    definition, so the buffering costs nothing either way."""
+
+    def __init__(self, engine: "Engine", table, cfg: EngineConfig):
+        self.engine, self.table, self.cfg = engine, table, cfg
+        self.threshold = table.num_sigs / 12
+        self._chunks: list = []
+        self.total_fed = 0
+        self._stream = None
+        self._stream_failed = False
+
+    def add_batch(self, values: np.ndarray, cnt_id, pos: np.ndarray) -> None:
+        if self._stream is not None:
+            self._stream.add_batch(values, cnt_id, pos)
+            return
+        values = np.asarray(values, dtype=np.int64)
+        n = len(values)
+        if n == 0:
+            return
+        cnt = np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,))
+        self._chunks.append((values.copy(), cnt.copy(),
+                             np.asarray(pos, dtype=np.int64).copy()))
+        self.total_fed += n
+        if self.total_fed > self.threshold and not self._stream_failed:
+            self._upgrade()
+
+    def _upgrade(self) -> None:
+        from ..lookup.pallas_stream import StreamingStreamLookup
+
+        try:
+            lk = self.engine._stream_lookup(self.table, self.cfg)
+            s = StreamingStreamLookup(lk, compute_kmers_found=self.cfg.debug)
+        except ValueError:
+            # e.g. max_probe beyond the packed-offset budget: stay on the
+            # buffered path and finish sparse (still exact, just slower)
+            self._stream_failed = True
+            return
+        for v, c, p in self._chunks:
+            s.add_batch(v, c, p)
+        self._chunks = []
+        self._stream = s
+        self.engine.config = _replace_backend(self.cfg, "stream")
+
+    def partial_hits(self) -> LookupHits:
+        if self._stream is not None:
+            return self._stream.partial_hits()
+        z = np.zeros(0)
+        return LookupHits.from_lists(z, z, z, z, z, z,
+                                     0 if self.cfg.debug else -1)
+
+    def finish(self) -> LookupHits:
+        if self._stream is not None:
+            return self._stream.finish()
+        from ..lookup.store import REC_DTYPE
+
+        _, sparse = _auto_candidates(self.cfg)
+        self.engine.config = _replace_backend(self.cfg, sparse)
+        rec = np.zeros(self.total_fed, dtype=REC_DTYPE)
+        at = 0
+        for v, c, p in self._chunks:
+            rec["value"][at:at + len(v)] = v
+            rec["cnt"][at:at + len(v)] = c
+            rec["pos"][at:at + len(v)] = p
+            at += len(v)
+        self._chunks = []
+        return self.engine._lookup(self.table, rec)
 
 
 def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup":
@@ -142,9 +222,17 @@ class Engine:
         self._table_path = table_path
         functions = load_function_index(func_path)
         table = read_table(table_path)
+        deferred = None
         if cfg.backend == "auto":
-            self.config = cfg = _replace_backend(
-                cfg, _auto_backend(table, query, cfg))
+            choice = _auto_backend(table, query, cfg)
+            if choice is None and not table.truncated:
+                # unknown input size: decide from the real query count
+                # mid-prepare (upgrades itself to the stream scatter at
+                # the density crossover)
+                deferred = _DeferredAutoFeed(self, table, cfg)
+            else:
+                self.config = cfg = _replace_backend(
+                    cfg, choice or _auto_candidates(cfg)[1])
 
         # --- phase 1: prepare (ref :776-795) ---
         # xla backend: the feeder streams k-mer batches straight into the
@@ -154,7 +242,9 @@ class Engine:
         t1 = time.time()
         streaming = None
         store = None
-        if cfg.backend == "xla" and not table.truncated:
+        if deferred is not None:
+            streaming = feed = deferred
+        elif cfg.backend == "xla" and not table.truncated:
             from ..lookup.xla import StreamingLookup
 
             try:

@@ -84,7 +84,17 @@ def load_scatter() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int64,               # dims, fp_mod
                 _U16P, _U8P,                                  # tiles, occ
                 _I64P, _I64P, _I32P,                          # homes, flat, shift
-                _I64P, ctypes.c_int64,                        # ht, ht_size
+            ]
+            fn = lib.decode_hits
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                _I64P, _I64P, _I64P, _I64P, _I64P, _I32P,     # query columns
+                ctypes.c_int64,                               # n
+                _I32P, _U8P, _I64P,                           # out, fe, hk
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # hk_len, w, full_w
+                _I32P, _I32P, _I32P, _F32P,                   # table columns
+                _I64P, _I64P, _I32P, _I32P, _I32P, _F32P,     # hit columns out
+                _I64P,                                        # hit values out
             ]
             _scat_lib = lib
         except Exception:

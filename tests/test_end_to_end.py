@@ -317,9 +317,10 @@ def test_auto_backend_resolution(tmp_path):
     cfg = EngineConfig(aa=True)
     # tiny table (dozens of slots) vs a ~30-byte file -> dense -> stream
     assert _auto_backend(table, str(fasta), cfg) == "stream"
-    assert _auto_backend(table, None, cfg) == "xla"  # stdin: unknown size
+    # stdin: unknown size -> None (defer to the mid-prepare decision)
+    assert _auto_backend(table, None, cfg) is None
     cfg_mesh = EngineConfig(aa=True, mesh_shape=(4, 2))
-    assert _auto_backend(table, None, cfg_mesh) == "routed"
+    assert _auto_backend(table, None, cfg_mesh) is None
 
     # sparse: inflate num_sigs far beyond the estimate
     class FakeTable:
@@ -335,3 +336,64 @@ def test_auto_backend_resolution(tmp_path):
         outs.append(out.getvalue())
     assert outs[0] == outs[1]
     assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000" in outs[0]
+
+
+def test_auto_deferred_upgrades_to_stream(tmp_path):
+    """Unknown-size input (query_stream) + dense corpus: the deferred auto
+    feed crosses numSigs/12 mid-prepare, upgrades to the stream scatter,
+    and the report matches the parity backend byte for byte."""
+    rng = random.Random(99)
+    prots, triples, funcs = _random_corpus(rng, n_prot=60)
+    sig = signatures_from_proteins(triples)
+    write_data_dir(tmp_path / "d", sig, funcs)
+    fasta = "".join(f">p{i}\n{p}\n" for i, p in enumerate(prots))
+    kw = dict(aa=True, min_hits=2)
+    want = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
+
+    from kmergutsjava_tpu.models import pipeline as pl
+    pl._LOOKUP_CACHE.clear()
+    got = run_engine(tmp_path / "d", fasta, backend="auto", **kw)
+    assert got == want
+    # the dense corpus (thousands of windows vs a few-hundred-slot table)
+    # must have taken the stream path
+    assert any(k[0] == "stream" for k in pl._LOOKUP_CACHE)
+
+
+def test_auto_deferred_stays_sparse_below_threshold(tmp_path):
+    """Unknown-size input far below the crossover finishes on the sparse
+    one-shot path (no stream lookup built), same bytes as parity."""
+    rng = random.Random(7)
+    prots, triples, funcs = _random_corpus(rng, n_prot=4)
+    sig = signatures_from_proteins(triples)
+    # tiny load factor inflates num_sigs so the threshold towers over the
+    # handful of query windows
+    write_data_dir(tmp_path / "d", sig, funcs, load_factor=0.002)
+    fasta = "".join(f">p{i}\n{p}\n" for i, p in enumerate(prots))
+    kw = dict(aa=True, min_hits=2)
+    want = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
+
+    from kmergutsjava_tpu.models import pipeline as pl
+    pl._LOOKUP_CACHE.clear()
+    got = run_engine(tmp_path / "d", fasta, backend="auto", **kw)
+    assert got == want
+    assert not any(k[0] == "stream" for k in pl._LOOKUP_CACHE)
+
+
+def test_auto_deferred_dna(tmp_path):
+    """DNA mode through the deferred feed (6 containers per contig feed
+    chunk-by-chunk across the upgrade boundary)."""
+    rng = random.Random(31)
+    prots, triples, funcs = _random_corpus(rng, n_prot=30)
+    sig = signatures_from_proteins(triples)
+    write_data_dir(tmp_path / "d", sig, funcs)
+    codon = {"A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT",
+             "G": "GGT", "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTT",
+             "M": "ATG", "N": "AAT", "P": "CCT", "Q": "CAA", "R": "CGT",
+             "S": "TCT", "T": "ACT", "V": "GTT", "W": "TGG", "Y": "TAT"}
+    fasta = "".join(
+        f">c{i}\n" + "".join(codon[ch] for ch in p) + "\n"
+        for i, p in enumerate(prots))
+    kw = dict(aa=False, min_hits=2)
+    want = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
+    got = run_engine(tmp_path / "d", fasta, backend="auto", **kw)
+    assert got == want

@@ -21,6 +21,7 @@ pytestmark = pytest.mark.skipif(load_scatter() is None,
 
 def force_numpy(lk: PallasStreamLookup) -> PallasStreamLookup:
     lk._scatter_dense = lambda *a, **kw: lk._scatter_dense_numpy(*a, **kw)
+    lk._decode = lambda *a, **kw: lk._decode_numpy(*a, **kw)
     return lk
 
 
@@ -83,30 +84,30 @@ def test_native_scatter_invariants():
     lk = PallasStreamLookup(table)
     values, _, _ = make_queries(rng, sig["kmers"], 5000)
     values[::3] = values[2]
-    (tiles, ok_index, over_index, flat, shift,
-     homes) = lk._scatter_dense_native(load_scatter(), values, None, None)
+    tiles, homes, flat, shift = lk._scatter_dense_native(
+        load_scatter(), values)
     assert np.array_equal(homes, values % np.int64(lk.num_sigs))
+    ok = shift >= 0
     planes = lk.channels // 4
-    within = flat % BLOCK
-    row = (flat // BLOCK) % ROWS
-    rest = flat // (BLOCK * ROWS)
+    fl, sh = flat[ok], shift[ok]
+    within = fl % BLOCK
+    row = (fl // BLOCK) % ROWS
+    rest = fl // (BLOCK * ROWS)
     p = rest % planes
     sup = rest // planes
-    rk = 4 * p + shift // 8
+    rk = 4 * p + sh // 8
     blk = sup * ROWS + row
-    assert np.array_equal(blk * BLOCK + within, homes[ok_index])
+    assert np.array_equal(blk * BLOCK + within, homes[ok])
     got_fp = tiles[sup, rk, row, within]
-    assert np.array_equal(got_fp,
-                          (values[ok_index] % FP_MOD).astype(np.uint16))
+    assert np.array_equal(got_fp, (values[ok] % FP_MOD).astype(np.uint16))
     # duplicates share one cell
-    dup = values == values[2]
-    cells = set(zip(flat[np.isin(ok_index, np.flatnonzero(dup))].tolist(),
-                    shift[np.isin(ok_index, np.flatnonzero(dup))].tolist()))
+    dup = ok & (values == values[2])
+    assert dup.any()
+    cells = set(zip(flat[dup].tolist(), shift[dup].tolist()))
     assert len(cells) == 1
-    # unique values placed per home never exceed C
-    uv = np.unique(np.stack([values[ok_index], homes[ok_index]]), axis=1)
-    _, counts = np.unique(uv[1], return_counts=True)
-    assert counts.max() <= lk.channels
-    # every query is either placed or overflow, exactly once
-    assert len(ok_index) + len(over_index) == len(values)
-    assert not np.intersect1d(ok_index, over_index).size
+    # distinct tile cells used per home never exceed C (values may share a
+    # cell: equal values always do, fp-colliding values occasionally do)
+    cells_per_home = {}
+    for h, f, s_ in zip(homes[ok].tolist(), fl.tolist(), sh.tolist()):
+        cells_per_home.setdefault(h, set()).add((f, s_))
+    assert max(len(s) for s in cells_per_home.values()) <= lk.channels

@@ -90,7 +90,9 @@ def test_lookup_error_yields_partial_report(tmp_path, monkeypatch):
 
     monkeypatch.setattr(xla_mod.StreamingLookup, "finish", boom)
     out = io.StringIO()
-    cfg = EngineConfig(aa=True, debug=True)
+    # explicit xla: backend 'auto' on an unknown-size input defers and
+    # would finish on the one-shot path, never reaching StreamingLookup
+    cfg = EngineConfig(aa=True, debug=True, backend="xla")
     Engine(cfg).run(str(tmp_path / "d"), None, out, stdout=True,
                     query_stream=io.StringIO(">P1\n" + AA + "\n"))
     text = out.getvalue()
