@@ -40,17 +40,38 @@ def batch_group_calls(cnt_s: np.ndarray, pos_s: np.ndarray, otu_s: np.ndarray,
     if not len(todo):
         return {}
     # gather the selected containers into one contiguous batch
-    spans = [(int(bounds[k]), int(bounds[k + 1])) for k in todo]
-    idx = np.concatenate([np.arange(a, b) for a, b in spans])
-    pos_b = np.ascontiguousarray(pos_s[idx], dtype=np.int64)
-    otu_b = np.ascontiguousarray(otu_s[idx], dtype=np.int32)
-    avg_b = np.ascontiguousarray(avg_s[idx], dtype=np.int32)
-    fi_b = np.ascontiguousarray(fi_s[idx], dtype=np.int32)
-    wt_b = np.ascontiguousarray(wt_s[idx], dtype=np.float32)
-    lens = np.array([b - a for a, b in spans], dtype=np.int64)
+    todo = np.asarray(todo, dtype=np.int64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    starts = bounds[todo]
+    ends = bounds[todo + 1]
+    lens = ends - starts
+    if (lens == 0).any():  # the jump-correction trick needs lens >= 1
+        keep = lens > 0
+        todo, starts, ends, lens = todo[keep], starts[keep], ends[keep], \
+            lens[keep]
     b_bounds = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-    n_containers = len(spans)
+    n_containers = len(todo)
     total = int(b_bounds[-1])
+    if np.array_equal(starts[1:], ends[:-1]):
+        # contiguous selection (the common every-container case): slice
+        sl = slice(int(starts[0]) if n_containers else 0,
+                   int(ends[-1]) if n_containers else 0)
+        idx = None
+    else:
+        # vectorized multi-range arange: unit steps with jump corrections
+        idx = np.ones(total, dtype=np.int64)
+        if total:
+            off = b_bounds[:-1]
+            idx[0] = starts[0]
+            nz = off[1:]
+            idx[nz] = starts[1:] - (ends[:-1] - 1)
+        idx = np.cumsum(idx)
+        sl = idx
+    pos_b = np.ascontiguousarray(pos_s[sl], dtype=np.int64)
+    otu_b = np.ascontiguousarray(otu_s[sl], dtype=np.int32)
+    avg_b = np.ascontiguousarray(avg_s[sl], dtype=np.int32)
+    fi_b = np.ascontiguousarray(fi_s[sl], dtype=np.int32)
+    wt_b = np.ascontiguousarray(wt_s[sl], dtype=np.float32)
 
     max_calls = total + n_containers + 1
     max_upds = 2 * total + 2
@@ -78,7 +99,7 @@ def batch_group_calls(cnt_s: np.ndarray, pos_s: np.ndarray, otu_s: np.ndarray,
         raise RuntimeError("native grouping output overflow")
 
     out: Dict[int, tuple] = {}
-    cnt_of_batch = [int(cnt_s[a]) for a, _ in spans]
+    cnt_of_batch = cnt_s[starts].astype(np.int64).tolist()
     for k in range(n_containers):
         out[cnt_of_batch[k]] = ("pre", [], [])
     u = 0

@@ -583,44 +583,47 @@ class Engine:
         bounds = np.append(starts, len(cnt_s))
         counts = np.diff(bounds)
 
-        # batch-evaluate the single-function fast path globally (per-CALL
-        # python work instead of per-container numpy work)
         cfg = self.config
         batch_ok = (not params.debug and params.min_hits >= 2
                     and cfg.grouping_impl == "host")
-        # the single-fi reduction proof additionally needs no collinearity
-        # filter (ref :490 can reject hits); the native machine handles it
-        global_ok = batch_ok and not params.order_constraint
+        from ..calls.batch_native import native_available
+        use_native = batch_ok and native_available()
         pre = {}
         elig = np.zeros(len(prep.containers), dtype=bool)
-        if global_ok and len(uniq):
+        if use_native:
+            # EVERY container becomes a precomputed ("pre", ...) result:
+            # hitless ones are trivially empty (this alone removes one
+            # python dispatch per container — ~300k for a 100k-read DNA
+            # sweep), the rest run through the native machine below in
+            # one ctypes call, and process_dna_seq's all-pre path then
+            # emits each sequence as a single write
+            empty_pre = ("pre", [], [])
+            by_container = {k: empty_pre for k in key_to_cnt}
+        elif batch_ok and not params.order_constraint and len(uniq):
+            # no toolchain: batch-evaluate the single-function fast path
+            # globally (the single-fi reduction proof needs no collinearity
+            # filter, ref :490 can reject hits)
             from ..calls.batch_host import batch_single_fi_calls
 
             from ..constants import MAX_HITS_PER_SEQ as _CAP
             elig[uniq] = same_fi & (counts < _CAP - 2)
             pre = batch_single_fi_calls(cnt_s, pos_s, otu_s, fi_s, wt_s,
                                         elig, functions, params)
-            # every eligible container without hits is trivially empty
             empty_pre = ("pre", [], [])
             for key, cid in key_to_cnt.items():
                 if elig[cid]:
                     by_container[key] = empty_pre
 
-        # everything else (multi-function, capped, order-constrained) runs
-        # through the native batch machine in ONE ctypes call
         native_pre = {}
-        if batch_ok and len(uniq):
-            from ..calls.batch_native import batch_group_calls, \
-                native_available
+        if use_native and len(uniq):
+            from ..calls.batch_native import batch_group_calls
 
-            if native_available():
-                todo = np.array([k for k, cid in enumerate(uniq.tolist())
-                                 if not elig[cid]
-                                 and cnt_to_key.get(cid) is not None],
-                                dtype=np.int64)
-                native_pre = batch_group_calls(
-                    cnt_s, pos_s, otu_s, avg_s, fi_s, wt_s, todo, bounds,
-                    functions, params)
+            todo = np.array([k for k, cid in enumerate(uniq.tolist())
+                             if cnt_to_key.get(cid) is not None],
+                            dtype=np.int64)
+            native_pre = batch_group_calls(
+                cnt_s, pos_s, otu_s, avg_s, fi_s, wt_s, todo, bounds,
+                functions, params)
 
         bounds_l = bounds.tolist()
         for k, cid in enumerate(uniq.tolist()):
