@@ -416,7 +416,10 @@ class StreamingStreamLookup:
     """
 
     def __init__(self, lk: PallasStreamLookup,
-                 compute_kmers_found: bool = False):
+                 compute_kmers_found: bool = False,
+                 async_scatter: Optional[bool] = None):
+        import os
+
         self.lk = lk
         self.compute_kmers_found = compute_kmers_found
         self.qfp_tiles = np.zeros((lk.nsuper, lk.channels, ROWS, BLOCK),
@@ -424,6 +427,54 @@ class StreamingStreamLookup:
         self._occ = np.zeros(lk.num_sigs, dtype=np.uint8)
         self._chunks: list = []   # per chunk: (v, cnt, pos, homes, flat, shift)
         self.total_fed = 0
+        # Scatter worker: the native scatter is a ctypes call (GIL
+        # released), so one worker thread overlaps it with the caller's
+        # FASTA parse/translate/encode. Single worker = chunks scatter in
+        # feed order (the tile/occ mutation is sequential by design).
+        self._queue = None
+        self._worker = None
+        self._worker_error: Optional[BaseException] = None
+        if async_scatter is None:
+            env = os.environ.get("KMER_ASYNC_SCATTER")
+            async_scatter = env != "0"
+        if async_scatter:
+            import queue
+            import threading
+
+            self._queue = queue.Queue(maxsize=4)
+
+            def drain():
+                while True:
+                    item = self._queue.get()
+                    if item is None:
+                        return
+                    try:
+                        self._scatter_chunk(*item)
+                    except BaseException as ex:  # surfaced at finish()
+                        self._worker_error = ex
+                        return
+
+            self._worker = threading.Thread(target=drain, daemon=True)
+            self._worker.start()
+
+    def _scatter_chunk(self, values, cnt, pos) -> None:
+        _, homes, flat, shift = self.lk._scatter_dense(
+            values, tiles=self.qfp_tiles, occ=self._occ)
+        self._chunks.append((values, cnt, pos, homes, flat, shift))
+
+    def _put_checked(self, item) -> None:
+        """Bounded put that can't deadlock on a dead worker: re-check the
+        worker error whenever the queue stays full."""
+        import queue
+
+        while True:
+            if self._worker_error is not None:
+                raise self._worker_error
+            try:
+                self._queue.put(item, timeout=1.0)
+                return
+            except queue.Full:
+                continue
 
     def add_batch(self, values: np.ndarray, cnt_id, pos: np.ndarray) -> None:
         values = np.ascontiguousarray(values, dtype=np.int64)
@@ -434,9 +485,18 @@ class StreamingStreamLookup:
             np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,)))
         pos = np.ascontiguousarray(pos, dtype=np.int64)
         self.total_fed += n
-        _, homes, flat, shift = self.lk._scatter_dense(
-            values, tiles=self.qfp_tiles, occ=self._occ)
-        self._chunks.append((values, cnt, pos, homes, flat, shift))
+        if self._queue is not None:
+            self._put_checked((values, cnt, pos))
+        else:
+            self._scatter_chunk(values, cnt, pos)
+
+    def _join_worker(self) -> None:
+        if self._worker is not None:
+            self._queue.put(None)
+            self._worker.join()
+            self._worker = None
+            if self._worker_error is not None:
+                raise self._worker_error
 
     def partial_hits(self) -> LookupHits:
         """Nothing is probed before finish(); an error mid-prepare has
@@ -447,6 +507,7 @@ class StreamingStreamLookup:
                                      0 if self.compute_kmers_found else -1)
 
     def finish(self, progress=None) -> LookupHits:
+        self._join_worker()
         if not self.total_fed:
             return self.partial_hits()
         out = jax.device_get(self.lk._probe(self.qfp_tiles))
