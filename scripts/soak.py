@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Randomized end-to-end soak: every backend must match parity byte-for-byte.
+
+Each round builds a random signature table (random load factor, weights,
+thinning) from a random corpus, then runs the full engine over a random
+query set (aa or DNA, duplicates and near-misses mixed in) through every
+backend — parity (the oracle transcription of the reference scan), xla,
+stream, and auto (including the deferred stdin path) — with randomized
+grouping parameters (min_hits, max_gap, order constraint, weight
+threshold, occasional debug mode and scan grouping, occasional spill
+limits). Any byte difference dumps the reproducing seed and exits 1.
+
+Usage: python scripts/soak.py [seconds]   (default 600)
+Env: SOAK_SEED to replay a failing round.
+"""
+import io
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from kmergutsjava_tpu.config import EngineConfig  # noqa: E402
+from kmergutsjava_tpu.formats.table_tools import (  # noqa: E402
+    signatures_from_proteins, write_data_dir)
+from kmergutsjava_tpu.models.pipeline import Engine  # noqa: E402
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+DNA = "ACGT"
+CODON = {"A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT",
+         "G": "GGT", "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTT",
+         "M": "ATG", "N": "AAT", "P": "CCT", "Q": "CAA", "R": "CGT",
+         "S": "TCT", "T": "ACT", "V": "GTT", "W": "TGG", "Y": "TAT"}
+
+
+def rev_comp(s):
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+def run_round(seed: int, tmp: str) -> None:
+    rng = random.Random(seed)
+    n_funcs = rng.randint(2, 12)
+    n_prot = rng.randint(5, 80)
+    prots = ["".join(rng.choice(AA) for _ in range(rng.randint(10, 200)))
+             for _ in range(n_prot)]
+    triples = [(p, rng.randrange(n_funcs), rng.randrange(12)) for p in prots]
+    weights = ({i: rng.random() * 3 for i in range(n_funcs)}
+               if rng.random() < 0.5 else None)
+    sig = signatures_from_proteins(triples, weights=weights)
+    if rng.random() < 0.5 and len(sig["kmers"]) > 10:  # thin: some misses
+        keep = np.asarray([rng.random() < rng.uniform(0.4, 0.95)
+                           for _ in sig["kmers"]])
+        sig = {k: v[keep] for k, v in sig.items()}
+    d = os.path.join(tmp, f"d{seed}")
+    write_data_dir(d, sig, [f"func {i}" for i in range(n_funcs)],
+                   load_factor=rng.choice([0.3, 0.6, 0.8, 0.9, 0.95]),
+                   gz=rng.random() < 0.2)
+
+    aa = rng.random() < 0.5
+    records = []
+    source = list(prots)
+    for i in range(rng.randint(3, 60)):
+        p = rng.choice(source)
+        if aa:
+            seq = p if rng.random() < 0.7 else "".join(
+                rng.choice(AA) for _ in range(rng.randint(9, 150)))
+            # occasional mutation
+            if rng.random() < 0.3 and len(seq) > 12:
+                at = rng.randrange(len(seq))
+                seq = seq[:at] + rng.choice(AA) + seq[at + 1:]
+        else:
+            dna = "".join(CODON[c] for c in p)
+            if rng.random() < 0.4:
+                dna = rev_comp(dna)
+            if rng.random() < 0.4:
+                dna = ("".join(rng.choice(DNA + "nN")
+                               for _ in range(rng.randrange(0, 7))) + dna)
+            if rng.random() < 0.2:
+                dna = "".join(rng.choice(DNA + "N")
+                              for _ in range(rng.randint(20, 400)))
+            seq = dna
+        records.append((f"s{i}", seq))
+    # duplicate ids occasionally (last container wins, ref :805-809)
+    if rng.random() < 0.15 and len(records) > 2:
+        k = rng.randrange(len(records) - 1)
+        records[k] = (records[-1][0], records[k][1])
+    fasta = "".join(f">{rid} desc\n{seq}\n" for rid, seq in records)
+
+    kw = dict(
+        aa=aa,
+        min_hits=rng.choice([2, 2, 3, 5]),
+        max_gap=rng.choice([10, 50, 200, 600]),
+        order_constraint=rng.random() < 0.2,
+        min_weighted_hits=rng.choice([0, 0, 2]),  # int, ref Integer.parseInt :588
+        debug=rng.random() < 0.1,
+    )
+    if rng.random() < 0.15:
+        kw["input_size_limit"] = rng.randint(40, 400)
+        kw["temp_dir"] = os.path.join(tmp, f"t{seed}")
+    variants = [("parity", {}), ("xla", {}), ("stream", {}), ("auto", {})]
+    if rng.random() < 0.2 and kw["min_hits"] >= 2 and not kw["debug"]:
+        variants.append(("xla", {"grouping_impl": "scan"}))
+    if rng.random() < 0.3:
+        variants.append(("xla", {"prepare_impl": "numpy"}))
+    import re
+
+    # debug reports embed timing/progress info lines — nondeterministic
+    drop = re.compile(r"^(Temp\. directory:|Preparation time:|Lookup time:"
+                      r"|Grouping time:|Processed: )")
+    strip = lambda t: "\n".join(l for l in t.splitlines()
+                                if not drop.match(l))
+    outs = []
+    for backend, extra in variants:
+        cfg = EngineConfig(backend=backend, **{**kw, **extra})
+        out = io.StringIO()
+        Engine(cfg).run(d, None, out, stdout=True,
+                        query_stream=io.StringIO(fasta))
+        outs.append((backend, extra, strip(out.getvalue())))
+    base = outs[0][2]
+    for backend, extra, text in outs[1:]:
+        if text != base:
+            raise AssertionError(
+                f"seed {seed}: backend {backend} {extra} diverged from "
+                f"parity\n--- parity ---\n{base[:2000]}\n--- {backend} ---\n"
+                f"{text[:2000]}")
+
+
+def main():
+    deadline = time.time() + float(sys.argv[1] if len(sys.argv) > 1 else 600)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="soak")
+    if os.environ.get("SOAK_SEED"):
+        run_round(int(os.environ["SOAK_SEED"]), tmp)
+        print("seed OK")
+        return
+    base = random.SystemRandom().randrange(1 << 30)
+    import shutil
+
+    n = 0
+    while time.time() < deadline:
+        run_round(base + n, tmp)
+        shutil.rmtree(os.path.join(tmp, f"d{base + n}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(tmp, f"t{base + n}"), ignore_errors=True)
+        n += 1
+        if n % 25 == 0:
+            print(f"{n} rounds OK (last seed {base + n - 1})", flush=True)
+    print(f"SOAK PASSED: {n} rounds, base seed {base}")
+
+
+if __name__ == "__main__":
+    main()
