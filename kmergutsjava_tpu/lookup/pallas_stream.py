@@ -147,7 +147,10 @@ class PallasStreamLookup:
         self.table = table
         self.num_sigs = table.num_sigs
         # byte-packed results carry a 6-bit offset: windows cap at 64
-        self.w = min(max(8, _round_up_pow2(table.max_probe)), 64)
+        # kernel compute is proportional to w (one shift-compare series per
+        # window offset), and nothing requires a power of two — round to a
+        # multiple of 8 instead (max_probe 17 -> 24 shifts, not 32)
+        self.w = min(max(8, -(-table.max_probe // 8) * 8), 64)
         if table.max_probe > 64:
             raise ValueError(
                 "max_probe exceeds the packed-offset budget (64); rebuild "

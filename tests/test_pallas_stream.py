@@ -113,3 +113,19 @@ def test_streaming_stream_empty():
     s = StreamingStreamLookup(PallasStreamLookup(table))
     assert len(s.finish()) == 0
     assert len(s.partial_hits()) == 0
+
+
+def test_non_pow2_probe_window():
+    """w rounds to a multiple of 8 (not a power of two): max_probe 29 ->
+    32 shifts, max_probe 50 -> 56 not 64; results stay exact."""
+    rng = np.random.default_rng(7)
+    sig = random_signatures(rng, 30000)
+    table = build_table(**sig, load_factor=0.9)
+    table.compute_max_probe()
+    assert 16 < table.max_probe <= 64  # fixture sanity (deterministic)
+    lk = PallasStreamLookup(table)
+    assert lk.w % 8 == 0
+    assert table.max_probe <= lk.w < table.max_probe + 8
+    values, cnt, pos = make_queries(rng, sig["kmers"], 30000)
+    a = lookup_stream(table, values, cnt, pos)
+    assert canon(a) == canon(lk.lookup(values, cnt, pos))
