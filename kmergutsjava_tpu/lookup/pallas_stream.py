@@ -285,7 +285,9 @@ class PallasStreamLookup:
             z = np.zeros(0)
             return LookupHits.from_lists(z, z, z, z, z, z, 0)
         qfp_tiles, homes, flat, shift = self._scatter_dense(values)
-        out = jax.device_get(self._probe(qfp_tiles))
+        from ..parallel.multihost import fetch_global
+
+        out = fetch_global(self._probe(qfp_tiles))
         cnt = np.ascontiguousarray(
             np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,)))
         pos = np.ascontiguousarray(pos, dtype=np.int64)
@@ -513,6 +515,8 @@ class StreamingStreamLookup:
         self._join_worker()
         if not self.total_fed:
             return self.partial_hits()
-        out = jax.device_get(self.lk._probe(self.qfp_tiles))
+        from ..parallel.multihost import fetch_global
+
+        out = fetch_global(self.lk._probe(self.qfp_tiles))
         return self.lk._decode(out, self._chunks, self.total_fed, progress,
                                self.compute_kmers_found)

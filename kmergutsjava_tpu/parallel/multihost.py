@@ -39,6 +39,24 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                                process_id=process_id)
 
 
+def fetch_global(x):
+    """device_get that also works when the array's mesh spans processes:
+    non-addressable outputs (e.g. the data-sharded hit columns of the psum
+    lookup on a multi-host mesh) are assembled with an allgather over the
+    distributed runtime. Pytrees pass through leaf-wise."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(x)
+    if all(getattr(l, "is_fully_addressable", True) for l in leaves):
+        return jax.device_get(x)
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda l: (jax.device_get(l)
+                   if getattr(l, "is_fully_addressable", True)
+                   else multihost_utils.process_allgather(l, tiled=True)), x)
+
+
 def shard_records(records: Iterable[FastaRecord], process_id: int,
                   num_processes: int) -> Iterator[FastaRecord]:
     """Round-robin record assignment: host p takes records i with

@@ -195,7 +195,9 @@ class RoutedLookup:
         cap = max(64, int(n_loc / t * self.slack))
         sharding = NamedSharding(self.mesh, P(AXIS))
         step = self._step(n_loc, cap)
-        off, state, over = jax.device_get(step(
+        from .multihost import fetch_global
+
+        off, state, over = fetch_global(step(
             self.fp_shards,
             jax.device_put(jnp.asarray(qfp), sharding),
             jax.device_put(jnp.asarray(homes), sharding),

@@ -157,5 +157,7 @@ def sharded_lookup_queries(mesh, step, device_planes, values: np.ndarray,
     found, otu, avg, fi, wt = step(
         device_planes["kmer"], device_planes["otu"], device_planes["avg"],
         device_planes["fi"], device_planes["wt"], v_dev, h_dev)
-    out = jax.device_get((found, otu, avg, fi, wt))
+    from .multihost import fetch_global
+
+    out = fetch_global((found, otu, avg, fi, wt))
     return tuple(a[:n] for a in out)

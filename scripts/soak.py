@@ -153,6 +153,11 @@ def main():
         n += 1
         if n % 25 == 0:
             print(f"{n} rounds OK (last seed {base + n - 1})", flush=True)
+        if n % 200 == 0:
+            # every round jits fresh table shapes; thousands of cached
+            # executables eventually exhaust the process map count
+            # (observed: LLVM "Cannot allocate memory" after ~1.6k rounds)
+            jax.clear_caches()
     print(f"SOAK PASSED: {n} rounds, base seed {base}")
 
 
