@@ -565,14 +565,24 @@ class Engine:
         by_container: Dict[tuple, tuple] = {k: empty for k in key_to_cnt}
         cnt_to_key = {cid: key for key, cid in key_to_cnt.items()}
         # one global (container, position) sort + segmented reductions: the
-        # per-container sort and one-function check become O(1) lookups
-        order = np.lexsort((hits.pos, hits.cnt_id))
-        cnt_s = hits.cnt_id[order]
-        pos_s = hits.pos[order]
-        otu_s = hits.otu[order]
-        avg_s = hits.avg_from_end[order]
-        fi_s = hits.fi[order]
-        wt_s = hits.wt[order].astype(np.float32)
+        # per-container sort and one-function check become O(1) lookups.
+        # The stream path's fused decode emits hits in feed order, which IS
+        # (container, position) order — detect that and skip the sort.
+        c, p_ = hits.cnt_id, hits.pos
+        presorted = len(c) == 0 or bool(np.all(
+            (c[1:] > c[:-1]) | ((c[1:] == c[:-1]) & (p_[1:] >= p_[:-1]))))
+        if presorted:
+            cnt_s, pos_s, otu_s = hits.cnt_id, hits.pos, hits.otu
+            avg_s, fi_s = hits.avg_from_end, hits.fi
+            wt_s = hits.wt.astype(np.float32)
+        else:
+            order = np.lexsort((hits.pos, hits.cnt_id))
+            cnt_s = hits.cnt_id[order]
+            pos_s = hits.pos[order]
+            otu_s = hits.otu[order]
+            avg_s = hits.avg_from_end[order]
+            fi_s = hits.fi[order]
+            wt_s = hits.wt[order].astype(np.float32)
         uniq, starts = np.unique(cnt_s, return_index=True)
         if len(starts):
             fi_min = np.minimum.reduceat(fi_s, starts)
