@@ -1,7 +1,7 @@
 # Build/test entry points (counterpart of the reference's Makefile/build.xml)
 .PHONY: all test bench baseline clean
 
-all: baseline feeder grouping scatter
+all: baseline feeder grouping scatter fasta
 
 baseline: native/kmer_guts_baseline
 
@@ -23,6 +23,11 @@ scatter: native/scatter.so
 native/scatter.so: native/scatter.cpp
 	g++ -O3 -shared -fPIC -o $@ $<
 
+fasta: native/fasta.so
+
+native/fasta.so: native/fasta.cpp
+	g++ -O3 -shared -fPIC -o $@ $<
+
 test:
 	python -m pytest tests/ -x -q
 
@@ -34,4 +39,4 @@ bench: baseline
 
 clean:
 	rm -f native/kmer_guts_baseline native/feeder.so native/grouping.so \
-	      native/scatter.so
+	      native/scatter.so native/fasta.so

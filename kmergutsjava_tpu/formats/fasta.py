@@ -52,13 +52,78 @@ def open_text_maybe_gz(path: str) -> TextIO:
     return open(path, "r", encoding="latin-1")
 
 
+_BULK_CAP = 1 << 31  # bulk-parse inputs up to 2 GB of text
+
+
 def read_fasta(source: Union[str, TextIO]) -> Iterator[FastaRecord]:
-    """Yield FastaRecord from a path (optionally .gz) or an open text stream."""
+    """Yield FastaRecord from a path (optionally .gz) or an open text stream.
+
+    Paths and in-memory streams go through the native bulk parser
+    (native/fasta.cpp, one pass over the whole buffer) when the toolchain
+    is available and the input is under 2 GB; other streams (e.g. stdin)
+    keep the line-by-line Python parser. Both are differentially pinned
+    to the scalar Java oracle by tests/test_fasta_fuzz.py."""
     if isinstance(source, str):
+        import os
+
+        try:
+            small = os.path.getsize(source) < _BULK_CAP
+        except OSError:
+            small = False
         with open_text_maybe_gz(source) as fh:
-            yield from _read_fasta_stream(fh)
+            if small and _bulk_available():
+                yield from _read_fasta_bulk(fh.read())
+            else:
+                yield from _read_fasta_stream(fh)
+    elif isinstance(source, io.StringIO) and _bulk_available():
+        text = source.getvalue()[source.tell():]
+        source.seek(0, io.SEEK_END)
+        yield from _read_fasta_bulk(text)
     else:
         yield from _read_fasta_stream(source)
+
+
+def _bulk_available() -> bool:
+    from ..utils.native import load_fasta
+
+    return load_fasta() is not None
+
+
+def _read_fasta_bulk(text: str) -> Iterator[FastaRecord]:
+    import numpy as np
+
+    from ..utils.native import load_fasta
+
+    lib = load_fasta()
+    try:
+        data = np.frombuffer(text.encode("latin-1"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        # non-latin-1 input (only reachable via in-memory streams; file
+        # sources are decoded latin-1): use the python parser
+        yield from _read_fasta_stream(io.StringIO(text))
+        return
+    n = len(data)
+    max_rec = int(np.count_nonzero(data == ord(">"))) + 1
+    rec = np.empty(6 * max_rec, dtype=np.int64)
+    out = np.empty(max(n, 1), dtype=np.uint8)
+    err = np.empty(2, dtype=np.int64)
+    nrec = lib.parse_fasta(np.ascontiguousarray(data), n, rec, max_rec,
+                           out, err)
+    payload = lambda: out[err[0]:err[0] + err[1]].tobytes().decode("latin-1")
+    if nrec == -1:
+        raise FastaError("Wrong caption line: " + payload())
+    if nrec == -2:
+        raise FastaError("No sequence for caption: " + payload())
+    if nrec < 0:  # -3: capacity miscount; cannot happen, but stay safe
+        yield from _read_fasta_stream(io.StringIO(text))
+        return
+    s = out.tobytes().decode("latin-1")
+    r = rec
+    for k in range(int(nrec)):
+        b = 6 * k
+        yield FastaRecord(s[r[b]:r[b] + r[b + 1]],
+                          s[r[b + 4]:r[b + 4] + r[b + 5]],
+                          s[r[b + 2]:r[b + 2] + r[b + 3]])
 
 
 def _read_fasta_stream(fh: TextIO) -> Iterator[FastaRecord]:

@@ -102,6 +102,40 @@ def load_scatter() -> Optional[ctypes.CDLL]:
         return _scat_lib
 
 
+_FASTA_SRC = os.path.join(os.path.dirname(_SRC), "fasta.cpp")
+_FASTA_SO = os.path.join(os.path.dirname(_SRC), "fasta.so")
+
+_fasta_lib = None
+_fasta_tried = False
+
+
+def load_fasta() -> Optional[ctypes.CDLL]:
+    """Native bulk FASTA parser (native/fasta.cpp); None without g++."""
+    global _fasta_lib, _fasta_tried
+    with _lock:
+        if _fasta_lib is not None or _fasta_tried:
+            return _fasta_lib
+        _fasta_tried = True
+        if os.environ.get("KMER_NO_NATIVE_FASTA"):
+            return None
+        try:
+            if (not os.path.exists(_FASTA_SO)
+                    or os.path.getmtime(_FASTA_SO)
+                    < os.path.getmtime(_FASTA_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _FASTA_SO,
+                     _FASTA_SRC], check=True, capture_output=True)
+            lib = ctypes.CDLL(_FASTA_SO)
+            fn = lib.parse_fasta
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [_U8P, ctypes.c_int64, _I64P, ctypes.c_int64,
+                           _U8P, _I64P]
+            _fasta_lib = lib
+        except Exception:
+            _fasta_lib = None
+        return _fasta_lib
+
+
 _GRP_SRC = os.path.join(os.path.dirname(_SRC), "grouping.cpp")
 _GRP_SO = os.path.join(os.path.dirname(_SRC), "grouping.so")
 _F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
