@@ -9,7 +9,7 @@ Python machine by the differential tests in tests/test_batch_native.py.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

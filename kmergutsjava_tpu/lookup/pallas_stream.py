@@ -52,7 +52,7 @@ import numpy as np
 
 from ..formats.kmer_table import KmerTable
 from .parity import LookupHits
-from .xla import FP_EMPTY, FP_MOD, XlaLookup, _round_up_pow2
+from .xla import FP_EMPTY, FP_MOD, XlaLookup
 
 BLOCK = 2048  # table slots per block row (lane-dim multiple of 128;
 #               kept small: the unrolled shift loop stack-allocates its
