@@ -306,22 +306,24 @@ class PallasStreamLookup:
         return self._cols
 
     def _decode(self, out, chunks, n_total: int, progress,
-                compute_kmers_found: bool) -> LookupHits:
+                compute_kmers_found: bool, want_values: bool = False):
         """Resolve kernel output into hits: fingerprint-candidate
         verification against the full k-mer values, the exact full-window
         pass for unresolved + channel-overflow queries, and hit
         compaction. ``chunks`` is a list of full-length query column
-        tuples (v, cnt, pos, homes, flat, shift)."""
+        tuples (v, cnt, pos, homes, flat, shift). With ``want_values``
+        returns (hits, hit_values) — the multi-pass front end merges
+        kmers-found counts across passes from the values."""
         from ..utils.native import load_scatter
         lib = load_scatter()
         if lib is not None:
             return self._decode_native(lib, out, chunks, n_total, progress,
-                                       compute_kmers_found)
+                                       compute_kmers_found, want_values)
         return self._decode_numpy(out, chunks, n_total, progress,
-                                  compute_kmers_found)
+                                  compute_kmers_found, want_values)
 
     def _decode_native(self, lib, out, chunks, n_total: int, progress,
-                       compute_kmers_found: bool) -> LookupHits:
+                       compute_kmers_found: bool, want_values: bool = False):
         """Fused one-pass decode (native/scatter.cpp decode_hits): no
         intermediate masks/concats — the dominant cost of the numpy twin
         at metagenome scales (~20 full-size array passes)."""
@@ -345,16 +347,17 @@ class PallasStreamLookup:
                 o_wt[k:], o_val[k:])
         if progress is not None:
             progress.update(n_total, k)
-        return LookupHits(
+        hits = LookupHits(
             cnt_id=o_cnt[:k].copy(), pos=o_pos[:k].copy(),
             otu=o_otu[:k].copy(), avg_from_end=o_avg[:k].copy(),
             fi=o_fi[:k].copy(), wt=o_wt[:k].copy(),
             kmers_found=(int(np.unique(o_val[:k]).size)
                          if compute_kmers_found else -1),
         )
+        return (hits, o_val[:k].copy()) if want_values else hits
 
     def _decode_numpy(self, out, chunks, n_total: int, progress,
-                      compute_kmers_found: bool) -> LookupHits:
+                      compute_kmers_found: bool, want_values: bool = False):
         cat = lambda k: (np.concatenate([ch[k] for ch in chunks])
                          if chunks else np.zeros(0, dtype=np.int64))
         av, ac, ap, ah, aflat, ashift = (cat(k) for k in range(6))
@@ -397,7 +400,7 @@ class PallasStreamLookup:
         t = self.table.slots
         if progress is not None:
             progress.update(n_total, len(slots))
-        return LookupHits(
+        hits = LookupHits(
             cnt_id=np.concatenate([pc[verified], tc[f2]]).astype(np.int64),
             pos=np.concatenate([pp[verified], tp[f2]]).astype(np.int64),
             otu=t["otu"][slots].copy(),
@@ -406,6 +409,7 @@ class PallasStreamLookup:
             kmers_found=(int(np.unique(hit_v).size)
                          if compute_kmers_found else -1),
         )
+        return (hits, hit_v) if want_values else hits
 
 
 class StreamingStreamLookup:
@@ -422,15 +426,25 @@ class StreamingStreamLookup:
 
     def __init__(self, lk: PallasStreamLookup,
                  compute_kmers_found: bool = False,
-                 async_scatter: Optional[bool] = None):
+                 async_scatter: Optional[bool] = None,
+                 flush_limit: Optional[int] = None):
         import os
 
         self.lk = lk
         self.compute_kmers_found = compute_kmers_found
+        # Bounded-memory contract (the stream analog of the reference's
+        # inputSizeLimit spill sort, ref :822-889): every flush_limit
+        # queries, run one plane pass, decode, retain ONLY the hits, and
+        # reset the tiles/occupancy. Each pass is exact on its own
+        # queries; extra passes just re-stream the plane.
+        self.flush_limit = flush_limit
         self.qfp_tiles = np.zeros((lk.nsuper, lk.channels, ROWS, BLOCK),
                                   dtype=np.uint16)
         self._occ = np.zeros(lk.num_sigs, dtype=np.uint8)
         self._chunks: list = []   # per chunk: (v, cnt, pos, homes, flat, shift)
+        self._passes: list = []   # completed passes' LookupHits
+        self._pass_values: list = []  # per pass: unique hit values (debug)
+        self._since_flush = 0
         self.total_fed = 0
         # Scatter worker: the native scatter is a ctypes call (GIL
         # released), so one worker thread overlaps it with the caller's
@@ -442,25 +456,29 @@ class StreamingStreamLookup:
         if async_scatter is None:
             env = os.environ.get("KMER_ASYNC_SCATTER")
             async_scatter = env != "0"
+        self._async = async_scatter
         if async_scatter:
-            import queue
-            import threading
+            self._start_worker()
 
-            self._queue = queue.Queue(maxsize=4)
+    def _start_worker(self) -> None:
+        import queue
+        import threading
 
-            def drain():
-                while True:
-                    item = self._queue.get()
-                    if item is None:
-                        return
-                    try:
-                        self._scatter_chunk(*item)
-                    except BaseException as ex:  # surfaced at finish()
-                        self._worker_error = ex
-                        return
+        self._queue = queue.Queue(maxsize=4)
 
-            self._worker = threading.Thread(target=drain, daemon=True)
-            self._worker.start()
+        def drain():
+            while True:
+                item = self._queue.get()
+                if item is None:
+                    return
+                try:
+                    self._scatter_chunk(*item)
+                except BaseException as ex:  # surfaced at finish()
+                    self._worker_error = ex
+                    return
+
+        self._worker = threading.Thread(target=drain, daemon=True)
+        self._worker.start()
 
     def _scatter_chunk(self, values, cnt, pos) -> None:
         _, homes, flat, shift = self.lk._scatter_dense(
@@ -490,16 +508,44 @@ class StreamingStreamLookup:
             np.broadcast_to(np.asarray(cnt_id, dtype=np.int64), (n,)))
         pos = np.ascontiguousarray(pos, dtype=np.int64)
         self.total_fed += n
+        self._since_flush += n
         if self._queue is not None:
             self._put_checked((values, cnt, pos))
         else:
             self._scatter_chunk(values, cnt, pos)
+        if self.flush_limit and self._since_flush >= self.flush_limit:
+            self._flush_pass()
+
+    def _flush_pass(self, restart: bool = True) -> None:
+        """Probe + decode everything buffered so far, keep only the hits,
+        and reset the tiles/occupancy for the next pass."""
+        from ..parallel.multihost import fetch_global
+
+        self._join_worker()
+        if self._since_flush:
+            out = fetch_global(self.lk._probe(self.qfp_tiles))
+            if self.compute_kmers_found:
+                hits, vals = self.lk._decode(
+                    out, self._chunks, self._since_flush, None, False,
+                    want_values=True)
+                self._pass_values.append(np.unique(vals))
+            else:
+                hits = self.lk._decode(out, self._chunks, self._since_flush,
+                                       None, False)
+            self._passes.append(hits)
+            self._chunks = []
+            self._since_flush = 0
+            self.qfp_tiles.fill(0)
+            self._occ.fill(0)
+        if restart and self._async:
+            self._start_worker()
 
     def _join_worker(self) -> None:
         if self._worker is not None:
             self._queue.put(None)
             self._worker.join()
             self._worker = None
+            self._queue = None
             if self._worker_error is not None:
                 raise self._worker_error
 
@@ -512,11 +558,28 @@ class StreamingStreamLookup:
                                      0 if self.compute_kmers_found else -1)
 
     def finish(self, progress=None) -> LookupHits:
-        self._join_worker()
-        if not self.total_fed:
-            return self.partial_hits()
-        from ..parallel.multihost import fetch_global
+        if not self._passes:
+            self._join_worker()
+            if not self.total_fed:
+                return self.partial_hits()
+            from ..parallel.multihost import fetch_global
 
-        out = fetch_global(self.lk._probe(self.qfp_tiles))
-        return self.lk._decode(out, self._chunks, self.total_fed, progress,
-                               self.compute_kmers_found)
+            out = fetch_global(self.lk._probe(self.qfp_tiles))
+            return self.lk._decode(out, self._chunks, self.total_fed,
+                                   progress, self.compute_kmers_found)
+        # multi-pass: decode the tail, then merge the per-pass hits
+        self._flush_pass(restart=False)
+        passes = self._passes
+        kf = (int(np.unique(np.concatenate(self._pass_values)).size)
+              if self.compute_kmers_found else -1)
+        merged = LookupHits(
+            cnt_id=np.concatenate([p.cnt_id for p in passes]),
+            pos=np.concatenate([p.pos for p in passes]),
+            otu=np.concatenate([p.otu for p in passes]),
+            avg_from_end=np.concatenate([p.avg_from_end for p in passes]),
+            fi=np.concatenate([p.fi for p in passes]),
+            wt=np.concatenate([p.wt for p in passes]),
+            kmers_found=kf)
+        if progress is not None:
+            progress.update(self.total_fed, len(merged))
+        return merged

@@ -118,7 +118,8 @@ class _DeferredAutoFeed:
 
         try:
             lk = self.engine._stream_lookup(self.table, self.cfg)
-            s = StreamingStreamLookup(lk, compute_kmers_found=self.cfg.debug)
+            s = StreamingStreamLookup(lk, compute_kmers_found=self.cfg.debug,
+                                      flush_limit=self.cfg.input_size_limit)
         except ValueError:
             # e.g. max_probe beyond the packed-offset budget: stay on the
             # buffered path and finish sparse (still exact, just slower)
@@ -271,9 +272,12 @@ class Engine:
             from ..lookup.pallas_stream import StreamingStreamLookup
 
             try:
+                # flush_limit = the reference's inputSizeLimit (ref :108):
+                # bounded RAM via one plane pass per 20M queries
                 streaming = StreamingStreamLookup(
                     self._stream_lookup(table, cfg),
-                    compute_kmers_found=cfg.debug)
+                    compute_kmers_found=cfg.debug,
+                    flush_limit=cfg.input_size_limit)
                 feed = streaming
             except ValueError as ex:
                 # e.g. max_probe beyond the packed-offset budget

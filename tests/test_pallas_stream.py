@@ -129,3 +129,49 @@ def test_non_pow2_probe_window():
     values, cnt, pos = make_queries(rng, sig["kmers"], 30000)
     a = lookup_stream(table, values, cnt, pos)
     assert canon(a) == canon(lk.lookup(values, cnt, pos))
+
+
+@pytest.mark.parametrize("flush_limit,n_chunks", [(500, 7), (1, 5), (10**9, 3)])
+def test_streaming_multipass_matches_oneshot(flush_limit, n_chunks):
+    """Bounded-memory multi-pass (flush_limit queries per plane pass):
+    hits and the cross-pass kmers-found union match the one-shot path,
+    including duplicates that span pass boundaries (their dedup state
+    resets with the tiles)."""
+    from kmergutsjava_tpu.lookup.pallas_stream import StreamingStreamLookup
+
+    rng = np.random.default_rng(41)
+    sig = random_signatures(rng, 1500)
+    table = build_table(**sig, load_factor=0.8)
+    values, cnt, pos = make_queries(rng, sig["kmers"], 4000)
+    values[::4] = values[0]  # duplicates across every pass
+    lk = PallasStreamLookup(table)
+    a = lk.lookup(values, cnt, pos)
+    s = StreamingStreamLookup(lk, compute_kmers_found=True,
+                              flush_limit=flush_limit)
+    for part in np.array_split(np.arange(len(values)), n_chunks):
+        s.add_batch(values[part], cnt[part], pos[part])
+    b = s.finish()
+    assert canon(a) == canon(b)
+    assert a.kmers_found == b.kmers_found
+    if flush_limit < len(values):
+        assert len(s._passes) >= 2  # multi-pass actually engaged
+
+
+def test_streaming_multipass_end_to_end(tmp_path):
+    """Engine stream backend with a tiny input_size_limit: byte-identical
+    report to the parity backend (which spills through the query store)."""
+    import random as pyrandom
+
+    from test_end_to_end import _random_corpus, run_engine
+    from kmergutsjava_tpu.formats.table_tools import (
+        signatures_from_proteins, write_data_dir)
+
+    rng = pyrandom.Random(3)
+    prots, triples, funcs = _random_corpus(rng, n_prot=25)
+    write_data_dir(tmp_path / "d", signatures_from_proteins(triples), funcs)
+    fasta = "".join(f">p{i}\n{p}\n" for i, p in enumerate(prots))
+    kw = dict(aa=True, min_hits=2, input_size_limit=100,
+              temp_dir=str(tmp_path / "t"))
+    a = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
+    b = run_engine(tmp_path / "d", fasta, backend="stream", **kw)
+    assert a == b
