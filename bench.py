@@ -96,8 +96,7 @@ def bench_tpu_stream(table, values, reps: int):
     from kmergutsjava_tpu.lookup.pallas_stream import PallasStreamLookup
     from scripts.microbench_probe import stream_reps
 
-    lk = PallasStreamLookup(table, interpret=False,
-                            channels=STREAM_CHANNELS)
+    lk = PallasStreamLookup(table, channels=STREAM_CHANNELS)
     qfp_tiles = lk._scatter_dense(values)[0]
     tiles = jnp.asarray(qfp_tiles)
     n = len(values)
@@ -201,9 +200,16 @@ def bench_baseline(table, values, reps: int):
         rec = sort_records(rec, table.num_sigs)
         qpath = os.path.join(td, "queries.bin")
         rec.tofile(qpath)
-        out = subprocess.run([binary, tpath, qpath, str(reps)],
-                             check=True, capture_output=True, text=True)
-    return json.loads(out.stdout)
+        # best of 3: VM noise only ever slows the baseline down, so the
+        # max rate is the honest (and vs_baseline-conservative) estimate
+        best = None
+        for _ in range(3):
+            out = subprocess.run([binary, tpath, qpath, str(reps)],
+                                 check=True, capture_output=True, text=True)
+            r = json.loads(out.stdout)
+            if best is None or r["lookups_per_sec"] > best["lookups_per_sec"]:
+                best = r
+    return best
 
 
 PARTIAL = {"metric": "aa_8mer_lookups_per_sec_per_chip", "value": 0.0,

@@ -122,7 +122,8 @@ def bench_rows(n_slots: int, n_queries: int, reps: int, floor: float):
             "lookups_per_sec": round(n_queries * reps / dt, 1)}
 
 
-def stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps, channels=None):
+def stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps, channels=None,
+                interpret=None):
     """stream_probe_blocks with a leading rep grid dim (one dispatch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -133,10 +134,13 @@ def stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps, channels=None):
 
     if channels is None:
         channels = CHANNELS
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
         return pl.pallas_call(
             partial(_stream_block_kernel, w, channels=channels),
             grid=(reps, nsuper),
+            interpret=interpret,
             in_specs=[
                 pl.BlockSpec((1, ROWS, BLOCK + HALO),
                              lambda r, i: (i, 0, 0),
