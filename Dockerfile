@@ -7,13 +7,13 @@ RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /kb/module
-COPY pyproject.toml README.md ./
+COPY pyproject.toml README.md Makefile ./
 COPY kmergutsjava_tpu ./kmergutsjava_tpu
 COPY native ./native
 COPY scripts ./scripts
-RUN pip install --no-cache-dir . \
-    && g++ -O2 -o /usr/local/bin/kmer_guts_baseline native/kmer_guts_baseline.cpp \
-    && g++ -O3 -shared -fPIC -o native/feeder.so native/feeder.cpp
+# prebuild every native component (feeder, grouping, scatter+decode,
+# fasta, baseline); each also rebuilds on demand via the ctypes loaders
+RUN pip install --no-cache-dir . && make all
 
 # Reference data (kmer.table.mem_map + function.index) mounts at /data,
 # matching the reference test harness convention.
