@@ -8,24 +8,24 @@ baseline: native/kmer_guts_baseline
 native/kmer_guts_baseline: native/kmer_guts_baseline.cpp
 	g++ -O2 -o $@ $<
 
-feeder: native/feeder.so
+feeder: kmergutsjava_tpu/native/feeder.so
 
-native/feeder.so: native/feeder.cpp
+kmergutsjava_tpu/native/feeder.so: kmergutsjava_tpu/native/feeder.cpp
 	g++ -O3 -shared -fPIC -o $@ $<
 
-grouping: native/grouping.so
+grouping: kmergutsjava_tpu/native/grouping.so
 
-native/grouping.so: native/grouping.cpp
+kmergutsjava_tpu/native/grouping.so: kmergutsjava_tpu/native/grouping.cpp
 	g++ -O3 -shared -fPIC -o $@ $<
 
-scatter: native/scatter.so
+scatter: kmergutsjava_tpu/native/scatter.so
 
-native/scatter.so: native/scatter.cpp
+kmergutsjava_tpu/native/scatter.so: kmergutsjava_tpu/native/scatter.cpp
 	g++ -O3 -shared -fPIC -o $@ $<
 
-fasta: native/fasta.so
+fasta: kmergutsjava_tpu/native/fasta.so
 
-native/fasta.so: native/fasta.cpp
+kmergutsjava_tpu/native/fasta.so: kmergutsjava_tpu/native/fasta.cpp
 	g++ -O3 -shared -fPIC -o $@ $<
 
 test:
@@ -38,5 +38,4 @@ bench: baseline
 	python bench.py
 
 clean:
-	rm -f native/kmer_guts_baseline native/feeder.so native/grouping.so \
-	      native/scatter.so native/fasta.so
+	rm -f native/kmer_guts_baseline kmergutsjava_tpu/native/*.so

@@ -1,4 +1,4 @@
-"""Native batch grouping (native/grouping.cpp) vs the exact Python machine.
+"""Native batch grouping (kmergutsjava_tpu/native/grouping.cpp) vs the exact Python machine.
 
 Randomized multi-container batches — mixed function indices, gaps, seeds,
 order constraint, weight thresholds — must reproduce the tuple-level

@@ -1,4 +1,4 @@
-"""Native C++ dense-tile scatter (native/scatter.cpp) vs the numpy path.
+"""Native C++ dense-tile scatter (kmergutsjava_tpu/native/scatter.cpp) vs the numpy path.
 
 The two scatters may assign channel ranks differently (encounter order vs
 value order), so equality is asserted at the hits level — the contract both
