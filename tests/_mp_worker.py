@@ -81,7 +81,19 @@ got = sorted(zip(hits.pos.tolist(), hits.otu.tolist(), hits.fi.tolist()))
 assert got == want_canon, "routed: hit mismatch"
 print("MP-OK routed", flush=True)
 
-# 3. engine multihost contract: each host runs the engine over its
+# 3. zero-collective stream shards: plane + query tiles sharded by
+#    superblock range across the process boundary (the flagship mode)
+from kmergutsjava_tpu.parallel.stream_shards import (  # noqa: E402
+    StreamShardedLookup, make_stream_mesh)
+
+sl = StreamShardedLookup(table, mesh=make_stream_mesh(4))
+hits = sl.lookup(values, np.zeros(len(values), np.int64),
+                 np.arange(len(values), dtype=np.int64))
+got = sorted(zip(hits.pos.tolist(), hits.otu.tolist(), hits.fi.tolist()))
+assert got == want_canon, "stream-shards: hit mismatch"
+print("MP-OK stream-shards", flush=True)
+
+# 4. engine multihost contract: each host runs the engine over its
 #    round-robin record share (jax.distributed up, host-local grouping,
 #    ref-identical per-record blocks merged by the driver)
 from kmergutsjava_tpu.config import EngineConfig  # noqa: E402

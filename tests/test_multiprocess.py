@@ -44,5 +44,6 @@ def test_two_process_distributed(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out[-4000:]}"
         for mark in ("MP-OK sharded-psum", "MP-OK routed",
-                     "MP-OK engine-shard", "MP-WORKER-DONE"):
+                     "MP-OK stream-shards", "MP-OK engine-shard",
+                     "MP-WORKER-DONE"):
             assert mark in out, f"rank {pid} missing {mark}:\n{out[-4000:]}"
