@@ -361,6 +361,18 @@ class Engine:
             min_hits=cfg.min_hits, min_weighted_hits=cfg.min_weighted_hits,
             max_gap=cfg.max_gap, order_constraint=cfg.order_constraint,
             debug=cfg.debug)
+        if (not cfg.debug and cfg.min_hits >= 2
+                and cfg.grouping_impl == "host"):
+            # fully-native grouping phase: sort + state machine + report
+            # text in three C calls, no per-sequence Python (falls through
+            # to the general path when the library is unavailable)
+            from ..calls.batch_native import try_native_report
+
+            if try_native_report(prep, hits, functions, cfg.aa, report,
+                                 params):
+                self._info("Grouping time: %d ms."
+                           % int((time.time() - t3) * 1000), report, stdout)
+                return
         container_hits = self._bucket_hits(prep, hits, functions, params)
         if (cfg.grouping_impl == "scan" and not cfg.debug
                 and cfg.min_hits >= 2):

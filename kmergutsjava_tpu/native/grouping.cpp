@@ -11,14 +11,20 @@
 //
 // The batch runs many containers in one call; per emitted CALL it also
 // emits the OTU increments (run-length encoded over consecutive equal
-// oIs) so the Python side only formats text and maintains the top-5
-// move-to-front counter. Text formatting (Java HALF_UP "%f") stays in
-// Python (utils/javafmt).
+// oIs). emit_report below then renders the ENTIRE report text (sequence
+// headers, CALL lines with Java HALF_UP "%f" weights, and the top-5
+// move-to-front OTU-COUNTS lines) in one pass, so the non-debug grouping
+// phase has no per-sequence Python at all; utils/javafmt stays the
+// formatting oracle (tests/test_javafmt.py pins the C++ twin to it).
 //
 // Build: g++ -O3 -shared -fPIC -o grouping.so grouping.cpp
 
+#include <cmath>
 #include <cstddef>
 #include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -142,4 +148,192 @@ extern "C" int64_t group_batch(
     }
   }
   return n_calls;
+}
+
+namespace {
+
+inline char* put_u64(char* p, uint64_t v) {
+  char tmp[20];
+  int n = 0;
+  do {
+    tmp[n++] = (char)('0' + v % 10);
+    v /= 10;
+  } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+inline char* put_i64(char* p, int64_t v) {
+  if (v < 0) {
+    *p++ = '-';
+    return put_u64(p, (uint64_t)(-(v + 1)) + 1);
+  }
+  return put_u64(p, (uint64_t)v);
+}
+
+inline char* put_bytes(char* p, const void* s, int64_t n) {
+  std::memcpy(p, s, (size_t)n);
+  return p + n;
+}
+
+// Java String.format("%f", w): 6 decimals, ROUND HALF UP on the exact
+// binary value of the (float->double promoted) weight. utils/javafmt.py is
+// the decimal-arithmetic oracle. printf is correctly rounded on the exact
+// value too, but half-to-EVEN; the two differ only when the exact value
+// terminates exactly halfway at 6 digits. That case is decided exactly
+// here: |v|*1e6 is an exact double product for any float32-sourced v
+// (24-bit significand times 5^6's 14 bits stays under 53), so a
+// fractional part of exactly 0.5 is detectable and rounded away from
+// zero; everything else defers to printf's nearest = HALF_UP.
+inline char* put_jweight(char* p, float wf) {
+  const double v = (double)wf;
+  if (std::isnan(v)) return put_bytes(p, "NaN", 3);
+  if (std::isinf(v))
+    return v > 0 ? put_bytes(p, "Infinity", 8) : put_bytes(p, "-Infinity", 9);
+  const double a = std::fabs(v) * 1e6;  // exact (see above)
+  const double fl = std::floor(a);
+  if (a - fl == 0.5) {
+    // exactly halfway: HALF_UP rounds away from zero. a < 2^52 here (a
+    // double that large has no fractional bits), so the int64 is exact.
+    const uint64_t n = (uint64_t)fl + 1;
+    if (std::signbit(v)) *p++ = '-';
+    p = put_u64(p, n / 1000000);
+    *p++ = '.';
+    uint64_t f = n % 1000000;
+    for (int i = 5; i >= 0; --i) {
+      p[i] = (char)('0' + f % 10);
+      f /= 10;
+    }
+    return p + 6;
+  }
+  // glibc %f prints the correctly-rounded exact expansion (float32 range
+  // tops out near 3.4e38: at most ~39 integer digits + sign + 7 = fits 64)
+  return p + std::snprintf(p, 64, "%.6f", v);
+}
+
+// top-5 move-to-front OTU counter (ref :411-439), batch increments exact
+// per the argument at calls/grouping._otu_add_batch
+struct OtuCounter {
+  int32_t oi[5];
+  int64_t cnt[5];
+  int n = 0;
+  void add(int32_t o, int64_t inc) {
+    int j = 0;
+    while (j < n && oi[j] != o) ++j;
+    if (j == n) {
+      if (n == 5) {
+        j = 4;
+      } else {
+        j = n++;
+      }
+      oi[j] = o;
+      cnt[j] = inc;
+    } else {
+      cnt[j] += inc;
+    }
+    while (j > 0 && cnt[j - 1] <= cnt[j]) {
+      std::swap(oi[j - 1], oi[j]);
+      std::swap(cnt[j - 1], cnt[j]);
+      --j;
+    }
+  }
+};
+
+}  // namespace
+
+// test hook: format one weight exactly as emit_report's CALL lines do
+// (differentially pinned to utils/javafmt.jformat in tests/test_javafmt.py)
+extern "C" int64_t jweight(float w, uint8_t* out) {
+  return put_jweight((char*)out, w) - (char*)out;
+}
+
+// Render the whole non-debug report (the emission side of the reference's
+// processSeq/processAASeq/tabulateOtuDataForContig, ref :516-558) from the
+// columnar group_batch output. frames = 1 renders PROTEIN-ID headers (aa
+// mode), 6 renders processing + TRANSLATION headers in (+,-)x(0,1,2)
+// order. seq_batch[i*frames + j] is the batch index of sequence i's j-th
+// container (-1 = no hits); call_off[b]..call_off[b+1] delimits batch
+// container b's calls; upd_base gives each call's RLE OTU updates.
+// Returns bytes written, or -1 if out_cap would overflow.
+extern "C" int64_t emit_report(
+    const uint8_t* ids_blob, const int64_t* ids_off, const int64_t* seq_len,
+    int64_t n_seq, int32_t frames, const int64_t* seq_batch,
+    const int64_t* call_off, const int64_t* call_start,
+    const int64_t* call_end, const int32_t* call_count,
+    const int32_t* call_fi, const float* call_weight,
+    const int64_t* upd_base, const int32_t* upd_oi, const int32_t* upd_inc,
+    const uint8_t* fn_blob, const int64_t* fn_off,
+    uint8_t* out, int64_t out_cap) {
+  char* p = (char*)out;
+  char* const end = (char*)out + out_cap;
+  for (int64_t i = 0; i < n_seq; ++i) {
+    const char* id = (const char*)ids_blob + ids_off[i];
+    const int64_t idn = ids_off[i + 1] - ids_off[i];
+    const int64_t len = seq_len[i];
+    OtuCounter otus;
+    if (end - p < (int64_t)(frames + 1) * (idn + 64)) return -1;
+    if (frames == 1) {
+      p = put_bytes(p, "PROTEIN-ID\t", 11);
+      p = put_bytes(p, id, idn);
+      *p++ = '\t';
+      p = put_i64(p, len);
+      *p++ = '\n';
+    } else {
+      p = put_bytes(p, "processing ", 11);
+      p = put_bytes(p, id, idn);
+      *p++ = '[';
+      p = put_i64(p, len);
+      *p++ = ']';
+      *p++ = '\n';
+    }
+    for (int32_t j = 0; j < frames; ++j) {
+      if (frames != 1) {
+        p = put_bytes(p, "TRANSLATION\t", 12);
+        p = put_bytes(p, id, idn);
+        *p++ = '\t';
+        p = put_i64(p, len);
+        *p++ = '\t';
+        *p++ = (j < 3) ? '+' : '-';
+        *p++ = '\t';
+        *p++ = (char)('0' + j % 3);
+        *p++ = '\n';
+      }
+      const int64_t b = seq_batch[i * frames + j];
+      if (b < 0) continue;
+      for (int64_t ci = call_off[b]; ci < call_off[b + 1]; ++ci) {
+        const int32_t f = call_fi[ci];
+        const int64_t fn_n = fn_off[f + 1] - fn_off[f];
+        if (end - p < fn_n + 192) return -1;
+        p = put_bytes(p, "CALL\t", 5);
+        p = put_i64(p, call_start[ci]);
+        *p++ = '\t';
+        p = put_i64(p, call_end[ci]);
+        *p++ = '\t';
+        p = put_i64(p, call_count[ci]);
+        *p++ = '\t';
+        p = put_i64(p, f);
+        *p++ = '\t';
+        p = put_bytes(p, fn_blob + fn_off[f], fn_n);
+        *p++ = '\t';
+        p = put_jweight(p, call_weight[ci]);
+        *p++ = '\n';
+        for (int64_t u = upd_base[ci]; u < upd_base[ci + 1]; ++u)
+          otus.add(upd_oi[u], upd_inc[u]);
+      }
+    }
+    if (end - p < idn + 64 + 5 * 48) return -1;
+    p = put_bytes(p, "OTU-COUNTS\t", 11);
+    p = put_bytes(p, id, idn);
+    *p++ = '[';
+    p = put_i64(p, len);
+    *p++ = ']';
+    for (int k = 0; k < otus.n; ++k) {
+      *p++ = '\t';
+      p = put_i64(p, otus.cnt[k]);
+      *p++ = '-';
+      p = put_i64(p, otus.oi[k]);
+    }
+    *p++ = '\n';
+  }
+  return p - (char*)out;
 }

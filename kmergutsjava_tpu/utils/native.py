@@ -122,6 +122,19 @@ def _bind_grouping(lib) -> None:
         _I32P, _I32P, _I32P,                          # nupd + updates
         ctypes.c_int64, ctypes.c_int64,               # capacities
     ]
+    fn = lib.jweight
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_float, _U8P]
+    fn = lib.emit_report
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        _U8P, _I64P, _I64P,                           # ids blob/off, seq_len
+        ctypes.c_int64, ctypes.c_int32, _I64P,        # n_seq, frames, batch
+        _I64P, _I64P, _I64P, _I32P, _I32P, _F32P,     # call_off + call cols
+        _I64P, _I32P, _I32P,                          # upd_base + updates
+        _U8P, _I64P,                                  # function blob/off
+        _U8P, ctypes.c_int64,                         # out buffer, capacity
+    ]
 
 
 def load_grouping() -> Optional[ctypes.CDLL]:
