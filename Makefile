@@ -11,22 +11,22 @@ native/kmer_guts_baseline: native/kmer_guts_baseline.cpp
 feeder: kmergutsjava_tpu/native/feeder.so
 
 kmergutsjava_tpu/native/feeder.so: kmergutsjava_tpu/native/feeder.cpp
-	g++ -O3 -shared -fPIC -o $@ $<
+	g++ -O3 -shared -fPIC -pthread -o $@ $<
 
 grouping: kmergutsjava_tpu/native/grouping.so
 
 kmergutsjava_tpu/native/grouping.so: kmergutsjava_tpu/native/grouping.cpp
-	g++ -O3 -shared -fPIC -o $@ $<
+	g++ -O3 -shared -fPIC -pthread -o $@ $<
 
 scatter: kmergutsjava_tpu/native/scatter.so
 
 kmergutsjava_tpu/native/scatter.so: kmergutsjava_tpu/native/scatter.cpp
-	g++ -O3 -shared -fPIC -o $@ $<
+	g++ -O3 -shared -fPIC -pthread -o $@ $<
 
 fasta: kmergutsjava_tpu/native/fasta.so
 
 kmergutsjava_tpu/native/fasta.so: kmergutsjava_tpu/native/fasta.cpp
-	g++ -O3 -shared -fPIC -o $@ $<
+	g++ -O3 -shared -fPIC -pthread -o $@ $<
 
 test:
 	python -m pytest tests/ -x -q

@@ -324,37 +324,46 @@ class PallasStreamLookup:
 
     def _decode_native(self, lib, out, chunks, n_total: int, progress,
                        compute_kmers_found: bool, want_values: bool = False):
-        """Fused one-pass decode (kmergutsjava_tpu/native/scatter.cpp decode_hits): no
-        intermediate masks/concats — the dominant cost of the numpy twin
-        at metagenome scales (~20 full-size array passes)."""
+        """Two-pass native decode (kmergutsjava_tpu/native/scatter.cpp
+        resolve_slots + emit_hits, both thread-parallel): the resolve pass
+        returns the exact hit count, so the hit columns are allocated at
+        final size — no capacity-n buffers, no shrinking copies (those
+        copies measured as the largest single host cost on the proteome
+        corpus). No intermediate masks/concats — the dominant cost of the
+        numpy twin at metagenome scales (~20 full-size array passes)."""
         t_otu, t_avg, t_fi, t_wt = self._table_columns()
         hk = self._exact.host_kmer
         out_flat = np.ascontiguousarray(out.reshape(-1))
-        o_cnt = np.empty(n_total, dtype=np.int64)
-        o_pos = np.empty(n_total, dtype=np.int64)
-        o_otu = np.empty(n_total, dtype=np.int32)
-        o_avg = np.empty(n_total, dtype=np.int32)
-        o_fi = np.empty(n_total, dtype=np.int32)
-        o_wt = np.empty(n_total, dtype=np.float32)
-        o_val = np.empty(n_total, dtype=np.int64)
-        k = 0
+        slots = []
+        k_total = 0
         for v, c, p, h, fl, sh in chunks:
-            k += lib.decode_hits(
-                v, c, p, h, fl, sh, len(v), out_flat, self.fe_plane, hk,
-                len(hk), self.w, self._exact.full_window,
-                t_otu, t_avg, t_fi, t_wt,
+            s = np.empty(len(v), dtype=np.int64)
+            k_total += lib.resolve_slots(
+                v, h, fl, sh, len(v), out_flat, self.fe_plane, hk,
+                len(hk), self.w, self._exact.full_window, s)
+            slots.append(s)
+        o_cnt = np.empty(k_total, dtype=np.int64)
+        o_pos = np.empty(k_total, dtype=np.int64)
+        o_otu = np.empty(k_total, dtype=np.int32)
+        o_avg = np.empty(k_total, dtype=np.int32)
+        o_fi = np.empty(k_total, dtype=np.int32)
+        o_wt = np.empty(k_total, dtype=np.float32)
+        o_val = np.empty(k_total, dtype=np.int64)
+        k = 0
+        for (v, c, p, _, _, _), s in zip(chunks, slots):
+            k += lib.emit_hits(
+                v, c, p, s, len(v), t_otu, t_avg, t_fi, t_wt,
                 o_cnt[k:], o_pos[k:], o_otu[k:], o_avg[k:], o_fi[k:],
                 o_wt[k:], o_val[k:])
         if progress is not None:
             progress.update(n_total, k)
         hits = LookupHits(
-            cnt_id=o_cnt[:k].copy(), pos=o_pos[:k].copy(),
-            otu=o_otu[:k].copy(), avg_from_end=o_avg[:k].copy(),
-            fi=o_fi[:k].copy(), wt=o_wt[:k].copy(),
-            kmers_found=(int(np.unique(o_val[:k]).size)
+            cnt_id=o_cnt, pos=o_pos, otu=o_otu, avg_from_end=o_avg,
+            fi=o_fi, wt=o_wt,
+            kmers_found=(int(np.unique(o_val).size)
                          if compute_kmers_found else -1),
         )
-        return (hits, o_val[:k].copy()) if want_values else hits
+        return (hits, o_val) if want_values else hits
 
     def _decode_numpy(self, out, chunks, n_total: int, progress,
                       compute_kmers_found: bool, want_values: bool = False):

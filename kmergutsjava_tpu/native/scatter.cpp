@@ -4,8 +4,8 @@
 // probes billions of slot-channels per second, but its host front end —
 // bucketing query k-mers by home slot into the dense [nsuper, C, ROWS,
 // BLOCK] fingerprint tile — ran at ~3.6M queries/s in numpy (np.unique +
-// argsort per chunk). This sequential scatter replaces that path: one
-// pass over the chunk, O(1) per query.
+// argsort per chunk). This scatter replaces that path: one pass over the
+// chunk, O(1) per query, threaded by home-slot range (below).
 //
 // Deduplication is by (home slot, fingerprint), and the dedup structure
 // is THE TILE ITSELF: before taking a new channel, the query's ≤C
@@ -23,6 +23,17 @@
 // (lookup/pallas_stream.py _decode). Both colliding queries therefore
 // still get exact answers.
 //
+// THREADING (exactness preserved): the tile/occupancy mutation is
+// per-home-slot state, so the chunk parallelizes by slot range — a
+// stable radix partition groups query indices by home range (original
+// order preserved within each range), then each range is processed by
+// one thread with exclusive ownership of its slots. Every home slot sees
+// its queries in the same encounter order as the sequential loop, so the
+// tiles, channel assignments, occupancy, and per-query outputs are
+// BIT-IDENTICAL to the single-thread path (pinned by
+// tests/test_native_scatter.py). Thread count: KMER_NATIVE_THREADS, else
+// hardware concurrency; small chunks stay sequential.
+//
 // Outputs per query: home slot, flat element index into the flattened
 // kernel output [nsuper, C/4, ROWS, BLOCK], and the bit shift of its
 // packed result byte (the kernel packs 4 channels' offsets per int32);
@@ -33,14 +44,88 @@
 // /root/reference/lib/src/kmergutsjava/KmerGutsJava.java:964-994
 // (neededHashCode = value % numSigs and the inProgress keying).
 
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
+#include <thread>
+#include <vector>
 
-// Fused decode of the stream kernel's packed output: candidate-offset
+namespace {
+
+int num_threads() {
+    const char* e = std::getenv("KMER_NATIVE_THREADS");
+    if (e) {
+        int v = std::atoi(e);
+        if (v > 0) return v;
+    }
+    unsigned hc = std::thread::hardware_concurrency();
+    return hc ? (int)hc : 1;
+}
+
+// Run fn(t) on T threads (fn(T-1) inline on the caller).
+template <typename F>
+void parallel_for_threads(int T, F&& fn) {
+    std::vector<std::thread> ts;
+    ts.reserve(T - 1);
+    for (int t = 0; t < T - 1; t++) ts.emplace_back(fn, t);
+    fn(T - 1);
+    for (auto& th : ts) th.join();
+}
+
+struct ScatterDims {
+    int64_t num_sigs, channels, block, rows, fp_mod, planes, row_sz;
+};
+
+// The per-query placement body shared by the sequential and threaded
+// paths; homes[i] must already hold v % num_sigs. Returns 1 if placed.
+inline int64_t place_one(int64_t i, const int64_t* values,
+                         const int64_t* homes, const ScatterDims& d,
+                         uint16_t* qfp_tiles, uint8_t* occ,
+                         int64_t* flat, int32_t* shift) {
+    const int64_t v = values[i];
+    const int64_t h = homes[i];
+    const uint16_t fp = (uint16_t)(v % d.fp_mod);
+    const int64_t blk = h / d.block;
+    const int64_t sup = blk / d.rows;
+    const int64_t row = blk % d.rows;
+    const int64_t within = h % d.block;
+    // tile cell of (home, channel c) = base + c * row_sz
+    uint16_t* cell0 = qfp_tiles
+        + (sup * d.channels * d.row_sz + row * d.block + within);
+    const uint8_t c = occ[h];
+    const int64_t live = c < d.channels ? c : d.channels;
+    int64_t ch = -1;
+    for (int64_t ci = 0; ci < live; ci++) {
+        if (cell0[ci * d.row_sz] == fp) { ch = ci; break; }
+    }
+    if (ch < 0) {
+        if (c < 255) occ[h] = (uint8_t)(c + 1);
+        if ((int64_t)c >= d.channels) {  // channel overflow
+            flat[i] = 0;
+            shift[i] = -1;
+            return 0;
+        }
+        ch = c;
+        cell0[ch * d.row_sz] = fp;
+    }
+    flat[i] = ((sup * d.planes + (ch >> 2)) * d.rows + row) * d.block
+        + within;
+    shift[i] = (int32_t)(8 * (ch & 3));
+    return 1;
+}
+
+}  // namespace
+
+// Native decode of the stream kernel's packed output: candidate-offset
 // extraction, stop-at-empty gating, full-value verification, the exact
-// full-window fallback AND hit compaction in ONE pass per query. The
-// numpy twin (lookup/pallas_stream.py _decode_numpy) needs ~20 full-size
-// array passes for the same job; on hosts where memory is the bottleneck
-// (and at metagenome scales it always is) this pass is ~10x faster.
+// full-window fallback and hit compaction in two lean passes per query
+// (resolve_slots + emit_hits — split so the caller can allocate hit
+// columns at their EXACT final size between the passes, eliminating the
+// capacity-n buffers and their shrinking copies, which measured as the
+// single largest host cost on the proteome corpus). The numpy twin
+// (lookup/pallas_stream.py _decode_numpy) needs ~20 full-size array
+// passes for the same job; on hosts where memory is the bottleneck (and
+// at metagenome scales it always is) these passes are ~10x faster.
 //
 // Per query: if shift < 0 the query overflowed its home's channels at
 // scatter time -> probe the window directly. Otherwise read its packed
@@ -54,63 +139,147 @@
 // (/root/reference/lib/src/kmergutsjava/KmerGutsJava.java:995-1016):
 // a hit's slot holds the exact k-mer value; misses stop at an empty slot.
 //
+// THREADING: queries are independent (all shared state is read-only), so
+// the resolve pass runs slice-parallel into the per-query slot buffer;
+// the compaction offsets come from per-slice hit counts, and each slice
+// then writes its own contiguous region — the hit order (query order)
+// and every output byte match a sequential decode exactly.
+//
 // Outputs are the compacted hit columns (cnt, pos, otu, avg, fi, wt) plus
-// the hit values (for the kmers-found debug counter); returns the hit
-// count. Output arrays must have capacity n.
+// the hit values (for the kmers-found debug counter).
 
-extern "C" int64_t decode_hits(
-    const int64_t* v, const int64_t* cnt, const int64_t* pos,
-    const int64_t* homes, const int64_t* flat, const int32_t* shift,
-    int64_t n,
+namespace {
+
+// Resolve query i to its table slot, or -1 for a miss.
+inline int64_t resolve_one(int64_t i, const int64_t* v, const int64_t* homes,
+                           const int64_t* flat, const int32_t* shift,
+                           const int32_t* out, const uint8_t* fe,
+                           const int64_t* hk, int64_t hk_len, int64_t w,
+                           int64_t full_w) {
+    const int64_t h = homes[i];
+    const int64_t vi = v[i];
+    int64_t slot = -1;
+    bool fallback;
+    if (shift[i] < 0) {
+        fallback = true;  // channel overflow at scatter time
+    } else {
+        const int64_t off = (out[flat[i]] >> shift[i]) & 0xFF;
+        const uint8_t f = fe[h];
+        if (off < (int64_t)f) {      // candidate before first empty
+            if (h + off < hk_len && hk[h + off] == vi) {
+                return h + off;
+            }
+            fallback = true;         // fingerprint collision
+        } else {
+            fallback = (int64_t)f >= w;  // no empty in window: unresolved
+        }
+    }
+    if (fallback) {
+        const int64_t lim = full_w < hk_len - h ? full_w : hk_len - h;
+        for (int64_t l = 0; l < lim; l++) {
+            if (hk[h + l] == vi) { slot = h + l; break; }
+        }
+    }
+    return slot;
+}
+
+}  // namespace
+
+// Pass 1: resolve every query to its table slot (-1 = miss), returning
+// the hit count — so the caller can allocate EXACTLY-sized hit columns
+// (no capacity-n buffers, no shrinking copies). Slice-parallel.
+extern "C" int64_t resolve_slots(
+    const int64_t* v, const int64_t* homes, const int64_t* flat,
+    const int32_t* shift, int64_t n,
     const int32_t* out,       // flattened kernel output
     const uint8_t* fe,        // per-slot distance to first empty (cap w)
     const int64_t* hk,        // padded host k-mer plane
     int64_t hk_len, int64_t w, int64_t full_w,
+    int64_t* slots)           // out [n]
+{
+    const int T0 = num_threads();
+    const int T = n < (int64_t)1 << 16 ? 1
+        : (int)(n / 32768 < T0 ? n / 32768 : T0);
+    const int64_t step = T <= 1 ? n : (n + T - 1) / T;
+    std::vector<int64_t> k_slice(T > 1 ? T : 1, 0);
+    auto slice = [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        int64_t k = 0;
+        for (int64_t i = a; i < b; i++) {
+            const int64_t slot = resolve_one(i, v, homes, flat, shift, out,
+                                             fe, hk, hk_len, w, full_w);
+            slots[i] = slot;
+            k += slot >= 0;
+        }
+        k_slice[t] = k;
+    };
+    if (T <= 1) slice(0); else parallel_for_threads(T, slice);
+    int64_t k = 0;
+    for (auto ks : k_slice) k += ks;
+    return k;
+}
+
+// Pass 2: compact the resolved hits into the caller's exactly-sized
+// columns starting at their current fill point; returns hits emitted.
+// Hit order = query order (identical to the one-pass sequential decode).
+extern "C" int64_t emit_hits(
+    const int64_t* v, const int64_t* cnt, const int64_t* pos,
+    const int64_t* slots, int64_t n,
     const int32_t* t_otu, const int32_t* t_avg, const int32_t* t_fi,
     const float* t_wt,        // contiguous table columns [num_sigs]
     int64_t* o_cnt, int64_t* o_pos, int32_t* o_otu, int32_t* o_avg,
     int32_t* o_fi, float* o_wt, int64_t* o_val)
 {
-    int64_t k = 0;
-    for (int64_t i = 0; i < n; i++) {
-        const int64_t h = homes[i];
-        const int64_t vi = v[i];
-        int64_t slot = -1;
-        bool fallback;
-        if (shift[i] < 0) {
-            fallback = true;  // channel overflow at scatter time
-        } else {
-            const int64_t off = (out[flat[i]] >> shift[i]) & 0xFF;
-            const uint8_t f = fe[h];
-            if (off < (int64_t)f) {      // candidate before first empty
-                if (h + off < hk_len && hk[h + off] == vi) {
-                    slot = h + off;
-                    fallback = false;
-                } else {
-                    fallback = true;     // fingerprint collision
-                }
-            } else {
-                fallback = (int64_t)f >= w;  // no empty in window: unresolved
+    const int T0 = num_threads();
+    const int T = n < (int64_t)1 << 16 ? 1
+        : (int)(n / 32768 < T0 ? n / 32768 : T0);
+    if (T <= 1) {
+        int64_t k = 0;
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t slot = slots[i];
+            if (slot >= 0) {
+                o_cnt[k] = cnt[i];
+                o_pos[k] = pos[i];
+                o_otu[k] = t_otu[slot];
+                o_avg[k] = t_avg[slot];
+                o_fi[k] = t_fi[slot];
+                o_wt[k] = t_wt[slot];
+                o_val[k] = v[i];
+                k++;
             }
         }
-        if (fallback) {
-            const int64_t lim = full_w < hk_len - h ? full_w : hk_len - h;
-            for (int64_t l = 0; l < lim; l++) {
-                if (hk[h + l] == vi) { slot = h + l; break; }
-            }
-        }
-        if (slot >= 0) {
-            o_cnt[k] = cnt[i];
-            o_pos[k] = pos[i];
-            o_otu[k] = t_otu[slot];
-            o_avg[k] = t_avg[slot];
-            o_fi[k] = t_fi[slot];
-            o_wt[k] = t_wt[slot];
-            o_val[k] = vi;
-            k++;
-        }
+        return k;
     }
-    return k;
+    const int64_t step = (n + T - 1) / T;
+    std::vector<int64_t> base(T + 1, 0);
+    parallel_for_threads(T, [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        int64_t k = 0;
+        for (int64_t i = a; i < b; i++) k += slots[i] >= 0;
+        base[t + 1] = k;
+    });
+    for (int t = 0; t < T; t++) base[t + 1] += base[t];
+    parallel_for_threads(T, [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        int64_t k = base[t];
+        for (int64_t i = a; i < b; i++) {
+            const int64_t slot = slots[i];
+            if (slot >= 0) {
+                o_cnt[k] = cnt[i];
+                o_pos[k] = pos[i];
+                o_otu[k] = t_otu[slot];
+                o_avg[k] = t_avg[slot];
+                o_fi[k] = t_fi[slot];
+                o_wt[k] = t_wt[slot];
+                o_val[k] = v[i];
+                k++;
+            }
+        }
+    });
+    return base[T];
 }
 
 extern "C" int64_t scatter_chunk(
@@ -123,40 +292,74 @@ extern "C" int64_t scatter_chunk(
     int64_t* flat,         // out [n] flat kernel-output element index
     int32_t* shift)        // out [n] packed-byte bit shift; -1 = overflow
 {
-    const int64_t planes = channels >> 2;
-    const int64_t row_sz = rows * block;
-    int64_t placed = 0;
-    for (int64_t i = 0; i < n; i++) {
-        const int64_t v = values[i];
-        const int64_t h = v % num_sigs;
-        homes[i] = h;
-        const uint16_t fp = (uint16_t)(v % fp_mod);
-        const int64_t blk = h / block;
-        const int64_t sup = blk / rows;
-        const int64_t row = blk % rows;
-        const int64_t within = h % block;
-        // tile cell of (home, channel c) = base + c * row_sz
-        uint16_t* cell0 = qfp_tiles
-            + (sup * channels * row_sz + row * block + within);
-        const uint8_t c = occ[h];
-        const int64_t live = c < channels ? c : channels;
-        int64_t ch = -1;
-        for (int64_t ci = 0; ci < live; ci++) {
-            if (cell0[ci * row_sz] == fp) { ch = ci; break; }
+    const ScatterDims d{num_sigs, channels, block, rows, fp_mod,
+                        channels >> 2, rows * block};
+    const int T0 = num_threads();
+    const int T = n < (int64_t)1 << 16 ? 1
+        : (int)(n / 32768 < T0 ? n / 32768 : T0);
+    if (T <= 1) {
+        int64_t placed = 0;
+        for (int64_t i = 0; i < n; i++) {
+            homes[i] = values[i] % num_sigs;
+            placed += place_one(i, values, homes, d, qfp_tiles, occ, flat,
+                                shift);
         }
-        if (ch < 0) {
-            if (c < 255) occ[h] = (uint8_t)(c + 1);
-            if ((int64_t)c >= channels) {  // channel overflow
-                flat[i] = 0;
-                shift[i] = -1;
-                continue;
-            }
-            ch = c;
-            cell0[ch * row_sz] = fp;
-        }
-        flat[i] = ((sup * planes + (ch >> 2)) * rows + row) * block + within;
-        shift[i] = (int32_t)(8 * (ch & 3));
-        placed++;
+        return placed;
     }
+    // Stable radix partition of query indices by home-slot range, then
+    // one thread per range: exclusive slot ownership, sequential
+    // per-slot encounter order, bit-identical outputs (header comment).
+    const int R = T * 4 < 256 ? T * 4 : 256;
+    const int64_t range_sz = (num_sigs + R - 1) / R;
+    const int64_t step = (n + T - 1) / T;
+    std::vector<int64_t> counts((size_t)T * R, 0);
+    parallel_for_threads(T, [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        int64_t* cnt_t = counts.data() + (size_t)t * R;
+        for (int64_t i = a; i < b; i++) {
+            const int64_t h = values[i] % num_sigs;
+            homes[i] = h;
+            cnt_t[h / range_sz]++;
+        }
+    });
+    // exclusive offsets, range-major then slice-order (stable)
+    std::vector<int64_t> off((size_t)T * R);
+    std::vector<int64_t> range_end(R);
+    int64_t total = 0;
+    for (int r = 0; r < R; r++) {
+        for (int t = 0; t < T; t++) {
+            off[(size_t)t * R + r] = total;
+            total += counts[(size_t)t * R + r];
+        }
+        range_end[r] = total;
+    }
+    std::vector<int64_t> part(n);
+    parallel_for_threads(T, [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        int64_t* off_t = off.data() + (size_t)t * R;
+        for (int64_t i = a; i < b; i++) {
+            part[off_t[homes[i] / range_sz]++] = i;
+        }
+    });
+    std::vector<int64_t> placed_t(T, 0);
+    std::atomic<int> next_range(0);
+    parallel_for_threads(T, [&](int t) {
+        int64_t placed = 0;
+        for (;;) {
+            const int r = next_range.fetch_add(1);
+            if (r >= R) break;
+            const int64_t a = r == 0 ? 0 : range_end[r - 1];
+            const int64_t b = range_end[r];
+            for (int64_t j = a; j < b; j++) {
+                placed += place_one(part[j], values, homes, d, qfp_tiles,
+                                    occ, flat, shift);
+            }
+        }
+        placed_t[t] = placed;
+    });
+    int64_t placed = 0;
+    for (int t = 0; t < T; t++) placed += placed_t[t];
     return placed;
 }

@@ -44,7 +44,8 @@ def _build(name: str) -> Optional[ctypes.CDLL]:
     try:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                            "-o", so, src],
                            check=True, capture_output=True)
         return ctypes.CDLL(so)
     except Exception:
@@ -92,13 +93,20 @@ def _bind_scatter(lib) -> None:
         _U16P, _U8P,                                  # tiles, occ
         _I64P, _I64P, _I32P,                          # homes, flat, shift
     ]
-    fn = lib.decode_hits
+    fn = lib.resolve_slots
     fn.restype = ctypes.c_int64
     fn.argtypes = [
-        _I64P, _I64P, _I64P, _I64P, _I64P, _I32P,     # query columns
+        _I64P, _I64P, _I64P, _I32P,                   # v, homes, flat, shift
         ctypes.c_int64,                               # n
         _I32P, _U8P, _I64P,                           # out, fe, hk
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # hk_len, w, full_w
+        _I64P,                                        # slots out
+    ]
+    fn = lib.emit_hits
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        _I64P, _I64P, _I64P, _I64P,                   # v, cnt, pos, slots
+        ctypes.c_int64,                               # n
         _I32P, _I32P, _I32P, _F32P,                   # table columns
         _I64P, _I64P, _I32P, _I32P, _I32P, _F32P,     # hit columns out
         _I64P,                                        # hit values out
@@ -106,7 +114,7 @@ def _bind_scatter(lib) -> None:
 
 
 def load_scatter() -> Optional[ctypes.CDLL]:
-    """Native stream front/back end (scatter_chunk + decode_hits)."""
+    """Native stream front/back end (scatter_chunk + resolve_slots/emit_hits)."""
     return _load("scatter", "KMER_NO_NATIVE_SCATTER", _bind_scatter)
 
 

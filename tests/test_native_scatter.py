@@ -74,6 +74,92 @@ def test_streaming_native_matches_numpy_oneshot(n_chunks):
     assert a.kmers_found == b.kmers_found
 
 
+class threads:
+    """Pin KMER_NATIVE_THREADS for the duration (getenv is per-call)."""
+
+    def __init__(self, n):
+        self.n = str(n)
+
+    def __enter__(self):
+        import os
+        self.old = os.environ.get("KMER_NATIVE_THREADS")
+        os.environ["KMER_NATIVE_THREADS"] = self.n
+
+    def __exit__(self, *a):
+        import os
+        if self.old is None:
+            del os.environ["KMER_NATIVE_THREADS"]
+        else:
+            os.environ["KMER_NATIVE_THREADS"] = self.old
+
+
+def test_scatter_mt_bit_identical_to_sequential():
+    """The threaded scatter (radix partition by home range) must produce
+    EXACTLY the sequential outputs: tiles, occupancy, flat, shift, placed.
+    n must exceed the 65536 sequential cutoff to engage the MT path."""
+    lib = load_scatter()
+    rng = np.random.default_rng(23)
+    sig = random_signatures(rng, 30_000)
+    table = build_table(**sig, load_factor=0.8)
+    lk = PallasStreamLookup(table)
+    values, _, _ = make_queries(rng, sig["kmers"], 200_000)
+    values[::3] = values[1]          # heavy duplication
+    values[1::7] = values[4]
+    chunks = np.array_split(values, 2)   # streaming continuation too
+
+    def run(nthreads):
+        tiles = np.zeros((lk.nsuper, lk.channels, ROWS, BLOCK),
+                         dtype=np.uint16)
+        occ = np.zeros(lk.num_sigs, dtype=np.uint8)
+        outs = []
+        with threads(nthreads):
+            for ch in chunks:
+                outs.append(lk._scatter_dense_native(
+                    lib, np.ascontiguousarray(ch), tiles, occ))
+        return tiles, occ, outs
+
+    t1, o1, r1 = run(1)
+    t4, o4, r4 = run(4)
+    assert np.array_equal(t1, t4)
+    assert np.array_equal(o1, o4)
+    for (_, h1, f1, s1), (_, h4, f4, s4) in zip(r1, r4):
+        assert np.array_equal(h1, h4)
+        assert np.array_equal(f1, f4)
+        assert np.array_equal(s1, s4)
+
+
+def test_decode_mt_bit_identical_to_sequential():
+    """The threaded decode (slice-parallel resolve + offset compaction)
+    must emit exactly the sequential hit columns, in the same order.
+    Random kernel output bytes exercise every branch (verification
+    failures, stop-at-empty, fallback window probes, overflow)."""
+    lib = load_scatter()
+    rng = np.random.default_rng(29)
+    sig = random_signatures(rng, 20_000)
+    table = build_table(**sig, load_factor=0.9)
+    lk = PallasStreamLookup(table)
+    n = 150_000
+    values, cnt, pos = make_queries(rng, sig["kmers"], n)
+    _, homes, flat, shift = lk._scatter_dense_native(
+        lib, np.ascontiguousarray(values))
+    shift[::11] = -1                 # force some overflow-path queries
+    out_sz = lk.nsuper * (lk.channels // 4) * ROWS * BLOCK
+    out = rng.integers(0, 2**31, out_sz, dtype=np.int32)  # random offsets
+    chunk = (values, cnt, pos, homes, flat, shift)
+    with threads(1):
+        a = lk._decode_native(lib, out, [chunk], n, None, True,
+                              want_values=True)
+    with threads(4):
+        b = lk._decode_native(lib, out, [chunk], n, None, True,
+                              want_values=True)
+    for x, y in zip((a[0].cnt_id, a[0].pos, a[0].otu, a[0].avg_from_end,
+                     a[0].fi, a[0].wt, a[1]),
+                    (b[0].cnt_id, b[0].pos, b[0].otu, b[0].avg_from_end,
+                     b[0].fi, b[0].wt, b[1])):
+        assert np.array_equal(x, y)
+    assert a[0].kmers_found == b[0].kmers_found
+
+
 def test_native_scatter_invariants():
     """Structural checks on the raw native outputs: placed queries' flat
     index + shift decode back to their home slot and tile fingerprint;
