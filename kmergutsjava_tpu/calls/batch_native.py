@@ -151,7 +151,7 @@ def try_native_report(prep, hits, functions: Sequence[str], aa: bool,
     frames = 1 if aa else 6
     items = list(prep.id_len.items())
     n_seq = len(items)
-    n_cont = len(prep.containers)
+    n_cont = prep.num_containers()  # no key-list synthesis on the fast path
     # container ids per sequence in emission order ((+,-)x(0,1,2));
     # prepare assigns cids densely in exactly that order, so the identity
     # map applies unless duplicate FASTA ids re-registered a sequence

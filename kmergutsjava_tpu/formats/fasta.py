@@ -89,7 +89,22 @@ def _bulk_available() -> bool:
     return load_fasta() is not None
 
 
-def _read_fasta_bulk(text: str) -> Iterator[FastaRecord]:
+class BulkFasta(NamedTuple):
+    """Raw native-parse result: all record bytes live in one buffer.
+
+    ``rec`` is the int64 [nrec, 6] offset table (id off/len, descr off/len,
+    seq off/len into ``buf``). Consumers that only need byte slices (the
+    native feeder) index ``buf`` directly with zero per-record Python."""
+
+    buf: "np.ndarray"   # uint8, cleaned record bytes
+    rec: "np.ndarray"   # int64 [nrec, 6]
+    nrec: int
+
+
+def _bulk_parse(text: str):
+    """One native pass over the whole text -> BulkFasta, or None when the
+    input defeats the bulk path (non-latin-1, capacity miscount). Raises
+    FastaError with the reference's messages on malformed input."""
     import numpy as np
 
     from ..utils.native import load_fasta
@@ -100,8 +115,7 @@ def _read_fasta_bulk(text: str) -> Iterator[FastaRecord]:
     except UnicodeEncodeError:
         # non-latin-1 input (only reachable via in-memory streams; file
         # sources are decoded latin-1): use the python parser
-        yield from _read_fasta_stream(io.StringIO(text))
-        return
+        return None
     n = len(data)
     max_rec = int(np.count_nonzero(data == ord(">"))) + 1
     rec = np.empty(6 * max_rec, dtype=np.int64)
@@ -115,15 +129,46 @@ def _read_fasta_bulk(text: str) -> Iterator[FastaRecord]:
     if nrec == -2:
         raise FastaError("No sequence for caption: " + payload())
     if nrec < 0:  # -3: capacity miscount; cannot happen, but stay safe
+        return None
+    return BulkFasta(out, rec[:6 * int(nrec)].reshape(-1, 6), int(nrec))
+
+
+def read_fasta_bulk_arrays(source: Union[str, TextIO, None]):
+    """BulkFasta for a path or in-memory stream, or None when the bulk
+    path doesn't apply (no toolchain, pipe/stdin stream, >2 GB file,
+    non-latin-1 text). Never consumes ``source`` when returning None, so
+    the caller can fall back to the record iterator."""
+    if not _bulk_available():
+        return None
+    if isinstance(source, str):
+        import os
+
+        try:
+            if os.path.getsize(source) >= _BULK_CAP:
+                return None
+        except OSError:
+            return None
+        with open_text_maybe_gz(source) as fh:
+            return _bulk_parse(fh.read())
+    if isinstance(source, io.StringIO):
+        pos = source.tell()
+        bulk = _bulk_parse(source.getvalue()[pos:])
+        if bulk is not None:
+            source.seek(0, io.SEEK_END)
+        return bulk
+    return None
+
+
+def _read_fasta_bulk(text: str) -> Iterator[FastaRecord]:
+    bulk = _bulk_parse(text)
+    if bulk is None:
         yield from _read_fasta_stream(io.StringIO(text))
         return
-    s = out.tobytes().decode("latin-1")
-    r = rec
-    for k in range(int(nrec)):
-        b = 6 * k
-        yield FastaRecord(s[r[b]:r[b] + r[b + 1]],
-                          s[r[b + 4]:r[b + 4] + r[b + 5]],
-                          s[r[b + 2]:r[b + 2] + r[b + 3]])
+    s = bulk.buf.tobytes().decode("latin-1")
+    for b in bulk.rec.tolist():
+        yield FastaRecord(s[b[0]:b[0] + b[1]],
+                          s[b[4]:b[4] + b[5]],
+                          s[b[2]:b[2] + b[3]])
 
 
 def _read_fasta_stream(fh: TextIO) -> Iterator[FastaRecord]:

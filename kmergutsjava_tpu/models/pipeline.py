@@ -294,26 +294,36 @@ class Engine:
                                    cfg.resolved_temp_dir())
             feed = store
         try:
-            records = read_fasta(query if query is not None else query_stream)
+            prep = None
             if cfg.prepare_impl == "native":
-                from .prepare import (prepare_aa_native, prepare_aa_numpy,
-                                      prepare_dna_native, prepare_dna_numpy)
+                # fully-native fast path: bulk parse + feeder share one
+                # buffer, no per-record Python (None = fall through)
+                from .prepare import try_prepare_bulk
 
-                prep = (prepare_aa_native(records, feed) if cfg.aa
-                        else prepare_dna_native(records, feed))
-                if prep is None:  # no toolchain: numpy fallback
+                prep = try_prepare_bulk(query, query_stream, feed, cfg.aa)
+            if prep is None:
+                records = read_fasta(query if query is not None
+                                     else query_stream)
+                if cfg.prepare_impl == "native":
+                    from .prepare import (prepare_aa_native, prepare_aa_numpy,
+                                          prepare_dna_native,
+                                          prepare_dna_numpy)
+
+                    prep = (prepare_aa_native(records, feed) if cfg.aa
+                            else prepare_dna_native(records, feed))
+                    if prep is None:  # no toolchain: numpy fallback
+                        prep = (prepare_aa_numpy(records, feed) if cfg.aa
+                                else prepare_dna_numpy(records, feed))
+                elif cfg.prepare_impl == "numpy":
+                    from .prepare import prepare_aa_numpy, prepare_dna_numpy
+
                     prep = (prepare_aa_numpy(records, feed) if cfg.aa
                             else prepare_dna_numpy(records, feed))
-            elif cfg.prepare_impl == "numpy":
-                from .prepare import prepare_aa_numpy, prepare_dna_numpy
-
-                prep = (prepare_aa_numpy(records, feed) if cfg.aa
-                        else prepare_dna_numpy(records, feed))
-            elif cfg.aa:
-                prep = prepare_aa(records, feed,
-                                  min_bucket=cfg.length_bucket_base)
-            else:
-                prep = prepare_dna(records, feed)
+                elif cfg.aa:
+                    prep = prepare_aa(records, feed,
+                                      min_bucket=cfg.length_bucket_base)
+                else:
+                    prep = prepare_dna(records, feed)
             rec = (store.finalize(require_sorted=(cfg.backend == "parity"))
                    if store is not None else None)
         except Exception:

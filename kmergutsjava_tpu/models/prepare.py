@@ -45,13 +45,48 @@ def _next_pow2(x: int) -> int:
 
 
 class Prepared:
-    def __init__(self) -> None:
-        self.containers: List[ContainerKey] = []
+    """Container bookkeeping for a prepare pass.
+
+    Two construction styles: the record-iterator prepare paths append one
+    key per container via new_container; the bulk path registers whole
+    records (add_record) and synthesizes the key list LAZILY — container
+    ids are dense per record in the fixed reference order (+0 +1 +2 -0 -1
+    -2 for DNA, ref :1064-1072; one +0 per protein, ref :1059), so the
+    fully-native report path never needs the 6-tuples-per-read list at
+    all (it was ~0.5s of pure Python on a 100k-read sweep)."""
+
+    def __init__(self, frames: int = 0) -> None:
+        self._containers: List[ContainerKey] = [] if frames == 0 else None
+        self._rec_ids: List[str] = [] if frames else None
+        self._frames = frames
         self.id_len: Dict[str, int] = {}  # insertion-ordered, re-put keeps slot
 
+    @property
+    def containers(self) -> List[ContainerKey]:
+        if self._containers is None:
+            sf = ([("+", 0)] if self._frames == 1 else
+                  [(s, f) for s in ("+", "-") for f in range(3)])
+            self._containers = [(qid, s, f)
+                                for qid in self._rec_ids for s, f in sf]
+        return self._containers
+
     def new_container(self, key: ContainerKey) -> int:
-        self.containers.append(key)
-        return len(self.containers) - 1
+        c = self.containers
+        c.append(key)
+        return len(c) - 1
+
+    def num_containers(self) -> int:
+        """len(containers) without synthesizing the key list."""
+        if self._containers is None:
+            return len(self._rec_ids) * self._frames
+        return len(self._containers)
+
+    def add_record(self, query_id: str, length: int) -> int:
+        """Bulk path: register one record; returns its base container id."""
+        base = len(self._rec_ids) * self._frames
+        self._rec_ids.append(query_id)
+        self.id_len[query_id] = length
+        return base
 
 
 def _seq_to_ascii(seq: str) -> np.ndarray:
@@ -338,3 +373,72 @@ def prepare_aa_native(records, store):
 
 def prepare_dna_native(records, store):
     return _prepare_native(records, store, aa=False)
+
+
+def try_prepare_bulk(query, query_stream, store, aa: bool,
+                     flush_chars: int = 8_000_000):
+    """Fully-native prepare: the bulk FASTA parse result feeds the native
+    feeder DIRECTLY — sequence bytes stay in the parser's single output
+    buffer (the feeder takes absolute offsets into it), so no per-record
+    Python runs at all: no FastaRecord objects, no per-read container
+    tuples, no per-read array slices. Ids are materialized once from the
+    buffer (the report needs them); container keys synthesize lazily
+    (Prepared.add_record). Returns None — with ``query_stream`` left
+    unconsumed — when any native piece is missing or the input isn't
+    bulk-capable, so the caller falls back to the record-iterator paths.
+
+    Byte-equivalent to prepare_{aa,dna}_native over read_fasta (pinned by
+    tests/test_prepare_impls.py): same feeder, same container order, same
+    chunk boundaries measured in sequence chars."""
+    from ..formats.fasta import read_fasta_bulk_arrays
+    from ..utils.native import load_feeder
+
+    lib = load_feeder()
+    if lib is None:
+        return None
+    bulk = read_fasta_bulk_arrays(query if query is not None else query_stream)
+    if bulk is None:
+        return None
+    frames = 1 if aa else 6
+    prep = Prepared(frames=frames)
+    nrec = bulk.nrec
+    if nrec == 0:
+        return prep
+    text = bulk.buf.tobytes().decode("latin-1")
+    id_off = bulk.rec[:, 0]
+    id_len = bulk.rec[:, 1]
+    s_off = np.ascontiguousarray(bulk.rec[:, 4])
+    s_len = np.ascontiguousarray(bulk.rec[:, 5])
+    for i in range(nrec):
+        o = int(id_off[i])
+        prep.add_record(text[o:o + int(id_len[i])], int(s_len[i]))
+    blob = np.ascontiguousarray(bulk.buf)
+    # chunk by cumulative sequence chars (same budget as _prepare_native)
+    cum = np.cumsum(s_len)
+    max_all = int(s_len.max())
+    scratch = np.empty(max(max_all if aa else 2 * max_all, 2), dtype=np.uint8)
+    a = 0
+    while a < nrec:
+        base = cum[a - 1] if a else 0
+        b = int(np.searchsorted(cum, base + flush_chars)) + 1
+        b = min(b, nrec)
+        total = int(cum[b - 1] - base)
+        ridx = np.arange(a, b, dtype=np.int64)
+        if aa:
+            cnt_ids = ridx
+            cap = total
+            fn = lib.feeder_aa
+        else:
+            cnt_ids = (6 * ridx[:, None]
+                       + np.arange(6, dtype=np.int64)).reshape(-1)
+            cap = 2 * total + 6 * (b - a)
+            fn = lib.feeder_dna
+        out_v = np.empty(max(cap, 1), dtype=np.int64)
+        out_c = np.empty(max(cap, 1), dtype=np.int32)
+        out_p = np.empty(max(cap, 1), dtype=np.int32)
+        n = int(fn(blob, s_off[a:b], s_len[a:b], b - a,
+                   np.ascontiguousarray(cnt_ids), scratch, out_v, out_c,
+                   out_p))
+        store.add_batch(out_v[:n], out_c[:n].astype(np.int64), out_p[:n])
+        a = b
+    return prep

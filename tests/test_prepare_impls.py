@@ -80,6 +80,40 @@ def test_native_matches_numpy(tmp_path, mode):
     assert sorted(a[2]) == sorted(b[2])
 
 
+@pytest.mark.parametrize("mode", ["aa", "dna"])
+def test_bulk_matches_native(tmp_path, mode):
+    """The zero-per-record bulk path (native parse buffer fed straight to
+    the native feeder) must equal the record-iterator native path:
+    containers (incl. lazily synthesized keys), id_len, and the record
+    multiset. Sequences avoid FASTA-structural chars (the bulk path
+    parses real FASTA text; '>' and whitespace would change parsing, not
+    feeding — parser quirks are pinned separately by test_fasta_fuzz)."""
+    import io
+
+    from kmergutsjava_tpu.models.prepare import (prepare_aa_native,
+                                                 prepare_dna_native,
+                                                 try_prepare_bulk)
+
+    rng = random.Random(50 if mode == "aa" else 51)
+    chars = (AA if mode == "aa" else DNA).replace(" ", "").replace(".", "x")
+    records = _records(rng, chars, 35, 8, 300)
+    fasta = "".join(f">{r.id} d{r.id}\n{r.seq}\n" for r in records)
+
+    store = QueryKmerStore(10007, 10**9, str(tmp_path / "blk"))
+    prep = try_prepare_bulk(None, io.StringIO(fasta), store,
+                            aa=(mode == "aa"), flush_chars=2000)
+    assert prep is not None
+    rec = store.finalize()
+    a = (prep.containers, prep.id_len,
+         sorted(zip(rec["value"].tolist(), rec["cnt"].tolist(),
+                    rec["pos"].tolist())))
+    store.close()
+    fn = prepare_aa_native if mode == "aa" else prepare_dna_native
+    b = _collect(fn, records, tmp_path, "nat2")
+    assert a[0] == b[0] and a[1] == b[1]
+    assert a[2] == sorted(b[2])
+
+
 def test_native_dna_matches_oracle(tmp_path):
     import java_oracle as oracle
     from kmergutsjava_tpu.models.prepare import prepare_dna_native
