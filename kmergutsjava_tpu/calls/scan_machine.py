@@ -231,6 +231,29 @@ def gather_hits_scan_batch(containers: List[Tuple], functions: Sequence[str],
     """
     if p.debug or p.min_hits < 2:
         raise ValueError("scan machine supports non-debug, min_hits >= 2")
+    # Length-bucketed dispatch: padding every container to the GLOBAL max
+    # made the batch cost C * Lmax cells (measured ~80x the real hit count
+    # on realistic skewed mixes — most containers are tiny, a few are
+    # huge). Group containers by power-of-two length bucket and scan each
+    # bucket separately: total padded cells <= 2x the true hits, and the
+    # handful of distinct [*, bucket] shapes reuse compiled executables.
+    if len(containers) > 1:
+        lens = [len(x[0]) for x in containers]
+        if max(lens) > 2 * max(min(lens), 1):
+            buckets: dict = {}
+            for i, n in enumerate(lens):
+                b = 1
+                while b < n:
+                    b *= 2
+                buckets.setdefault(b, []).append(i)
+            out = [None] * len(containers)
+            for b in sorted(buckets):
+                idxs = buckets[b]
+                sub = gather_hits_scan_batch([containers[i] for i in idxs],
+                                             functions, p)
+                for i, r in zip(idxs, sub):
+                    out[i] = r
+            return out
     # bound padded batch memory: split very large container batches
     MAX_CELLS = 32 * 1024 * 1024
     lmax_all = max((len(x[0]) for x in containers), default=0)
