@@ -117,17 +117,32 @@ def build_table(
     """Build an open-addressed table from parallel arrays of signatures."""
     kmers = np.asarray(kmers, dtype=np.int64)
     n = len(kmers)
-    if n != len(set(kmers.tolist())):
-        raise TableError("duplicate k-mer values in signature set")
     if n and (kmers.min() < 0 or kmers.max() > MAX_ENCODED):
         raise TableError("k-mer value out of range")
     if num_sigs is None:
         num_sigs = _next_odd_prime(max(int(n / load_factor) + 1, n + 2, 11))
 
+    checked_dups = False
     while True:
         home = kmers % np.int64(num_sigs)
-        order = np.lexsort((kmers, home))
+        # (home, kmer) order via ONE composite-key sort when it fits in 63
+        # bits (kmer <= 20^8 < 2^35; any table below 2^28 slots, i.e. every
+        # realistic one): ~3x np.lexsort at production sizes. Keys are
+        # unique (duplicate k-mers are rejected below), so stability is
+        # irrelevant.
+        if num_sigs <= (1 << 28):
+            order = np.argsort((home << np.int64(35)) | kmers)
+        else:
+            order = np.lexsort((kmers, home))
         home_s = home[order]
+        if not checked_dups:
+            # duplicates share a home, so they are adjacent in this order —
+            # an O(n) vector check (the former Python-set check measured
+            # ~40% of the whole build at 50M signatures)
+            sk = kmers[order]
+            if n > 1 and bool((sk[1:] == sk[:-1]).any()):
+                raise TableError("duplicate k-mer values in signature set")
+            checked_dups = True
         # pos[i] = max(home_s[i], pos[i-1] + 1)  ==  running max of home_s[i]-i, plus i
         shifted = home_s - np.arange(n, dtype=np.int64)
         pos = np.maximum.accumulate(shifted) + np.arange(n, dtype=np.int64)
