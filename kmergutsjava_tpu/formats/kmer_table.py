@@ -122,53 +122,90 @@ def build_table(
     if num_sigs is None:
         num_sigs = _next_odd_prime(max(int(n / load_factor) + 1, n + 2, 11))
 
-    checked_dups = False
+    lib = _builder_native()
+    kmers = np.ascontiguousarray(kmers)
+    checked_dups = lib is not None  # native table_place checks inline
     while True:
         home = kmers % np.int64(num_sigs)
         # (home, kmer) order via ONE composite-key sort when it fits in 63
         # bits (kmer <= 20^8 < 2^35; any table below 2^28 slots, i.e. every
         # realistic one): ~3x np.lexsort at production sizes. Keys are
-        # unique (duplicate k-mers are rejected below), so stability is
+        # unique (duplicate k-mers are rejected), so stability is
         # irrelevant.
         if num_sigs <= (1 << 28):
             order = np.argsort((home << np.int64(35)) | kmers)
         else:
             order = np.lexsort((kmers, home))
-        home_s = home[order]
-        if not checked_dups:
-            # duplicates share a home, so they are adjacent in this order —
-            # an O(n) vector check (the former Python-set check measured
-            # ~40% of the whole build at 50M signatures)
-            sk = kmers[order]
-            if n > 1 and bool((sk[1:] == sk[:-1]).any()):
-                raise TableError("duplicate k-mer values in signature set")
-            checked_dups = True
-        # pos[i] = max(home_s[i], pos[i-1] + 1)  ==  running max of home_s[i]-i, plus i
-        shifted = home_s - np.arange(n, dtype=np.int64)
-        pos = np.maximum.accumulate(shifted) + np.arange(n, dtype=np.int64)
+        # pos[i] = max(home, pos[i-1] + 1): first-free-slot placement.
         # Grow until no chain reaches the final slot (keeps last slot empty
         # and rules out wraparound). A kmer homing to the last slot is
         # common for large n (p ~ 1 - e^{-n/S}), so growth must be gentle:
         # a small prime step re-rolls all homes without inflating the table.
-        if n == 0 or pos[-1] < num_sigs - 1:
+        pos = np.empty(n, dtype=np.int64)
+        if lib is not None:
+            # fused native pass: homes on the fly, placement recurrence,
+            # duplicate detection, max probe — no home_s/kmer gathers
+            max_probe = int(lib.table_place(kmers, order, n, num_sigs, pos))
+            if max_probe == -2:
+                raise TableError("duplicate k-mer values in signature set")
+        else:
+            home_s = home[order]
+            if not checked_dups:
+                # duplicates share a home, so they are adjacent in this
+                # order — an O(n) vector check (the former Python-set check
+                # measured ~40% of the whole build at 50M signatures)
+                sk = kmers[order]
+                if n > 1 and bool((sk[1:] == sk[:-1]).any()):
+                    raise TableError(
+                        "duplicate k-mer values in signature set")
+                checked_dups = True
+            shifted = home_s - np.arange(n, dtype=np.int64)
+            pos = np.maximum.accumulate(shifted) + np.arange(n,
+                                                             dtype=np.int64)
+            if n and pos[-1] >= num_sigs - 1:
+                max_probe = -1
+            else:
+                max_probe = int((pos - home_s).max()) + 1 if n else 1
+        if n == 0 or max_probe >= 0:
             break
         num_sigs = _next_odd_prime(num_sigs + max(17, num_sigs >> 12))
 
-    slots = np.empty(num_sigs, dtype=SLOT_DTYPE)
+    # np.zeros = calloc (lazy zero pages): only the kmer column needs a
+    # real pass for its empty sentinel; the former five full-plane strided
+    # fills measured ~25% of a production-size build
+    slots = np.zeros(num_sigs, dtype=SLOT_DTYPE)
     slots["kmer"] = EMPTY_KMER
-    slots["otu"] = 0
-    slots["avg_from_end"] = 0
-    slots["fi"] = 0
-    slots["wt"] = 0.0
-    slots["kmer"][pos] = kmers[order]
-    slots["otu"][pos] = np.asarray(otu, dtype=np.int32)[order]
-    slots["avg_from_end"][pos] = np.asarray(avg_from_end, dtype=np.int32)[order]
-    slots["fi"][pos] = np.asarray(fi, dtype=np.int32)[order]
-    slots["wt"][pos] = np.asarray(wt, dtype=np.float32)[order]
+    otu = np.ascontiguousarray(otu, dtype=np.int32)
+    avg_from_end = np.ascontiguousarray(avg_from_end, dtype=np.int32)
+    fi = np.ascontiguousarray(fi, dtype=np.int32)
+    wt = np.ascontiguousarray(wt, dtype=np.float32)
+    if lib is not None and n:
+        # one slice-parallel pass writes whole 24-byte records in sort
+        # order (replaces five full-size random gathers + scatters)
+        lib.table_fill(order, pos, n, kmers, otu, avg_from_end, fi, wt,
+                       slots.view(np.uint8))
+    elif n:
+        slots["kmer"][pos] = kmers[order]
+        slots["otu"][pos] = otu[order]
+        slots["avg_from_end"][pos] = avg_from_end[order]
+        slots["fi"][pos] = fi[order]
+        slots["wt"][pos] = wt[order]
 
     table = KmerTable(slots=slots, num_sigs=int(num_sigs))
-    table.max_probe = int((pos - home_s).max()) + 1 if n else 1
+    table.max_probe = int(max_probe) if n else 1
     return table
+
+
+def _builder_native():
+    """Native builder helpers (table_place/table_fill), or None — the
+    numpy fallback below is semantically identical."""
+    try:
+        from ..utils.native import load_scatter
+
+        lib = load_scatter()
+    except Exception:  # pragma: no cover - defensive
+        return None
+    return lib if lib is not None and hasattr(lib, "table_place") else None
 
 
 def write_table(path: str, table: KmerTable, write_meta: bool = True) -> None:

@@ -282,6 +282,70 @@ extern "C" int64_t emit_hits(
     return base[T];
 }
 
+// Table-builder helpers (formats/kmer_table.py build_table). The numpy
+// build spent nearly all its time in 6 full-size random gathers by the
+// sort permutation (columns + homes) plus a slow maximum.accumulate;
+// these two calls replace every one of them:
+//
+// table_place: walk signatures in (home, kmer) sort order via the
+// permutation, computing homes on the fly (one random read per element —
+// unavoidable — instead of numpy's materialized home_s gather), the
+// first-free-slot recurrence pos[i] = max(home, pos[i-1] + 1), the
+// duplicate check (equal kmers are adjacent in this order), and the max
+// probe-chain length, in ONE sequential pass. Returns max_probe (>= 1),
+// -1 when a chain reaches the final slot (caller grows the table and
+// retries; pos contents are then meaningless), or -2 on duplicate kmers.
+extern "C" int64_t table_place(const int64_t* kmers, const int64_t* order,
+                               int64_t n, int64_t num_sigs, int64_t* pos)
+{
+    int64_t prev = -1;
+    int64_t maxd = 0;
+    int64_t prev_k = -1;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t k = kmers[order[i]];
+        if (k == prev_k) return -2;
+        prev_k = k;
+        const int64_t h = k % num_sigs;
+        const int64_t p = h > prev + 1 ? h : prev + 1;
+        pos[i] = p;
+        prev = p;
+        const int64_t d = p - h;
+        if (d > maxd) maxd = d;
+    }
+    if (n && prev >= num_sigs - 1) return -1;
+    return maxd + 1;
+}
+
+// table_fill: write the five signature columns into the 24-byte slot
+// records (int64 kmer | int32 otu | int32 avg | int32 fi | float wt —
+// the on-disk layout, docs/formats.md) in one slice-parallel pass. pos
+// values are unique, so slices write disjoint records.
+extern "C" void table_fill(const int64_t* order, const int64_t* pos,
+                           int64_t n, const int64_t* kmers,
+                           const int32_t* otu, const int32_t* avg,
+                           const int32_t* fi, const float* wt,
+                           uint8_t* slots)
+{
+    const int T0 = num_threads();
+    const int T = n < (int64_t)1 << 16 ? 1
+        : (int)(n / 32768 < T0 ? n / 32768 : T0);
+    const int64_t step = T <= 1 ? n : (n + T - 1) / T;
+    auto slice = [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        for (int64_t i = a; i < b; i++) {
+            const int64_t j = order[i];
+            uint8_t* r = slots + 24 * pos[i];
+            *(int64_t*)r = kmers[j];
+            *(int32_t*)(r + 8) = otu[j];
+            *(int32_t*)(r + 12) = avg[j];
+            *(int32_t*)(r + 16) = fi[j];
+            *(float*)(r + 20) = wt[j];
+        }
+    };
+    if (T <= 1) slice(0); else parallel_for_threads(T, slice);
+}
+
 extern "C" int64_t scatter_chunk(
     const int64_t* values, int64_t n,
     int64_t num_sigs, int64_t channels, int64_t block, int64_t rows,

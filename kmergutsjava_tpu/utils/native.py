@@ -102,6 +102,13 @@ def _bind_scatter(lib) -> None:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # hk_len, w, full_w
         _I64P,                                        # slots out
     ]
+    fn = lib.table_place
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [_I64P, _I64P, ctypes.c_int64, ctypes.c_int64, _I64P]
+    fn = lib.table_fill
+    fn.restype = None
+    fn.argtypes = [_I64P, _I64P, ctypes.c_int64, _I64P, _I32P, _I32P, _I32P,
+                   _F32P, _U8P]
     fn = lib.emit_hits
     fn.restype = ctypes.c_int64
     fn.argtypes = [

@@ -83,3 +83,29 @@ def test_write_read_roundtrip(tmp_path, gz):
     assert back.num_sigs == table.num_sigs
     assert back.max_probe == table.max_probe
     assert np.array_equal(back.slots, table.slots)
+
+
+def test_native_build_matches_numpy(monkeypatch):
+    """The fused native builder (table_place + table_fill) must produce a
+    byte-identical table to the pure-numpy path, including growth retries
+    (tiny fixed num_sigs forces chains to the last slot) and the duplicate
+    rejection."""
+    import kmergutsjava_tpu.formats.kmer_table as kt
+
+    if kt._builder_native() is None:
+        pytest.skip("native builder unavailable")
+    for seed, n, load in ((0, 700, 0.6), (1, 900, 0.95), (2, 50, 0.99)):
+        rng = np.random.default_rng(seed)
+        sig = random_signatures(rng, n)
+        a = build_table(**sig, load_factor=load)
+        with monkeypatch.context() as m:
+            m.setattr(kt, "_builder_native", lambda: None)
+            b = build_table(**sig, load_factor=load)
+        assert a.num_sigs == b.num_sigs
+        assert a.max_probe == b.max_probe
+        assert np.array_equal(a.slots, b.slots)
+    with monkeypatch.context() as m:
+        m.setattr(kt, "_builder_native", lambda: None)
+        with pytest.raises(TableError):
+            build_table(np.array([7, 7], dtype=np.int64), [0, 0], [0, 0],
+                        [0, 0], [0.0, 0.0])
