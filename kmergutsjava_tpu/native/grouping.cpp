@@ -23,29 +23,52 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <utility>
 #include <vector>
 
 namespace {
 constexpr int K = 8;
 constexpr long CAP = 40000 - 2;  // MAX_HITS_PER_SEQ - 2 (ref :496-502)
+
+int num_threads() {
+  const char* e = std::getenv("KMER_NATIVE_THREADS");
+  if (e) {
+    int v = std::atoi(e);
+    if (v > 0) return v;
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  return hc ? (int)hc : 1;
+}
+
+template <typename F>
+void parallel_for_threads(int T, F&& fn) {
+  std::vector<std::thread> ts;
+  ts.reserve(T - 1);
+  for (int t = 0; t < T - 1; t++) ts.emplace_back(fn, t);
+  fn(T - 1);
+  for (auto& th : ts) th.join();
+}
 }  // namespace
 
-extern "C" int64_t group_batch(
+// One container range [c_begin, c_end) of the batch machine; outputs are
+// appended from slot 0 of the given arrays. Returns n_calls (n_upds via
+// out param), -1 on output overflow, -2 on a <2-hit processSetOfHits.
+static int64_t group_range(
     const int64_t* pos, const int32_t* otu, const int32_t* avg,
     const int32_t* fi, const float* wt,
-    const int64_t* bounds, int64_t n_containers,
+    const int64_t* bounds, int64_t c_begin, int64_t c_end,
     int64_t min_hits, int64_t min_weighted_hits, int64_t max_gap,
     int32_t order_constraint,
-    // outputs: one record per emitted CALL (+ its RLE OTU updates)
     int64_t* call_container, int64_t* call_start, int64_t* call_end,
     int32_t* call_count, int32_t* call_fi, float* call_weight,
     int32_t* call_nupd, int32_t* upd_oi, int32_t* upd_inc,
-    int64_t max_calls, int64_t max_upds) {
+    int64_t max_calls, int64_t max_upds, int64_t* out_n_upds) {
   int64_t n_calls = 0, n_upds = 0;
   std::vector<int64_t> hits;
-  for (int64_t c = 0; c < n_containers; ++c) {
+  for (int64_t c = c_begin; c < c_end; ++c) {
     const int64_t a = bounds[c], b = bounds[c + 1];
     hits.clear();
     int32_t current_fi = 0;
@@ -146,6 +169,110 @@ extern "C" int64_t group_batch(
       if (too_few) return -2;
       if (overflow) return -1;
     }
+  }
+  *out_n_upds = n_upds;
+  return n_calls;
+}
+
+extern "C" int64_t group_batch(
+    const int64_t* pos, const int32_t* otu, const int32_t* avg,
+    const int32_t* fi, const float* wt,
+    const int64_t* bounds, int64_t n_containers,
+    int64_t min_hits, int64_t min_weighted_hits, int64_t max_gap,
+    int32_t order_constraint,
+    // outputs: one record per emitted CALL (+ its RLE OTU updates)
+    int64_t* call_container, int64_t* call_start, int64_t* call_end,
+    int32_t* call_count, int32_t* call_fi, float* call_weight,
+    int32_t* call_nupd, int32_t* upd_oi, int32_t* upd_inc,
+    int64_t max_calls, int64_t max_upds) {
+  const int64_t total = n_containers ? bounds[n_containers] - bounds[0] : 0;
+  const int T0 = num_threads();
+  const int T = (total < (int64_t)1 << 16 || n_containers < 2) ? 1
+      : (int)((int64_t)T0 < n_containers ? T0 : n_containers);
+  if (T <= 1) {
+    int64_t n_upds = 0;
+    return group_range(pos, otu, avg, fi, wt, bounds, 0, n_containers,
+                       min_hits, min_weighted_hits, max_gap,
+                       order_constraint, call_container, call_start,
+                       call_end, call_count, call_fi, call_weight,
+                       call_nupd, upd_oi, upd_inc, max_calls, max_upds,
+                       &n_upds);
+  }
+  // Containers are independent: split the batch into T contiguous ranges
+  // balanced by hit count, run each into exactly-bounded thread-local
+  // buffers (<= hits + containers + 1 calls, <= 2*hits + 2 updates — the
+  // same worst-case formula the caller sizes the global arrays with),
+  // then stitch in range order. Output bytes identical to the sequential
+  // pass (order preserved; call_container indices are global already).
+  struct Range {
+    int64_t c0, c1, calls_cap, upds_cap, n_calls, n_upds, rc;
+    std::vector<int64_t> cc, cs, ce;
+    std::vector<int32_t> cnt, cfi, nupd, uoi, uinc;
+    std::vector<float> cw;
+  };
+  std::vector<Range> ranges(T);
+  int64_t c0 = 0;
+  for (int t = 0; t < T; ++t) {
+    // advance until this range holds ~1/T'th of the remaining hits
+    const int64_t want = (total + T - 1) / T;
+    int64_t c1 = c0;
+    while (c1 < n_containers
+           && (t == T - 1 || bounds[c1 + 1] - bounds[c0] <= want))
+      ++c1;
+    if (c1 == c0 && c0 < n_containers) ++c1;  // giant container: take one
+    Range& r = ranges[t];
+    r.c0 = c0;
+    r.c1 = c1;
+    const int64_t h = bounds[c1] - bounds[c0];
+    r.calls_cap = h + (c1 - c0) + 1;
+    r.upds_cap = 2 * h + 2;
+    c0 = c1;
+  }
+  parallel_for_threads(T, [&](int t) {
+    Range& r = ranges[t];
+    r.cc.resize(r.calls_cap);
+    r.cs.resize(r.calls_cap);
+    r.ce.resize(r.calls_cap);
+    r.cnt.resize(r.calls_cap);
+    r.cfi.resize(r.calls_cap);
+    r.cw.resize(r.calls_cap);
+    r.nupd.resize(r.calls_cap);
+    r.uoi.resize(r.upds_cap);
+    r.uinc.resize(r.upds_cap);
+    r.n_upds = 0;
+    r.rc = group_range(pos, otu, avg, fi, wt, bounds, r.c0, r.c1,
+                       min_hits, min_weighted_hits, max_gap,
+                       order_constraint, r.cc.data(), r.cs.data(),
+                       r.ce.data(), r.cnt.data(), r.cfi.data(),
+                       r.cw.data(), r.nupd.data(), r.uoi.data(),
+                       r.uinc.data(), r.calls_cap, r.upds_cap, &r.n_upds);
+    r.n_calls = r.rc >= 0 ? r.rc : 0;
+  });
+  int64_t n_calls = 0, n_upds = 0;
+  for (int t = 0; t < T; ++t) {
+    const Range& r = ranges[t];
+    if (r.rc < 0) return r.rc;
+    if (n_calls + r.n_calls > max_calls || n_upds + r.n_upds > max_upds)
+      return -1;
+    std::memcpy(call_container + n_calls, r.cc.data(),
+                sizeof(int64_t) * r.n_calls);
+    std::memcpy(call_start + n_calls, r.cs.data(),
+                sizeof(int64_t) * r.n_calls);
+    std::memcpy(call_end + n_calls, r.ce.data(),
+                sizeof(int64_t) * r.n_calls);
+    std::memcpy(call_count + n_calls, r.cnt.data(),
+                sizeof(int32_t) * r.n_calls);
+    std::memcpy(call_fi + n_calls, r.cfi.data(),
+                sizeof(int32_t) * r.n_calls);
+    std::memcpy(call_weight + n_calls, r.cw.data(),
+                sizeof(float) * r.n_calls);
+    std::memcpy(call_nupd + n_calls, r.nupd.data(),
+                sizeof(int32_t) * r.n_calls);
+    std::memcpy(upd_oi + n_upds, r.uoi.data(), sizeof(int32_t) * r.n_upds);
+    std::memcpy(upd_inc + n_upds, r.uinc.data(),
+                sizeof(int32_t) * r.n_upds);
+    n_calls += r.n_calls;
+    n_upds += r.n_upds;
   }
   return n_calls;
 }
@@ -255,9 +382,10 @@ extern "C" int64_t jweight(float w, uint8_t* out) {
 // container (-1 = no hits); call_off[b]..call_off[b+1] delimits batch
 // container b's calls; upd_base gives each call's RLE OTU updates.
 // Returns bytes written, or -1 if out_cap would overflow.
-extern "C" int64_t emit_report(
+static int64_t emit_range(
     const uint8_t* ids_blob, const int64_t* ids_off, const int64_t* seq_len,
-    int64_t n_seq, int32_t frames, const int64_t* seq_batch,
+    int64_t i_begin, int64_t i_end, int32_t frames,
+    const int64_t* seq_batch,
     const int64_t* call_off, const int64_t* call_start,
     const int64_t* call_end, const int32_t* call_count,
     const int32_t* call_fi, const float* call_weight,
@@ -266,7 +394,7 @@ extern "C" int64_t emit_report(
     uint8_t* out, int64_t out_cap) {
   char* p = (char*)out;
   char* const end = (char*)out + out_cap;
-  for (int64_t i = 0; i < n_seq; ++i) {
+  for (int64_t i = i_begin; i < i_end; ++i) {
     const char* id = (const char*)ids_blob + ids_off[i];
     const int64_t idn = ids_off[i + 1] - ids_off[i];
     const int64_t len = seq_len[i];
@@ -336,4 +464,66 @@ extern "C" int64_t emit_report(
     *p++ = '\n';
   }
   return p - (char*)out;
+}
+
+extern "C" int64_t emit_report(
+    const uint8_t* ids_blob, const int64_t* ids_off, const int64_t* seq_len,
+    int64_t n_seq, int32_t frames, const int64_t* seq_batch,
+    const int64_t* call_off, const int64_t* call_start,
+    const int64_t* call_end, const int32_t* call_count,
+    const int32_t* call_fi, const float* call_weight,
+    const int64_t* upd_base, const int32_t* upd_oi, const int32_t* upd_inc,
+    const uint8_t* fn_blob, const int64_t* fn_off,
+    uint8_t* out, int64_t out_cap) {
+  const int T0 = num_threads();
+  const int T = n_seq < 4096 ? 1
+      : (int)((int64_t)T0 < n_seq ? T0 : n_seq);
+  if (T <= 1) {
+    return emit_range(ids_blob, ids_off, seq_len, 0, n_seq, frames,
+                      seq_batch, call_off, call_start, call_end, call_count,
+                      call_fi, call_weight, upd_base, upd_oi, upd_inc,
+                      fn_blob, fn_off, out, out_cap);
+  }
+  // Sequences render independently (the OTU counter is per-sequence), so
+  // the report emits range-parallel into per-thread buffers sized by the
+  // caller's own capacity formula restricted to the range, then stitches
+  // in order — bytes identical to the sequential pass.
+  const int64_t step = (n_seq + T - 1) / T;
+  std::vector<std::vector<char>> bufs(T);
+  std::vector<int64_t> lens(T, 0);
+  parallel_for_threads(T, [&](int t) {
+    const int64_t a = t * step;
+    const int64_t b = a + step < n_seq ? a + step : n_seq;
+    if (a >= b) return;
+    // capacity: ids bytes * (frames+2) + per-seq headers/otu lines +
+    // per-call lines (function text + 192), mirroring the caller formula
+    const int64_t id_bytes = ids_off[b] - ids_off[a];
+    int64_t calls_bytes = 0;
+    for (int64_t i = a; i < b; ++i)
+      for (int32_t j = 0; j < frames; ++j) {
+        const int64_t bb = seq_batch[i * frames + j];
+        if (bb < 0) continue;
+        for (int64_t ci = call_off[bb]; ci < call_off[bb + 1]; ++ci) {
+          const int32_t f = call_fi[ci];
+          calls_bytes += (fn_off[f + 1] - fn_off[f]) + 192;
+        }
+      }
+    const int64_t cap = id_bytes * ((int64_t)frames + 2)
+        + (b - a) * (((int64_t)frames + 2) * 64 + 5 * 48)
+        + calls_bytes + 64;
+    bufs[t].resize(cap);
+    lens[t] = emit_range(ids_blob, ids_off, seq_len, a, b, frames,
+                         seq_batch, call_off, call_start, call_end,
+                         call_count, call_fi, call_weight, upd_base,
+                         upd_oi, upd_inc, fn_blob, fn_off,
+                         (uint8_t*)bufs[t].data(), cap);
+  });
+  int64_t n = 0;
+  for (int t = 0; t < T; ++t) {
+    if (lens[t] < 0) return -1;
+    if (n + lens[t] > out_cap) return -1;
+    std::memcpy(out + n, bufs[t].data(), (size_t)lens[t]);
+    n += lens[t];
+  }
+  return n;
 }

@@ -100,3 +100,82 @@ def test_native_empty_and_single():
     p = GroupingParams(min_hits=2)
     native = _run_batch([([5], [1], [0], [2], [0.5])], p)
     assert native[0] == ("pre", [], [])
+
+
+def test_group_batch_mt_bit_identical():
+    """The range-parallel group_batch must emit exactly the sequential
+    call/update columns (hit count > 65536 engages the MT path)."""
+    from kmergutsjava_tpu.calls.batch_native import _run_machine
+    from kmergutsjava_tpu.utils.native import load_grouping
+    from test_native_scatter import threads
+
+    rng = np.random.default_rng(61)
+    n = 200_000
+    n_cont = 3000
+    cnt_s = np.sort(rng.integers(0, n_cont, n).astype(np.int64))
+    pos_s = np.empty(n, np.int64)
+    uniq, starts = np.unique(cnt_s, return_index=True)
+    bounds = np.append(starts, n)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        pos_s[a:b] = np.sort(rng.integers(0, 4000, b - a))
+    otu_s = rng.integers(0, 6, n).astype(np.int32)
+    avg_s = rng.integers(0, 400, n).astype(np.int32)
+    fi_s = rng.integers(0, 8, n).astype(np.int32)
+    wt_s = rng.choice(np.float32([0.25, 0.5, 1.0, 0.1]), n)
+    todo = np.arange(len(uniq), dtype=np.int64)
+    p = GroupingParams(min_hits=3, min_weighted_hits=0, max_gap=200,
+                       order_constraint=False, debug=False)
+    lib = load_grouping()
+    with threads(1):
+        a = _run_machine(lib, cnt_s, pos_s, otu_s, avg_s, fi_s, wt_s,
+                         todo, bounds, p)
+    with threads(4):
+        b = _run_machine(lib, cnt_s, pos_s, otu_s, avg_s, fi_s, wt_s,
+                         todo, bounds, p)
+    assert a[1] == b[1] and a[1] > 0   # n_calls
+    nc = a[1]
+    nu = int(np.sum(a[8][:nc]))
+    lengths = [nc, nc, nc, nc, nc, nc, nc, nu, nu]
+    assert len(a) - 2 == len(lengths)
+    for x, y, m in zip(a[2:], b[2:], lengths):
+        assert np.array_equal(x[:m], y[:m])
+
+
+def test_emit_report_mt_bit_identical():
+    """The sequence-range-parallel emit_report must produce the exact
+    sequential report bytes (n_seq > 4096 engages the MT path)."""
+    from kmergutsjava_tpu.calls.batch_native import try_native_report
+    from kmergutsjava_tpu.models.prepare import Prepared
+    from kmergutsjava_tpu.lookup.parity import LookupHits
+    from test_native_scatter import threads
+
+    rng = np.random.default_rng(67)
+    n_seq = 6000
+    prep = Prepared(frames=1)
+    for i in range(n_seq):
+        prep.add_record(f"q{i}", int(rng.integers(20, 900)))
+    n = 60_000
+    cnt = np.sort(rng.integers(0, n_seq, n).astype(np.int64))
+    pos = np.empty(n, np.int64)
+    uniq, starts = np.unique(cnt, return_index=True)
+    bnds = np.append(starts, n)
+    for a, b in zip(bnds[:-1], bnds[1:]):
+        pos[a:b] = np.sort(rng.integers(0, 800, b - a))
+    hits = LookupHits(
+        cnt_id=cnt, pos=pos,
+        otu=rng.integers(0, 6, n).astype(np.int32),
+        avg_from_end=rng.integers(0, 400, n).astype(np.int32),
+        fi=rng.integers(0, 8, n).astype(np.int32),
+        wt=rng.choice(np.float32([0.25, 0.5, 1.0]), n), kmers_found=-1)
+    p = GroupingParams(min_hits=2, min_weighted_hits=0, max_gap=150,
+                       order_constraint=False, debug=False)
+
+    def render(nthreads):
+        rep = Report(io.StringIO())
+        with threads(nthreads):
+            ok = try_native_report(prep, hits, FUNCS, True, rep, p)
+        assert ok
+        return rep.stream.getvalue()
+
+    a, b = render(1), render(4)
+    assert a == b and a.count("\n") >= n_seq * 2
