@@ -15,10 +15,33 @@
 // Build: g++ -O3 -shared -fPIC -o feeder.so feeder.cpp
 
 #include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
 constexpr int K = 8;
+
+int num_threads() {
+  const char* e = std::getenv("KMER_NATIVE_THREADS");
+  if (e) {
+    int v = std::atoi(e);
+    if (v > 0) return v;
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  return hc ? (int)hc : 1;
+}
+
+template <typename F>
+void parallel_for_threads(int T, F&& fn) {
+  std::vector<std::thread> ts;
+  ts.reserve(T - 1);
+  for (int t = 0; t < T - 1; t++) ts.emplace_back(fn, t);
+  fn(T - 1);
+  for (auto& th : ts) th.join();
+}
 constexpr int64_t POW7 = 1280000000LL;  // 20^7
 
 const char GENETIC_CODE[65] =
@@ -90,17 +113,14 @@ inline int64_t window_pass(const uint8_t* offs, int64_t n, int64_t num_starts,
   return written;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Protein mode. Returns total records written.
-int64_t feeder_aa(const uint8_t* seqs, const int64_t* rec_start,
-                  const int64_t* rec_len, int64_t nrec,
-                  const int64_t* cnt_ids, uint8_t* scratch,
-                  int64_t* out_values, int32_t* out_cnt, int32_t* out_pos) {
+// One record range of the aa feeder; returns records written.
+int64_t feeder_aa_range(const uint8_t* seqs, const int64_t* rec_start,
+                        const int64_t* rec_len, int64_t r0, int64_t r1,
+                        const int64_t* cnt_ids, uint8_t* scratch,
+                        int64_t* out_values, int32_t* out_cnt,
+                        int32_t* out_pos) {
   int64_t written = 0;
-  for (int64_t r = 0; r < nrec; r++) {
+  for (int64_t r = r0; r < r1; r++) {
     const uint8_t* s = seqs + rec_start[r];
     int64_t n = rec_len[r];
     for (int64_t i = 0; i < n; i++) scratch[i] = LUT.aa_off[s[i]];
@@ -111,14 +131,13 @@ int64_t feeder_aa(const uint8_t* seqs, const int64_t* rec_start,
   return written;
 }
 
-// DNA mode: 6 containers per record in order +0,+1,+2,-0,-1,-2.
-// cnt_ids has nrec*6 entries; scratch must hold 2*max_len bytes.
-int64_t feeder_dna(const uint8_t* seqs, const int64_t* rec_start,
-                   const int64_t* rec_len, int64_t nrec,
-                   const int64_t* cnt_ids, uint8_t* scratch,
-                   int64_t* out_values, int32_t* out_cnt, int32_t* out_pos) {
+int64_t feeder_dna_range(const uint8_t* seqs, const int64_t* rec_start,
+                         const int64_t* rec_len, int64_t r0, int64_t r1,
+                         const int64_t* cnt_ids, uint8_t* scratch,
+                         int64_t* out_values, int32_t* out_cnt,
+                         int32_t* out_pos) {
   int64_t written = 0;
-  for (int64_t r = 0; r < nrec; r++) {
+  for (int64_t r = r0; r < r1; r++) {
     const uint8_t* s = seqs + rec_start[r];
     int64_t n = rec_len[r];
     int64_t m = n / 3;
@@ -154,6 +173,100 @@ int64_t feeder_dna(const uint8_t* seqs, const int64_t* rec_start,
     }
   }
   return written;
+}
+
+// Record ranges are independent and records emit in order, so both
+// feeders thread by contiguous record range (balanced by chars) into
+// thread-local buffers sized by the per-record output bound (aa: len;
+// dna: 2*len + 6), stitched in range order — records written in exactly
+// the sequential order and bytes. Single record / small batches stay
+// sequential (a lone multi-Mbp contig is the sequential worst case; real
+// corpora are many records).
+typedef int64_t (*range_fn)(const uint8_t*, const int64_t*, const int64_t*,
+                            int64_t, int64_t, const int64_t*, uint8_t*,
+                            int64_t*, int32_t*, int32_t*);
+
+int64_t feeder_mt(bool aa, range_fn fn, const uint8_t* seqs,
+                  const int64_t* rec_start, const int64_t* rec_len,
+                  int64_t nrec, const int64_t* cnt_ids, uint8_t* scratch,
+                  int64_t* out_values, int32_t* out_cnt, int32_t* out_pos) {
+  int64_t total = 0;
+  for (int64_t r = 0; r < nrec; r++) total += rec_len[r];
+  const int T0 = num_threads();
+  const int T = (total < (int64_t)1 << 20 || nrec < 2) ? 1
+      : (int)((int64_t)T0 < nrec ? T0 : nrec);
+  if (T <= 1)
+    return fn(seqs, rec_start, rec_len, 0, nrec, cnt_ids, scratch,
+              out_values, out_cnt, out_pos);
+  struct Range {
+    int64_t r0, r1, cap, max_len, written;
+    std::vector<int64_t> v;
+    std::vector<int32_t> c, p;
+    std::vector<uint8_t> scr;
+  };
+  std::vector<Range> ranges(T);
+  const int64_t want = (total + T - 1) / T;
+  int64_t r0 = 0;
+  for (int t = 0; t < T; t++) {
+    Range& rg = ranges[t];
+    rg.r0 = r0;
+    int64_t chars = 0, cap = 0, mx = 1;
+    while (r0 < nrec && (t == T - 1 || chars < want)) {
+      const int64_t n = rec_len[r0];
+      chars += n;
+      cap += aa ? n : 2 * n + 6;
+      if (n > mx) mx = n;
+      ++r0;
+    }
+    rg.r1 = r0;
+    rg.cap = cap > 0 ? cap : 1;
+    rg.max_len = mx;
+  }
+  parallel_for_threads(T, [&](int t) {
+    Range& rg = ranges[t];
+    if (rg.r0 >= rg.r1) { rg.written = 0; return; }
+    rg.v.resize(rg.cap);
+    rg.c.resize(rg.cap);
+    rg.p.resize(rg.cap);
+    rg.scr.resize((aa ? 1 : 2) * rg.max_len + 2);
+    rg.written = fn(seqs, rec_start, rec_len, rg.r0, rg.r1, cnt_ids,
+                    rg.scr.data(), rg.v.data(), rg.c.data(), rg.p.data());
+  });
+  int64_t written = 0;
+  for (int t = 0; t < T; t++) {
+    const Range& rg = ranges[t];
+    std::memcpy(out_values + written, rg.v.data(),
+                sizeof(int64_t) * rg.written);
+    std::memcpy(out_cnt + written, rg.c.data(),
+                sizeof(int32_t) * rg.written);
+    std::memcpy(out_pos + written, rg.p.data(),
+                sizeof(int32_t) * rg.written);
+    written += rg.written;
+  }
+  return written;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Protein mode. Returns total records written.
+int64_t feeder_aa(const uint8_t* seqs, const int64_t* rec_start,
+                  const int64_t* rec_len, int64_t nrec,
+                  const int64_t* cnt_ids, uint8_t* scratch,
+                  int64_t* out_values, int32_t* out_cnt, int32_t* out_pos) {
+  return feeder_mt(true, feeder_aa_range, seqs, rec_start, rec_len, nrec,
+                   cnt_ids, scratch, out_values, out_cnt, out_pos);
+}
+
+// DNA mode: 6 containers per record in order +0,+1,+2,-0,-1,-2.
+// cnt_ids has nrec*6 entries; scratch must hold 2*max_len bytes.
+int64_t feeder_dna(const uint8_t* seqs, const int64_t* rec_start,
+                   const int64_t* rec_len, int64_t nrec,
+                   const int64_t* cnt_ids, uint8_t* scratch,
+                   int64_t* out_values, int32_t* out_cnt, int32_t* out_pos) {
+  return feeder_mt(false, feeder_dna_range, seqs, rec_start, rec_len, nrec,
+                   cnt_ids, scratch, out_values, out_cnt, out_pos);
 }
 
 }  // extern "C"

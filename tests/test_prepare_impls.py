@@ -133,3 +133,31 @@ def test_native_dna_matches_oracle(tmp_path):
         for row in range(6):
             assert sorted(got.get(row, [])) == sorted(want[row]), seq
         store.close()
+
+
+@pytest.mark.parametrize("mode", ["aa", "dna"])
+def test_feeder_mt_bit_identical(tmp_path, mode):
+    """The record-range-parallel feeder must emit exactly the sequential
+    record stream (>1MB of chars engages the MT path)."""
+    from kmergutsjava_tpu.models.prepare import (prepare_aa_native,
+                                                 prepare_dna_native)
+    from test_native_scatter import threads
+
+    rng = random.Random(70 if mode == "aa" else 71)
+    chars = AA if mode == "aa" else DNA
+    records = _records(rng, chars, 800, 500, 4000)  # ~1.8M chars
+    fn = prepare_aa_native if mode == "aa" else prepare_dna_native
+
+    def run(nthreads, tag):
+        with threads(nthreads):
+            store = QueryKmerStore(10007, 10**9, str(tmp_path / tag))
+            prep = fn(records, store)
+            rec = store.finalize()
+            out = (rec["value"].tolist(), rec["cnt"].tolist(),
+                   rec["pos"].tolist())
+            store.close()
+            return prep.containers, out
+
+    a = run(1, "t1")
+    b = run(4, "t4")
+    assert a == b
