@@ -36,6 +36,7 @@ Arguments:
  --mesh DxT - (optional) device mesh for --backend sharded/routed/replicated/stream, e.g. 4x2
  --sort-chunks 0|1 - (optional) force home-sorting of probe chunks (default: auto)
  --device-sort - (optional) run the chunk home-sort on-device
+ --threads N - (optional) native host-stage threads (default: all cores; also env KMER_NATIVE_THREADS)
  --profile DIR - (optional) write a jax.profiler trace of the run
 """
 
@@ -71,6 +72,11 @@ def parse_args(argv: List[str]):
                 cfg.sort_chunks = params.pop(0) == "1"
             elif name == "device-sort":
                 cfg.device_sort = True
+            elif name == "threads":
+                # the native stages read this per call (getenv)
+                import os
+
+                os.environ["KMER_NATIVE_THREADS"] = str(int(params.pop(0)))
             else:
                 raise ValueError("Unknown parameter: --" + name)
             continue
