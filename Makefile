@@ -10,17 +10,17 @@ native/kmer_guts_baseline: native/kmer_guts_baseline.cpp
 
 feeder: kmergutsjava_tpu/native/feeder.so
 
-kmergutsjava_tpu/native/feeder.so: kmergutsjava_tpu/native/feeder.cpp
+kmergutsjava_tpu/native/feeder.so: kmergutsjava_tpu/native/feeder.cpp kmergutsjava_tpu/native/threading.h
 	g++ -O3 -shared -fPIC -pthread -o $@ $<
 
 grouping: kmergutsjava_tpu/native/grouping.so
 
-kmergutsjava_tpu/native/grouping.so: kmergutsjava_tpu/native/grouping.cpp
+kmergutsjava_tpu/native/grouping.so: kmergutsjava_tpu/native/grouping.cpp kmergutsjava_tpu/native/threading.h
 	g++ -O3 -shared -fPIC -pthread -o $@ $<
 
 scatter: kmergutsjava_tpu/native/scatter.so
 
-kmergutsjava_tpu/native/scatter.so: kmergutsjava_tpu/native/scatter.cpp
+kmergutsjava_tpu/native/scatter.so: kmergutsjava_tpu/native/scatter.cpp kmergutsjava_tpu/native/threading.h
 	g++ -O3 -shared -fPIC -pthread -o $@ $<
 
 fasta: kmergutsjava_tpu/native/fasta.so

@@ -76,7 +76,10 @@ def parse_args(argv: List[str]):
                 # the native stages read this per call (getenv)
                 import os
 
-                os.environ["KMER_NATIVE_THREADS"] = str(int(params.pop(0)))
+                n_threads = int(params.pop(0))
+                if n_threads < 1:
+                    raise ValueError("--threads must be >= 1")
+                os.environ["KMER_NATIVE_THREADS"] = str(n_threads)
             else:
                 raise ValueError("Unknown parameter: --" + name)
             continue

@@ -62,23 +62,15 @@ def read_fasta(source: Union[str, TextIO]) -> Iterator[FastaRecord]:
     (kmergutsjava_tpu/native/fasta.cpp, one pass over the whole buffer) when the toolchain
     is available and the input is under 2 GB; other streams (e.g. stdin)
     keep the line-by-line Python parser. Both are differentially pinned
-    to the scalar Java oracle by tests/test_fasta_fuzz.py."""
-    if isinstance(source, str):
-        import os
-
-        try:
-            small = os.path.getsize(source) < _BULK_CAP
-        except OSError:
-            small = False
+    to the scalar Java oracle by tests/test_fasta_fuzz.py. The bulk
+    gating (size cap, stream-consumption contract) lives in ONE place:
+    read_fasta_bulk_arrays."""
+    bulk = read_fasta_bulk_arrays(source)
+    if bulk is not None:
+        yield from _records_from_bulk(bulk)
+    elif isinstance(source, str):
         with open_text_maybe_gz(source) as fh:
-            if small and _bulk_available():
-                yield from _read_fasta_bulk(fh.read())
-            else:
-                yield from _read_fasta_stream(fh)
-    elif isinstance(source, io.StringIO) and _bulk_available():
-        text = source.getvalue()[source.tell():]
-        source.seek(0, io.SEEK_END)
-        yield from _read_fasta_bulk(text)
+            yield from _read_fasta_stream(fh)
     else:
         yield from _read_fasta_stream(source)
 
@@ -159,11 +151,7 @@ def read_fasta_bulk_arrays(source: Union[str, TextIO, None]):
     return None
 
 
-def _read_fasta_bulk(text: str) -> Iterator[FastaRecord]:
-    bulk = _bulk_parse(text)
-    if bulk is None:
-        yield from _read_fasta_stream(io.StringIO(text))
-        return
+def _records_from_bulk(bulk: "BulkFasta") -> Iterator[FastaRecord]:
     s = bulk.buf.tobytes().decode("latin-1")
     for b in bulk.rec.tolist():
         yield FastaRecord(s[b[0]:b[0] + b[1]],

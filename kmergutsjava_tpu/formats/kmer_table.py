@@ -141,10 +141,10 @@ def build_table(
         # and rules out wraparound). A kmer homing to the last slot is
         # common for large n (p ~ 1 - e^{-n/S}), so growth must be gentle:
         # a small prime step re-rolls all homes without inflating the table.
-        pos = np.empty(n, dtype=np.int64)
         if lib is not None:
             # fused native pass: homes on the fly, placement recurrence,
             # duplicate detection, max probe — no home_s/kmer gathers
+            pos = np.empty(n, dtype=np.int64)
             max_probe = int(lib.table_place(kmers, order, n, num_sigs, pos))
             if max_probe == -2:
                 raise TableError("duplicate k-mer values in signature set")

@@ -83,6 +83,10 @@ class Prepared:
 
     def add_record(self, query_id: str, length: int) -> int:
         """Bulk path: register one record; returns its base container id."""
+        if self._containers is not None:
+            # the synthesized key list would silently miss this record
+            raise RuntimeError("add_record after containers were "
+                               "materialized; register all records first")
         base = len(self._rec_ids) * self._frames
         self._rec_ids.append(query_id)
         self.id_len[query_id] = length

@@ -15,33 +15,17 @@
 // Build: g++ -O3 -shared -fPIC -o feeder.so feeder.cpp
 
 #include <cstdint>
-#include <cstdlib>
 #include <cstring>
-#include <thread>
 #include <vector>
+
+#include "threading.h"
 
 namespace {
 
 constexpr int K = 8;
 
-int num_threads() {
-  const char* e = std::getenv("KMER_NATIVE_THREADS");
-  if (e) {
-    int v = std::atoi(e);
-    if (v > 0) return v;
-  }
-  unsigned hc = std::thread::hardware_concurrency();
-  return hc ? (int)hc : 1;
-}
-
-template <typename F>
-void parallel_for_threads(int T, F&& fn) {
-  std::vector<std::thread> ts;
-  ts.reserve(T - 1);
-  for (int t = 0; t < T - 1; t++) ts.emplace_back(fn, t);
-  fn(T - 1);
-  for (auto& th : ts) th.join();
-}
+using kmer_native::num_threads;
+using kmer_native::parallel_for_threads;
 constexpr int64_t POW7 = 1280000000LL;  // 20^7
 
 const char GENETIC_CODE[65] =
@@ -235,6 +219,7 @@ int64_t feeder_mt(bool aa, range_fn fn, const uint8_t* seqs,
   int64_t written = 0;
   for (int t = 0; t < T; t++) {
     const Range& rg = ranges[t];
+    if (!rg.written) continue;  // empty range: buffers were never resized
     std::memcpy(out_values + written, rg.v.data(),
                 sizeof(int64_t) * rg.written);
     std::memcpy(out_cnt + written, rg.c.data(),

@@ -23,34 +23,18 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstdio>
-#include <cstdlib>
 #include <cstring>
-#include <thread>
 #include <utility>
 #include <vector>
+
+#include "threading.h"
 
 namespace {
 constexpr int K = 8;
 constexpr long CAP = 40000 - 2;  // MAX_HITS_PER_SEQ - 2 (ref :496-502)
 
-int num_threads() {
-  const char* e = std::getenv("KMER_NATIVE_THREADS");
-  if (e) {
-    int v = std::atoi(e);
-    if (v > 0) return v;
-  }
-  unsigned hc = std::thread::hardware_concurrency();
-  return hc ? (int)hc : 1;
-}
-
-template <typename F>
-void parallel_for_threads(int T, F&& fn) {
-  std::vector<std::thread> ts;
-  ts.reserve(T - 1);
-  for (int t = 0; t < T - 1; t++) ts.emplace_back(fn, t);
-  fn(T - 1);
-  for (auto& th : ts) th.join();
-}
+using kmer_native::num_threads;
+using kmer_native::parallel_for_threads;
 }  // namespace
 
 // One container range [c_begin, c_end) of the batch machine; outputs are
@@ -521,6 +505,7 @@ extern "C" int64_t emit_report(
   int64_t n = 0;
   for (int t = 0; t < T; ++t) {
     if (lens[t] < 0) return -1;
+    if (!lens[t]) continue;  // empty range: buffer was never resized
     if (n + lens[t] > out_cap) return -1;
     std::memcpy(out + n, bufs[t].data(), (size_t)lens[t]);
     n += lens[t];

@@ -46,31 +46,14 @@
 
 #include <atomic>
 #include <cstdint>
-#include <cstdlib>
-#include <thread>
 #include <vector>
+
+#include "threading.h"
 
 namespace {
 
-int num_threads() {
-    const char* e = std::getenv("KMER_NATIVE_THREADS");
-    if (e) {
-        int v = std::atoi(e);
-        if (v > 0) return v;
-    }
-    unsigned hc = std::thread::hardware_concurrency();
-    return hc ? (int)hc : 1;
-}
-
-// Run fn(t) on T threads (fn(T-1) inline on the caller).
-template <typename F>
-void parallel_for_threads(int T, F&& fn) {
-    std::vector<std::thread> ts;
-    ts.reserve(T - 1);
-    for (int t = 0; t < T - 1; t++) ts.emplace_back(fn, t);
-    fn(T - 1);
-    for (auto& th : ts) th.join();
-}
+using kmer_native::num_threads;
+using kmer_native::parallel_for_threads;
 
 struct ScatterDims {
     int64_t num_sigs, channels, block, rows, fp_mod, planes, row_sz;

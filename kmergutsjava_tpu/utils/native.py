@@ -40,10 +40,13 @@ def _so_path(name: str) -> str:
 
 def _build(name: str) -> Optional[ctypes.CDLL]:
     src = os.path.join(_SRC_DIR, name + ".cpp")
+    hdr = os.path.join(_SRC_DIR, "threading.h")
     so = _so_path(name)
     try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+        src_mtime = os.path.getmtime(src)
+        if os.path.exists(hdr):
+            src_mtime = max(src_mtime, os.path.getmtime(hdr))
+        if not os.path.exists(so) or os.path.getmtime(so) < src_mtime:
             subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-pthread",
                             "-o", so, src],
                            check=True, capture_output=True)
