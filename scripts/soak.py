@@ -67,7 +67,12 @@ def run_round(seed: int, tmp: str) -> None:
     aa = rng.random() < 0.5
     records = []
     source = list(prots)
-    for i in range(rng.randint(3, 60)):
+    # ~1 round in 12 is LARGE so the native MT cutoffs (>=64k queries,
+    # >=1MB feeder chars) genuinely engage under the randomized thread
+    # counts below; small rounds stay fast
+    n_reads = (rng.randint(1500, 4500) if rng.random() < 0.08
+               else rng.randint(3, 60))
+    for i in range(n_reads):
         p = rng.choice(source)
         if aa:
             seq = p if rng.random() < 0.7 else "".join(
@@ -103,7 +108,10 @@ def run_round(seed: int, tmp: str) -> None:
         debug=rng.random() < 0.1,
     )
     if rng.random() < 0.15:
-        kw["input_size_limit"] = rng.randint(40, 400)
+        # spill/flush limit scaled to the round: a tiny limit on a LARGE
+        # round would mean thousands of plane passes (minutes per round)
+        kw["input_size_limit"] = (rng.randint(20_000, 200_000)
+                                  if n_reads > 100 else rng.randint(40, 400))
         kw["temp_dir"] = os.path.join(tmp, f"t{seed}")
     variants = [("parity", {}), ("xla", {}), ("stream", {}), ("auto", {})]
     if rng.random() < 0.2 and kw["min_hits"] >= 2 and not kw["debug"]:
@@ -119,11 +127,15 @@ def run_round(seed: int, tmp: str) -> None:
                                 if not drop.match(l))
     outs = []
     for backend, extra in variants:
+        # randomize the native thread count per variant: any divergence
+        # between thread counts (or vs the numpy twins) is a threading bug
+        os.environ["KMER_NATIVE_THREADS"] = str(rng.choice([1, 2, 3, 4]))
         cfg = EngineConfig(backend=backend, **{**kw, **extra})
         out = io.StringIO()
         Engine(cfg).run(d, None, out, stdout=True,
                         query_stream=io.StringIO(fasta))
         outs.append((backend, extra, strip(out.getvalue())))
+    os.environ.pop("KMER_NATIVE_THREADS", None)
     base = outs[0][2]
     for backend, extra, text in outs[1:]:
         if text != base:
