@@ -37,3 +37,36 @@ def enable_compile_cache() -> None:
         pass
 
 __version__ = "0.1.0"
+
+# Public library surface (lazy: importing the package must stay cheap and
+# must not pull jax.numpy/device state before the caller configures jax).
+# See docs/api.md for usage.
+_EXPORTS = {
+    "Engine": ("kmergutsjava_tpu.models.pipeline", "Engine"),
+    "EngineConfig": ("kmergutsjava_tpu.config", "EngineConfig"),
+    "build_table": ("kmergutsjava_tpu.formats.kmer_table", "build_table"),
+    "read_table": ("kmergutsjava_tpu.formats.kmer_table", "read_table"),
+    "write_table": ("kmergutsjava_tpu.formats.kmer_table", "write_table"),
+    "KmerTable": ("kmergutsjava_tpu.formats.kmer_table", "KmerTable"),
+    "read_fasta": ("kmergutsjava_tpu.formats.fasta", "read_fasta"),
+    "FastaRecord": ("kmergutsjava_tpu.formats.fasta", "FastaRecord"),
+    "load_function_index": ("kmergutsjava_tpu.formats.function_index",
+                            "load_function_index"),
+    "signatures_from_proteins": ("kmergutsjava_tpu.formats.table_tools",
+                                 "signatures_from_proteins"),
+    "write_data_dir": ("kmergutsjava_tpu.formats.table_tools",
+                       "write_data_dir"),
+}
+
+__all__ = sorted(_EXPORTS) + ["enable_compile_cache"]
+
+
+def __getattr__(name):
+    target = _EXPORTS.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    value = getattr(importlib.import_module(target[0]), target[1])
+    globals()[name] = value  # cache for subsequent lookups
+    return value
