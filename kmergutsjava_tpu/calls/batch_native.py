@@ -22,6 +22,20 @@ def native_available() -> bool:
     return load_grouping() is not None
 
 
+def _sorted_unique(cnt_s: np.ndarray):
+    """(uniq, starts) of an ALREADY-SORTED container column. np.unique
+    re-sorts (O(n log n) — ~7s on a 66M-hit metagenome); boundary
+    detection on the sorted column is one O(n) pass."""
+    n = len(cnt_s)
+    if n == 0:
+        return cnt_s[:0], np.zeros(0, dtype=np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(cnt_s[1:], cnt_s[:-1], out=change[1:])
+    starts = np.nonzero(change)[0]
+    return cnt_s[starts], starts
+
+
 def _run_machine(lib, cnt_s: np.ndarray, pos_s: np.ndarray, otu_s: np.ndarray,
                  avg_s: np.ndarray, fi_s: np.ndarray, wt_s: np.ndarray,
                  todo: np.ndarray, bounds: Sequence[int], p: GroupingParams):
@@ -181,7 +195,7 @@ def try_native_report(prep, hits, functions: Sequence[str], aa: bool,
         cnt_s, pos_s, otu_s = c[order], p_[order], hits.otu[order]
         avg_s, fi_s = hits.avg_from_end[order], hits.fi[order]
         wt_s = hits.wt[order].astype(np.float32)
-    uniq, starts = np.unique(cnt_s, return_index=True)
+    uniq, starts = _sorted_unique(cnt_s)
     bounds = np.append(starts, len(cnt_s))
     winning = np.zeros(n_cont, dtype=bool)
     winning[seq_cids] = True

@@ -609,7 +609,8 @@ class Engine:
             avg_s = hits.avg_from_end[order]
             fi_s = hits.fi[order]
             wt_s = hits.wt[order].astype(np.float32)
-        uniq, starts = np.unique(cnt_s, return_index=True)
+        from ..calls.batch_native import _sorted_unique
+        uniq, starts = _sorted_unique(cnt_s)
         if len(starts):
             fi_min = np.minimum.reduceat(fi_s, starts)
             fi_max = np.maximum.reduceat(fi_s, starts)
