@@ -453,12 +453,17 @@ class StreamingStreamLookup:
         self._chunks: list = []   # per chunk: (v, cnt, pos, homes, flat, shift)
         self._passes: list = []   # completed passes' LookupHits
         self._pass_values: list = []  # per pass: unique hit values (debug)
-        self._since_flush = 0
+        self._pending = 0         # queries scattered but not yet flushed
+        self._since_flush = 0     # feed-side trigger counter
         self.total_fed = 0
         # Scatter worker: the native scatter is a ctypes call (GIL
         # released), so one worker thread overlaps it with the caller's
         # FASTA parse/translate/encode. Single worker = chunks scatter in
         # feed order (the tile/occ mutation is sequential by design).
+        # Multi-pass flushes (probe + decode + reset) run on the SAME
+        # worker as queue items, so the feed keeps parsing while a pass
+        # probes/decodes; all tile/chunk/pass state is worker-owned in
+        # async mode and only read by the caller after the final join.
         self._queue = None
         self._worker = None
         self._worker_error: Optional[BaseException] = None
@@ -468,6 +473,8 @@ class StreamingStreamLookup:
         self._async = async_scatter
         if async_scatter:
             self._start_worker()
+
+    _FLUSH = object()  # queue marker: run one bounded-memory pass
 
     def _start_worker(self) -> None:
         import queue
@@ -481,7 +488,10 @@ class StreamingStreamLookup:
                 if item is None:
                     return
                 try:
-                    self._scatter_chunk(*item)
+                    if item is StreamingStreamLookup._FLUSH:
+                        self._flush_now()
+                    else:
+                        self._scatter_chunk(*item)
                 except BaseException as ex:  # surfaced at finish()
                     self._worker_error = ex
                     return
@@ -493,6 +503,29 @@ class StreamingStreamLookup:
         _, homes, flat, shift = self.lk._scatter_dense(
             values, tiles=self.qfp_tiles, occ=self._occ)
         self._chunks.append((values, cnt, pos, homes, flat, shift))
+        self._pending += len(values)
+
+    def _flush_now(self) -> None:
+        """One bounded-memory pass over everything scattered so far: probe
+        the tiles, decode, keep ONLY the hits, reset tiles/occupancy.
+        Runs on the worker thread in async mode (the feed keeps going)."""
+        if not self._pending:
+            return
+        from ..parallel.multihost import fetch_global
+
+        out = fetch_global(self.lk._probe(self.qfp_tiles))
+        if self.compute_kmers_found:
+            hits, vals = self.lk._decode(out, self._chunks, self._pending,
+                                         None, False, want_values=True)
+            self._pass_values.append(np.unique(vals))
+        else:
+            hits = self.lk._decode(out, self._chunks, self._pending, None,
+                                   False)
+        self._passes.append(hits)
+        self._chunks = []
+        self._pending = 0
+        self.qfp_tiles.fill(0)
+        self._occ.fill(0)
 
     def _put_checked(self, item) -> None:
         """Bounded put that can't deadlock on a dead worker: re-check the
@@ -523,31 +556,13 @@ class StreamingStreamLookup:
         else:
             self._scatter_chunk(values, cnt, pos)
         if self.flush_limit and self._since_flush >= self.flush_limit:
-            self._flush_pass()
-
-    def _flush_pass(self, restart: bool = True) -> None:
-        """Probe + decode everything buffered so far, keep only the hits,
-        and reset the tiles/occupancy for the next pass."""
-        from ..parallel.multihost import fetch_global
-
-        self._join_worker()
-        if self._since_flush:
-            out = fetch_global(self.lk._probe(self.qfp_tiles))
-            if self.compute_kmers_found:
-                hits, vals = self.lk._decode(
-                    out, self._chunks, self._since_flush, None, False,
-                    want_values=True)
-                self._pass_values.append(np.unique(vals))
-            else:
-                hits = self.lk._decode(out, self._chunks, self._since_flush,
-                                       None, False)
-            self._passes.append(hits)
-            self._chunks = []
+            # enqueue the pass behind the pending chunks: the worker
+            # probes/decodes while this thread keeps parsing and feeding
             self._since_flush = 0
-            self.qfp_tiles.fill(0)
-            self._occ.fill(0)
-        if restart and self._async:
-            self._start_worker()
+            if self._queue is not None:
+                self._put_checked(StreamingStreamLookup._FLUSH)
+            else:
+                self._flush_now()
 
     def _join_worker(self) -> None:
         if self._worker is not None:
@@ -567,17 +582,17 @@ class StreamingStreamLookup:
                                      0 if self.compute_kmers_found else -1)
 
     def finish(self, progress=None) -> LookupHits:
+        self._join_worker()
         if not self._passes:
-            self._join_worker()
             if not self.total_fed:
                 return self.partial_hits()
             from ..parallel.multihost import fetch_global
 
             out = fetch_global(self.lk._probe(self.qfp_tiles))
-            return self.lk._decode(out, self._chunks, self.total_fed,
+            return self.lk._decode(out, self._chunks, self._pending,
                                    progress, self.compute_kmers_found)
-        # multi-pass: decode the tail, then merge the per-pass hits
-        self._flush_pass(restart=False)
+        # multi-pass: flush the tail, then merge the per-pass hits
+        self._flush_now()
         passes = self._passes
         kf = (int(np.unique(np.concatenate(self._pass_values)).size)
               if self.compute_kmers_found else -1)

@@ -131,8 +131,11 @@ def test_non_pow2_probe_window():
     assert canon(a) == canon(lk.lookup(values, cnt, pos))
 
 
-@pytest.mark.parametrize("flush_limit,n_chunks", [(500, 7), (1, 5), (10**9, 3)])
-def test_streaming_multipass_matches_oneshot(flush_limit, n_chunks):
+@pytest.mark.parametrize("flush_limit,n_chunks,async_scatter",
+                         [(500, 7, True), (1, 5, True), (10**9, 3, True),
+                          (500, 7, False), (1, 5, False)])
+def test_streaming_multipass_matches_oneshot(flush_limit, n_chunks,
+                                             async_scatter):
     """Bounded-memory multi-pass (flush_limit queries per plane pass):
     hits and the cross-pass kmers-found union match the one-shot path,
     including duplicates that span pass boundaries (their dedup state
@@ -147,7 +150,8 @@ def test_streaming_multipass_matches_oneshot(flush_limit, n_chunks):
     lk = PallasStreamLookup(table)
     a = lk.lookup(values, cnt, pos)
     s = StreamingStreamLookup(lk, compute_kmers_found=True,
-                              flush_limit=flush_limit)
+                              flush_limit=flush_limit,
+                              async_scatter=async_scatter)
     for part in np.array_split(np.arange(len(values)), n_chunks):
         s.add_batch(values[part], cnt[part], pos[part])
     b = s.finish()
