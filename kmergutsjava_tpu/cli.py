@@ -37,6 +37,7 @@ Arguments:
  --sort-chunks 0|1 - (optional) force home-sorting of probe chunks (default: auto)
  --device-sort - (optional) run the chunk home-sort on-device
  --threads N - (optional) native host-stage threads (default: all cores; also env KMER_NATIVE_THREADS)
+ --platform NAME - (optional) jax platform for the device stages, e.g. tpu or cpu (default: jax's pick)
  --profile DIR - (optional) write a jax.profiler trace of the run
 """
 
@@ -80,6 +81,12 @@ def parse_args(argv: List[str]):
                 if n_threads < 1:
                     raise ValueError("--threads must be >= 1")
                 os.environ["KMER_NATIVE_THREADS"] = str(n_threads)
+            elif name == "platform":
+                # must land before any device use initializes the backend
+                # (the env var alone can be overridden by site config)
+                import jax
+
+                jax.config.update("jax_platforms", params.pop(0))
             else:
                 raise ValueError("Unknown parameter: --" + name)
             continue

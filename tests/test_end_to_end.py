@@ -144,6 +144,23 @@ def test_cli_gz_inputs(tmp_path):
     assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000\n" in out_file.read_text()
 
 
+def test_cli_platform_flag(tmp_path):
+    """--platform pins jax_platforms before the backend initializes."""
+    import jax
+
+    prot = AA
+    write_data_dir(tmp_path / "d", signatures_from_proteins(
+        [(prot, 0, 3)], weight=0.5), ["funcA"])
+    q = tmp_path / "q.faa"
+    q.write_text(">P1\n" + prot + "\n")
+    out_file = tmp_path / "out.txt"
+    rc = cli_main(["-a", "--platform", "cpu", "-D", str(tmp_path / "d"),
+                   "-q", str(q), "-o", str(out_file)])
+    assert rc == 0
+    assert jax.config.jax_platforms == "cpu"
+    assert "CALL\t0\t18\t12\t0\tfuncA\t6.000000\n" in out_file.read_text()
+
+
 def test_cli_usage_on_error(capsys):
     rc = cli_main(["-Z"])
     assert rc == 2
