@@ -143,20 +143,25 @@ def bench_tpu_rows(table, values, reps: int, chunk: int = 1 << 19):
     import jax.numpy as jnp
 
     from kmergutsjava_tpu.lookup.xla import FP_MOD, XlaLookup
-    from scripts.microbench_probe import rows_loop
+    from scripts.microbench_probe import rows1_loop, rows_loop
 
-    lk = XlaLookup(table, chunk=chunk, probe_impl="rows")
+    lk = XlaLookup(table, chunk=chunk)  # default row-gather impl
+    if lk.probe_impl == "rows1":
+        loop = lambda qf, h, r: rows1_loop(lk.tbl_fp, qf, h, lk.w1,
+                                           lk.stride, r)
+    else:
+        loop = lambda qf, h, r: rows_loop(lk.tbl_fp, qf, h, lk.w1, r)
     n = len(values)
     with jax.enable_x64(False):  # the rep chain is pure int32/uint16
         homes = jnp.asarray((values % np.int64(table.num_sigs)).astype(np.int32))
         qf = jnp.asarray((values % FP_MOD).astype(np.uint16))
 
         def timed(r):
-            _sync(rows_loop(lk.tbl_fp, qf, homes, lk.w1, r))  # warm same r
+            _sync(loop(qf, homes, r))  # warm with the same static reps
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                _sync(rows_loop(lk.tbl_fp, qf, homes, lk.w1, r))
+                _sync(loop(qf, homes, r))
                 best = min(best, time.time() - t0)
             return best
 
@@ -175,6 +180,7 @@ def bench_tpu_rows(table, values, reps: int, chunk: int = 1 << 19):
     e2e_secs = time.time() - t0
     return {
         "rows_lookups_per_sec": n / device_secs,
+        "rows_impl": lk.probe_impl,
         "e2e_lookups_per_sec": n / e2e_secs,
         "hits": len(hits),
         "probe_w1": lk.w1,
@@ -289,6 +295,7 @@ def main():
         "unit": "lookups/s",
         "vs_baseline": round(value / base["lookups_per_sec"], 1),
         "rows_gather_lookups_per_sec": round(rows["rows_lookups_per_sec"], 1),
+        "rows_gather_impl": rows["rows_impl"],
         "e2e_lookups_per_sec": round(rows["e2e_lookups_per_sec"], 1),
         "baseline_lookups_per_sec": round(base["lookups_per_sec"], 1),
         "baseline": "single-core C++ streaming merge-join (reference algorithm)",

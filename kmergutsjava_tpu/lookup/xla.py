@@ -117,6 +117,64 @@ def probe_fingerprint_rows(
     return off, state
 
 
+@partial(jax.jit, static_argnames=("probe_window", "stride"))
+def probe_fingerprint_rows1(
+    tbl_fp2d: jax.Array,  # [R, 128] overlapped plane: row r = fp[r*stride:+128]
+    q_fp: jax.Array,  # [N] uint16
+    homes: jax.Array,  # [N] int32
+    probe_window: int,
+    stride: int,
+):
+    """Single-row-gather fingerprint probe on an OVERLAPPED plane.
+
+    The plain row layout needs two row gathers per query because a probe
+    window can straddle a 128-slot row boundary. Laying the plane out with
+    overlapping rows — row r covers slots [r*stride, r*stride + 128) with
+    stride = 128 - probe_window — guarantees the whole window of any home
+    lies inside ONE row (offset o = home - r*stride < stride, so
+    o + probe_window <= 128): half the gather ops, half the HBM bytes
+    (256 B/query), and half the compare lanes of probe_fingerprint_rows,
+    for a storage factor of 128/stride (1.14x at the default W=16).
+    Same (off, state) contract as probe_fingerprint_pass.
+    """
+    assert 0 < stride <= 128 - probe_window
+    r = homes // jnp.int32(stride)  # constant divisor: XLA strength-reduces
+    o = (homes - r * jnp.int32(stride)).astype(jnp.int32)
+    win = jnp.take(tbl_fp2d, r, axis=0)  # [N, 128] one vectorized row gather
+    rel = jnp.arange(128, dtype=jnp.int32)[None, :] - o[:, None]
+    in_window = (rel >= 0) & (rel < probe_window)
+    big = jnp.int32(probe_window)
+    cand = (win == q_fp[:, None]) & in_window
+    empty = (win == jnp.uint16(FP_EMPTY)) & in_window
+    first_cand = jnp.min(jnp.where(cand, rel, big), axis=1)
+    first_empty = jnp.min(jnp.where(empty, rel, big), axis=1)
+    has_cand = (first_cand < big) & (first_cand < first_empty)
+    empty_any = first_empty < big
+    off = jnp.where(has_cand, first_cand, 0).astype(jnp.uint8)
+    state = (has_cand.astype(jnp.uint8) + 2 * empty_any.astype(jnp.uint8))
+    return off, state
+
+
+@partial(jax.jit, static_argnames=("probe_window", "stride"))
+def probe_fingerprint_rows1_sorted(
+    tbl_fp2d: jax.Array,
+    q_fp: jax.Array,
+    homes: jax.Array,
+    probe_window: int,
+    stride: int,
+):
+    """Overlapped-row probe with a device-side home sort around the gather
+    (coalesces HBM row reads); results scattered back to input order."""
+    n = homes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    homes_s, idx_s = jax.lax.sort_key_val(homes, idx)
+    off_s, state_s = probe_fingerprint_rows1(tbl_fp2d, q_fp[idx_s], homes_s,
+                                             probe_window, stride)
+    off = jnp.zeros_like(off_s).at[idx_s].set(off_s)
+    state = jnp.zeros_like(state_s).at[idx_s].set(state_s)
+    return off, state
+
+
 @partial(jax.jit, static_argnames=("probe_window",))
 def probe_fingerprint_pass_sorted(
     tbl_fp: jax.Array,
@@ -244,19 +302,40 @@ class XlaLookup:
         # similar size share one compiled probe executable (XLA specializes
         # on operand shapes; every fresh plane length would otherwise
         # trigger a full recompile). Padding probes read FP_EMPTY = miss.
-        plane_len = max(_round_up_pow2(s + p), 1 << 20)
+        # (>= s + 128 so the overlapped rows1 layout always has a full last
+        # row to view into.)
+        plane_len = max(_round_up_pow2(s + max(p, 128)), 1 << 20)
         fp = np.full(plane_len, FP_EMPTY, dtype=np.uint16)
         occ = table.occupied
         fp[:s][occ] = (table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
-        # probe_impl "rows": gather whole 128-lane rows of a 2-D plane (the
-        # vectorized-gather path; 1-D operand gathers measure ~6M/s scalar
-        # on TPU) — needs w1 <= 128. "flat": classic [N, W] 1-D gather.
+        # probe_impl "rows1" (default): ONE gather of a whole 128-lane row
+        # per query from an OVERLAPPED plane (row r = slots [r*stride,
+        # r*stride+128), stride = 128 - w1) — every window fits in one row.
+        # "rows": two-row gather of a plain [R, 128] plane (windows may
+        # straddle rows) — the fallback when w1 or the overlap storage
+        # factor is too big. "flat": classic [N, W] 1-D gather (TPU XLA
+        # runs 1-D-operand gathers scalar, ~6M/s — CPU/debug only).
         if probe_impl is None:
-            probe_impl = os.environ.get("KMER_PROBE_IMPL", "rows")
-        if self.w1 > 128:
+            probe_impl = os.environ.get("KMER_PROBE_IMPL", "rows1")
+        if probe_impl == "rows1":
+            stride = 128 - self.w1
+            budget = int(os.environ.get("KMER_ROWS1_MAX_BYTES", 4 << 30))
+            if stride < 64 or (plane_len * 2 * 128) // stride > budget:
+                probe_impl = "rows"  # w1 > 64 or overlap too costly
+        if self.w1 > 128 and probe_impl == "rows":
             probe_impl = "flat"
         self.probe_impl = probe_impl
-        if probe_impl == "rows":
+        if probe_impl == "rows1":
+            self.stride = 128 - self.w1
+            nrows = -(-(plane_len - 128) // self.stride) + 1
+            ext = (nrows - 1) * self.stride + 128
+            if ext > plane_len:
+                fp = np.concatenate(
+                    [fp, np.full(ext - plane_len, FP_EMPTY, np.uint16)])
+            fp2d = np.lib.stride_tricks.as_strided(
+                fp, shape=(nrows, 128), strides=(2 * self.stride, 2))
+            self.tbl_fp = put(np.ascontiguousarray(fp2d))
+        elif probe_impl == "rows":
             fp2d = np.concatenate(
                 [fp, np.full(128, FP_EMPTY, np.uint16)]).reshape(-1, 128)
             self.tbl_fp = put(fp2d)
@@ -291,6 +370,9 @@ class XlaLookup:
 
     def probe_chunk(self, q_fp: jax.Array, homes: jax.Array):
         """One device dispatch of the fingerprint pass (jit-compiled)."""
+        if self.probe_impl == "rows1":
+            return probe_fingerprint_rows1(self.tbl_fp, q_fp, homes, self.w1,
+                                           self.stride)
         if self.probe_impl == "rows":
             return probe_fingerprint_rows(self.tbl_fp, q_fp, homes, self.w1)
         return probe_fingerprint_pass(self.tbl_fp, q_fp, homes, self.w1)
@@ -298,6 +380,9 @@ class XlaLookup:
     def probe_chunk_sorted(self, q_fp: jax.Array, homes: jax.Array):
         """Fingerprint pass with an on-device home sort (HBM-bound planes;
         keeps the feeder thread free of the host argsort)."""
+        if self.probe_impl == "rows1":
+            return probe_fingerprint_rows1_sorted(self.tbl_fp, q_fp, homes,
+                                                  self.w1, self.stride)
         if self.probe_impl == "rows":
             return probe_fingerprint_rows_sorted(self.tbl_fp, q_fp, homes,
                                                  self.w1)

@@ -20,7 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..formats.kmer_table import KmerTable
 from ..lookup.parity import LookupHits
 from ..lookup.xla import (FP_EMPTY, FP_MOD, XlaLookup,
-                          probe_fingerprint_pass, probe_fingerprint_rows)
+                          probe_fingerprint_pass, probe_fingerprint_rows,
+                          probe_fingerprint_rows1)
 
 AXIS = "data"
 
@@ -58,8 +59,14 @@ class ReplicatedLookup:
         qfp[:n] = (values % FP_MOD).astype(np.uint16)
         homes = np.zeros(n_pad, np.int32)
         homes[:n] = (values % np.int64(self.num_sigs)).astype(np.int32)
-        probe = (probe_fingerprint_rows if self._lk.probe_impl == "rows"
-                 else probe_fingerprint_pass)
+        if self._lk.probe_impl == "rows1":
+            from functools import partial
+
+            probe = partial(probe_fingerprint_rows1, stride=self._lk.stride)
+        elif self._lk.probe_impl == "rows":
+            probe = probe_fingerprint_rows
+        else:
+            probe = probe_fingerprint_pass
         off, state = jax.device_get(probe(
             self._lk.tbl_fp,
             jax.device_put(jnp.asarray(qfp), self._query_sharding),

@@ -122,6 +122,41 @@ def bench_rows(n_slots: int, n_queries: int, reps: int, floor: float):
             "lookups_per_sec": round(n_queries * reps / dt, 1)}
 
 
+@partial(jax.jit, static_argnames=("w", "stride", "reps"))
+def rows1_loop(fp2d, qfp, homes, w, stride, reps):
+    from kmergutsjava_tpu.lookup.xla import probe_fingerprint_rows1
+
+    limit = jnp.int32((fp2d.shape[0] - 1) * stride - w)
+
+    def body(i, carry):
+        h = (homes + i) % limit
+        off, state = probe_fingerprint_rows1(fp2d, qfp, h, w, stride)
+        return (carry + jnp.sum(state.astype(jnp.int32))
+                + jnp.sum(off.astype(jnp.int32)))
+
+    return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+
+def bench_rows1(n_slots: int, n_queries: int, reps: int, floor: float):
+    stride = 128 - W
+    k1, k2, k3 = jax.random.split(jax.random.key(3), 3)
+    nrows = n_slots // stride + 2
+    with jax.enable_x64(False):
+        fp2d = jax.random.bits(k1, (nrows, 128), dtype=jnp.uint16)
+        qfp = jax.random.bits(k2, (n_queries,), dtype=jnp.uint16)
+        homes = jax.random.randint(k3, (n_queries,), 0, n_slots - W,
+                                   dtype=jnp.int32)
+        out = rows1_loop(fp2d, qfp, homes, W, stride, reps)
+        sync(out)
+        t0 = time.time()
+        out = rows1_loop(fp2d, qfp, homes, W, stride, reps)
+        sync(out)
+        dt = max(time.time() - t0 - floor, 1e-9)
+    return {"kind": "xla_rows1_gather", "plane_mb": n_slots * 2 / 2**20,
+            "queries": n_queries, "reps": reps, "secs": round(dt, 4),
+            "lookups_per_sec": round(n_queries * reps / dt, 1)}
+
+
 def stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps, channels=None,
                 interpret=None):
     """stream_probe_blocks with a leading rep grid dim (one dispatch)."""
@@ -233,6 +268,11 @@ def main():
             lambda: bench_rows(4_000_000, 4_000_000, 64, floor),
             lambda: bench_rows(64_000_000, 4_000_000, 16, floor),
             lambda: bench_rows(256_000_000, 4_000_000, 8, floor),
+        ),
+        "rows1": (
+            lambda: bench_rows1(4_000_000, 4_000_000, 64, floor),
+            lambda: bench_rows1(64_000_000, 4_000_000, 16, floor),
+            lambda: bench_rows1(256_000_000, 4_000_000, 8, floor),
         ),
         "stream": (
             lambda: bench_stream(4_000_000, 64, floor),

@@ -284,6 +284,69 @@ def test_probe_rows_matches_flat():
     assert np.array_equal(np.asarray(st_b), np.asarray(st_c))
 
 
+def test_probe_rows1_matches_flat():
+    """Overlapped single-row-gather probe == flat probe on identical
+    queries, incl. row-boundary homes of the overlapped layout; the sorted
+    variant matches too, and full lookups agree across all impls."""
+    import jax.numpy as jnp
+
+    from kmergutsjava_tpu.lookup.xla import (FP_MOD, probe_fingerprint_pass,
+                                             probe_fingerprint_rows1,
+                                             probe_fingerprint_rows1_sorted)
+
+    rng = np.random.default_rng(93)
+    sig = random_signatures(rng, 5000)
+    table = build_table(**sig, load_factor=0.9)
+    flat = XlaLookup(table, probe_impl="flat")
+    r1 = XlaLookup(table, probe_impl="rows1")
+    assert r1.probe_impl == "rows1"
+    assert r1.stride == 128 - r1.w1
+    assert r1.tbl_fp.ndim == 2 and r1.tbl_fp.shape[1] == 128
+    values, cnt, pos = make_queries(rng, sig["kmers"], 4096)
+    # force homes onto overlapped-row boundaries (o = 0 and o = stride-1)
+    values[:64] = (values[:64] // r1.stride) * r1.stride
+    values[64:128] = (values[64:128] // r1.stride) * r1.stride + r1.stride - 1
+    homes = (values % np.int64(table.num_sigs)).astype(np.int32)
+    q_fp = (values % FP_MOD).astype(np.uint16)
+    off_a, st_a = probe_fingerprint_pass(flat.tbl_fp, jnp.asarray(q_fp),
+                                         jnp.asarray(homes), flat.w1)
+    off_b, st_b = probe_fingerprint_rows1(r1.tbl_fp, jnp.asarray(q_fp),
+                                          jnp.asarray(homes), r1.w1,
+                                          r1.stride)
+    off_c, st_c = probe_fingerprint_rows1_sorted(
+        r1.tbl_fp, jnp.asarray(q_fp), jnp.asarray(homes), r1.w1, r1.stride)
+    assert flat.w1 == r1.w1
+    assert np.array_equal(np.asarray(off_a), np.asarray(off_b))
+    assert np.array_equal(np.asarray(st_a), np.asarray(st_b))
+    assert np.array_equal(np.asarray(off_b), np.asarray(off_c))
+    assert np.array_equal(np.asarray(st_b), np.asarray(st_c))
+    ha = flat.lookup(values, cnt, pos)
+    hb = r1.lookup(values, cnt, pos)
+    rec = lambda h: sorted(zip(h.cnt_id, h.pos, h.fi, h.otu,
+                               h.avg_from_end, h.wt))
+    assert rec(ha) == rec(hb) and ha.kmers_found == hb.kmers_found
+
+
+def test_probe_rows1_fallback_gates():
+    """rows1 falls back to rows when w1 > 64 or the overlap storage factor
+    exceeds the byte budget."""
+    rng = np.random.default_rng(94)
+    sig = random_signatures(rng, 3000)
+    table = build_table(**sig, load_factor=0.7)
+    lk = XlaLookup(table, first_pass_window=128, probe_impl="rows1")
+    assert lk.w1 >= 128 or lk.probe_impl == "rows1"
+    if lk.w1 >= 128:
+        assert lk.probe_impl in ("rows", "flat")
+    import os
+
+    os.environ["KMER_ROWS1_MAX_BYTES"] = "1024"
+    try:
+        lk2 = XlaLookup(table, probe_impl="rows1")
+        assert lk2.probe_impl == "rows"
+    finally:
+        del os.environ["KMER_ROWS1_MAX_BYTES"]
+
+
 def test_streaming_lookup_device_sort():
     """StreamingLookup(device_sort=True) produces the same hits."""
     from kmergutsjava_tpu.lookup.xla import StreamingLookup
