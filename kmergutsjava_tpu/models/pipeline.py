@@ -40,6 +40,11 @@ from .prepare import Prepared, prepare_aa, prepare_dna
 # the warm state.
 _LOOKUP_CACHE: Dict[tuple, object] = {}
 
+# Backend-'auto' density crossover: the stream kernel wins when the query
+# count exceeds num_sigs / DENSITY_CROSSOVER (one plane pass vs per-query
+# rows1 gathers; measured on v5e, docs/performance.md).
+DENSITY_CROSSOVER = 9
+
 
 def _replace_backend(cfg: EngineConfig, backend: str) -> EngineConfig:
     import dataclasses
@@ -52,7 +57,7 @@ def _auto_backend(table, query: Optional[str], cfg: EngineConfig) -> str:
     a wrong guess only costs speed). The stream kernel pays one plane pass
     (~channels*numSigs slot-channels) regardless of query count while the
     row-gather path pays per query; the measured crossover is about
-    numSigs/12 queries (docs/performance.md). Query count is estimated
+    numSigs/9 queries (docs/performance.md). Query count is estimated
     from the input size upfront: ~1 query k-mer per FASTA byte in aa mode,
     ~2 per byte for DNA (6 frames of len/3 windows, two strands), ~3.5x
     for gzip. Unknown sizes (stdin / server streams) return None — the
@@ -73,7 +78,7 @@ def _auto_backend(table, query: Optional[str], cfg: EngineConfig) -> str:
     if query.endswith(".gz"):
         size *= 3.5
     est_queries = size * (1.0 if cfg.aa else 2.0)
-    return dense if est_queries > table.num_sigs / 12 else sparse
+    return dense if est_queries > table.num_sigs / DENSITY_CROSSOVER else sparse
 
 
 def _auto_candidates(cfg: EngineConfig):
@@ -84,7 +89,7 @@ class _DeferredAutoFeed:
     """Backend-'auto' front end for unknown-size inputs (stdin and server
     streams, where no upfront size estimate exists): buffers prepare
     chunks in RAM, and the moment the query count crosses the stream
-    kernel's density crossover (numSigs/12) upgrades itself in place to
+    kernel's density crossover (numSigs/DENSITY_CROSSOVER) upgrades itself in place to
     the stream backend's incremental scatter, draining the buffer. A run
     that stays below the threshold finishes on the sparse one-shot path
     instead — below the crossover the buffered queries are small by
@@ -92,7 +97,7 @@ class _DeferredAutoFeed:
 
     def __init__(self, engine: "Engine", table, cfg: EngineConfig):
         self.engine, self.table, self.cfg = engine, table, cfg
-        self.threshold = table.num_sigs / 12
+        self.threshold = table.num_sigs / DENSITY_CROSSOVER
         self._chunks: list = []
         self.total_fed = 0
         self._stream = None
