@@ -22,7 +22,7 @@ from .sharded_lookup import _local_probe, shard_table_planes
 
 
 def _encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
-                      *, s_loc, probe_window, num_sigs):
+                      *, s_loc, probe_window, num_sigs, stride=0):
     """Per-device body (runs inside shard_map)."""
     offs = jnp.asarray(AA_OFF_LUT)[ascii_u8.astype(jnp.int32)]
     b, n = offs.shape
@@ -40,7 +40,7 @@ def _encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
     homes = (flat_v % num_sigs).astype(jnp.int32)
     found, otu, avg, fi, wt = _local_probe(
         tk, t_otu, t_avg, t_fi, t_wt, flat_v, homes,
-        s_loc=s_loc, probe_window=probe_window)
+        s_loc=s_loc, probe_window=probe_window, stride=stride)
     found = found * flat_ok.astype(jnp.int32)
     shape = (b, w)
     return (found.reshape(shape), otu.reshape(shape), avg.reshape(shape),
@@ -55,7 +55,8 @@ def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
     n_shards = mesh.shape[TABLE_AXIS]
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_encode_and_probe, s_loc=planes["s_loc"],
-                 probe_window=probe_window, num_sigs=table.num_sigs)
+                 probe_window=probe_window, num_sigs=table.num_sigs,
+                 stride=planes["stride"])
     table_spec = P(TABLE_AXIS, None, None)
     step = jax.jit(
         jax.shard_map(
@@ -72,7 +73,7 @@ def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
 
 
 def _dna_encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
-                          *, s_loc, probe_window, num_sigs):
+                          *, s_loc, probe_window, num_sigs, stride=0):
     """DNA per-device body: 6-frame translate -> kmerize -> probe -> psum.
 
     ascii_u8: [B_loc, Lpad] contigs (Lpad a multiple of 3); lengths [B_loc].
@@ -99,7 +100,7 @@ def _dna_encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
     homes = (flat_v % num_sigs).astype(jnp.int32)
     found, otu, avg, fi, wt = _local_probe(
         tk, t_otu, t_avg, t_fi, t_wt, flat_v, homes,
-        s_loc=s_loc, probe_window=probe_window)
+        s_loc=s_loc, probe_window=probe_window, stride=stride)
     found = found * ok.reshape(-1).astype(jnp.int32)
     shape = (b, 6, w)
     return (found.reshape(shape), otu.reshape(shape), avg.reshape(shape),
@@ -114,7 +115,8 @@ def make_sharded_dna_step(mesh, table: KmerTable, probe_window: int
     n_shards = mesh.shape[TABLE_AXIS]
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_dna_encode_and_probe, s_loc=planes["s_loc"],
-                 probe_window=probe_window, num_sigs=table.num_sigs)
+                 probe_window=probe_window, num_sigs=table.num_sigs,
+                 stride=planes["stride"])
     table_spec = P(TABLE_AXIS, None, None)
     step = jax.jit(
         jax.shard_map(

@@ -41,12 +41,14 @@ def make_routed_mesh(n_shards: int, devices=None) -> Mesh:
 
 
 def _routed_step(fp_ref, qfp, homes, valid, *, s_loc, probe_window, cap,
-                 n_shards):
+                 n_shards, stride=0):
     """Per-device body under shard_map.
 
     fp_ref: [1, rows_loc, 128] local fingerprint slice (slot-range slice
-    + probe halo, reshaped to 128-lane rows — TPU XLA vectorizes row
-    gathers but runs 1-D-operand gathers scalar, see docs/performance.md)
+    + probe halo, laid out in 128-lane rows — TPU XLA vectorizes row
+    gathers but runs 1-D-operand gathers scalar, see docs/performance.md;
+    with stride > 0 the rows OVERLAP so any window fits in one row — one
+    gather instead of two, as in lookup/xla.py probe_fingerprint_rows1)
     qfp/homes/valid: [n_loc] local query slice
     Returns (off_u8, state_u8, overflow_bool) for the local queries.
     """
@@ -85,17 +87,23 @@ def _routed_step(fp_ref, qfp, homes, valid, *, s_loc, probe_window, cap,
                                    concat_axis=0, tiled=True)
 
     # local probe of the received queries against our slot slice: the
-    # row-gather formulation (a window of W <= 128 always lies within two
-    # consecutive 128-lane rows, selected with lane arithmetic)
+    # row-gather formulation, one row with the overlapped layout, two
+    # consecutive rows otherwise (lane arithmetic selects the window)
     shard = jax.lax.axis_index(AXIS)
     local = recv_home.reshape(-1).astype(jnp.int32) - shard * s_loc
     local = jnp.clip(local, 0, s_loc - 1)
-    r = jax.lax.shift_right_logical(local, jnp.int32(7))
-    o = local & jnp.int32(127)
-    row0 = jnp.take(fp2d, r, axis=0)
-    row1 = jnp.take(fp2d, r + 1, axis=0)
-    win = jnp.concatenate([row0, row1], axis=1)  # [n, 256]
-    rel = jnp.arange(256, dtype=jnp.int32)[None, :] - o[:, None]
+    if stride:
+        r = local // jnp.int32(stride)
+        o = local - r * jnp.int32(stride)
+        win = jnp.take(fp2d, r, axis=0)  # [n, 128]
+        rel = jnp.arange(128, dtype=jnp.int32)[None, :] - o[:, None]
+    else:
+        r = jax.lax.shift_right_logical(local, jnp.int32(7))
+        o = local & jnp.int32(127)
+        row0 = jnp.take(fp2d, r, axis=0)
+        row1 = jnp.take(fp2d, r + 1, axis=0)
+        win = jnp.concatenate([row0, row1], axis=1)  # [n, 256]
+        rel = jnp.arange(256, dtype=jnp.int32)[None, :] - o[:, None]
     in_window = (rel >= 0) & (rel < probe_window)
     big = jnp.int32(probe_window)
     rq = recv_qfp.reshape(-1)
@@ -148,19 +156,29 @@ class RoutedLookup:
         occ = table.occupied
         fp[: table.num_sigs][occ] = (
             table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
-        # per-shard slice (slot range + halo), padded to whole 128-lane
-        # rows plus one spill row: the step's two-row gather never reads
-        # out of bounds
+        # per-shard slice (slot range + halo) in 128-lane rows; for
+        # probe_window <= 64 the rows OVERLAP (stride = 128 - W) so the
+        # step's gather is one row per query instead of two
         slice_len = self.s_loc + probe_window
-        rows_loc = -(-slice_len // 128) + 1
-        shards = np.full((self.n_shards, rows_loc * 128), FP_EMPTY,
-                         dtype=np.uint16)
+        self.stride = 128 - probe_window if probe_window <= 64 else 0
+        if self.stride:
+            rows_loc = (self.s_loc - 1) // self.stride + 1
+            ext = (rows_loc - 1) * self.stride + 128
+        else:
+            rows_loc = -(-slice_len // 128) + 1
+            ext = rows_loc * 128
+        shards = np.full((self.n_shards, ext), FP_EMPTY, dtype=np.uint16)
         for i in range(self.n_shards):
             shards[i, :slice_len] = fp[i * self.s_loc:
                                        i * self.s_loc + slice_len]
+        if self.stride:
+            shards3d = np.ascontiguousarray(np.lib.stride_tricks.as_strided(
+                shards, shape=(self.n_shards, rows_loc, 128),
+                strides=(shards.strides[0], 2 * self.stride, 2)))
+        else:
+            shards3d = shards.reshape(self.n_shards, rows_loc, 128)
         self.fp_shards = jax.device_put(
-            shards.reshape(self.n_shards, rows_loc, 128),
-            NamedSharding(mesh, P(AXIS, None, None)))
+            shards3d, NamedSharding(mesh, P(AXIS, None, None)))
         self._step_cache = {}
 
     def _step(self, n_loc: int, cap: int):
@@ -168,7 +186,7 @@ class RoutedLookup:
         if key not in self._step_cache:
             fn = partial(_routed_step, s_loc=self.s_loc,
                          probe_window=self.probe_window, cap=cap,
-                         n_shards=self.n_shards)
+                         n_shards=self.n_shards, stride=self.stride)
             self._step_cache[key] = jax.jit(jax.shard_map(
                 fn, mesh=self.mesh,
                 in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS), P(AXIS)),

@@ -28,10 +28,18 @@ from .mesh import DATA_AXIS, TABLE_AXIS
 
 
 def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
-    """Host-side prep: per-shard slot-range slices (+ probe halo) reshaped
-    to 128-lane rows plus one spill row — TPU XLA vectorizes whole-row
-    gathers but runs 1-D-operand gathers scalar (docs/performance.md), so
-    every plane is [n_shards, rows_loc, 128]."""
+    """Host-side prep: per-shard slot-range slices (+ probe halo) laid out
+    in 128-lane rows — TPU XLA vectorizes whole-row gathers but runs
+    1-D-operand gathers scalar (docs/performance.md), so every plane is
+    [n_shards, rows_loc, 128].
+
+    probe_window <= 64 (every standard-load-factor table): OVERLAPPED rows
+    (row r = local slots [r*stride, r*stride + 128), stride = 128 -
+    probe_window), so any window AND its matched slot's metadata lie in
+    ONE row — one gather per plane per query instead of two, for a
+    128/stride storage factor (<= 2x). Larger windows fall back to plain
+    rows + two-row gathers; returned "stride" is 0 in that case.
+    """
     if probe_window > 128:
         raise ValueError("sharded lookup requires probe_window <= 128 "
                          "(two-row gather); rebuild the table at a lower "
@@ -39,7 +47,13 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
     s = table.num_sigs
     s_loc = -(-s // n_shards)
     slice_len = s_loc + probe_window
-    rows_loc = -(-slice_len // 128) + 1
+    stride = 128 - probe_window if probe_window <= 64 else 0
+    if stride:
+        rows_loc = (s_loc - 1) // stride + 1
+        ext = (rows_loc - 1) * stride + 128
+    else:
+        rows_loc = -(-slice_len // 128) + 1
+        ext = rows_loc * 128
     total = n_shards * s_loc + slice_len
     kmer = np.full(total, EMPTY_KMER, dtype=np.int64)
     kmer[:s] = table.slots["kmer"]
@@ -53,14 +67,20 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
     wt[:s] = table.slots["wt"]
 
     def window(a, fill):
-        out = np.full((n_shards, rows_loc * 128), fill, dtype=a.dtype)
+        flat = np.full((n_shards, ext), fill, dtype=a.dtype)
         for i in range(n_shards):
-            out[i, :slice_len] = a[i * s_loc: i * s_loc + slice_len]
-        return out.reshape(n_shards, rows_loc, 128)
+            flat[i, :slice_len] = a[i * s_loc: i * s_loc + slice_len]
+        if not stride:
+            return flat.reshape(n_shards, rows_loc, 128)
+        it = a.dtype.itemsize
+        rows = np.lib.stride_tricks.as_strided(
+            flat, shape=(n_shards, rows_loc, 128),
+            strides=(flat.strides[0], stride * it, it))
+        return np.ascontiguousarray(rows)
 
     return {"kmer": window(kmer, EMPTY_KMER), "otu": window(otu, 0),
             "avg": window(avg, 0), "fi": window(fi, 0),
-            "wt": window(wt, 0), "s_loc": s_loc}
+            "wt": window(wt, 0), "s_loc": s_loc, "stride": stride}
 
 
 def _lane_select(rows, lane):
@@ -69,33 +89,46 @@ def _lane_select(rows, lane):
     return jnp.sum(jnp.where(onehot, rows, jnp.zeros_like(rows)), axis=1)
 
 
-def _local_probe(tk, t_otu, t_avg, t_fi, t_wt, values, homes, s_loc, probe_window):
+def _local_probe(tk, t_otu, t_avg, t_fi, t_wt, values, homes, s_loc,
+                 probe_window, stride=0):
     """Probe queries whose home falls in this shard's slice. Runs inside
     shard_map; leading shard dim of the table planes is squeezed to 1.
-    Row-gather formulation: a W<=128 window always lies within two
-    consecutive 128-lane rows; metadata is row-gathered at the matched
-    slot and the lane selected with a one-hot sum (no scalar gathers)."""
+    Row-gather formulation (no scalar gathers): with an overlapped layout
+    (stride > 0, see shard_table_planes) the window AND the matched slot
+    lie in one 128-lane row — one gather per plane per query; the plain
+    layout needs two consecutive rows per gather. Metadata lanes are
+    selected with a one-hot sum."""
     tk = tk[0]
     t_otu, t_avg, t_fi, t_wt = t_otu[0], t_avg[0], t_fi[0], t_wt[0]
     shard = jax.lax.axis_index(TABLE_AXIS)
     local = homes.astype(jnp.int32) - shard * s_loc
     mine = (local >= 0) & (local < s_loc)
     base = jnp.where(mine, local, 0)
-    r = jax.lax.shift_right_logical(base, jnp.int32(7))
-    o = base & jnp.int32(127)
-    win = jnp.concatenate([jnp.take(tk, r, axis=0),
-                           jnp.take(tk, r + 1, axis=0)], axis=1)  # [N, 256]
-    rel = jnp.arange(256, dtype=jnp.int32)[None, :] - o[:, None]
+    big = jnp.int32(probe_window)
+    if stride:
+        r = base // jnp.int32(stride)
+        o = base - r * jnp.int32(stride)
+        win = jnp.take(tk, r, axis=0)  # [N, 128] single row gather
+        rel = jnp.arange(128, dtype=jnp.int32)[None, :] - o[:, None]
+    else:
+        r = jax.lax.shift_right_logical(base, jnp.int32(7))
+        o = base & jnp.int32(127)
+        win = jnp.concatenate([jnp.take(tk, r, axis=0),
+                               jnp.take(tk, r + 1, axis=0)], axis=1)  # [N,256]
+        rel = jnp.arange(256, dtype=jnp.int32)[None, :] - o[:, None]
     match = ((win == values[:, None])
              & (rel >= 0) & (rel < probe_window))
-    big = jnp.int32(probe_window)
     off = jnp.min(jnp.where(match, rel, big), axis=1)
     found = (off < big) & mine
     off = jnp.where(found, off, 0)
     # matched slot's row/lane within the local slice
     pos = o + off
-    r2 = r + jax.lax.shift_right_logical(pos, jnp.int32(7))
-    lane = pos & jnp.int32(127)
+    if stride:
+        r2 = r  # o + off <= stride-1 + probe_window-1 < 128: same row
+        lane = pos
+    else:
+        r2 = r + jax.lax.shift_right_logical(pos, jnp.int32(7))
+        lane = pos & jnp.int32(127)
     z = jnp.int32(0)
     out = (
         found.astype(jnp.int32),
@@ -123,7 +156,8 @@ def make_sharded_lookup(mesh, table: KmerTable, probe_window: int
     table_spec = P(TABLE_AXIS, None, None)
     query_spec = P(DATA_AXIS)
 
-    fn = partial(_local_probe, s_loc=s_loc, probe_window=probe_window)
+    fn = partial(_local_probe, s_loc=s_loc, probe_window=probe_window,
+                 stride=planes["stride"])
     step = jax.jit(
         jax.shard_map(
             fn, mesh=mesh,
