@@ -15,9 +15,12 @@ import numpy as np
 
 from ..constants import AA_OFF_LUT, COMPL_DNA_CODE_LUT, DNA_CODE_LUT
 
-_AA_OFF = jnp.asarray(AA_OFF_LUT)
-_DNA_CODE = jnp.asarray(DNA_CODE_LUT)
-_COMPL_DNA_CODE = jnp.asarray(COMPL_DNA_CODE_LUT)
+# numpy (not jnp) at module scope: the first import of this module can
+# happen inside a traced function, and a device constant minted under one
+# trace leaks into every later trace that reuses the module.
+_AA_OFF = np.asarray(AA_OFF_LUT)
+_DNA_CODE = np.asarray(DNA_CODE_LUT)
+_COMPL_DNA_CODE = np.asarray(COMPL_DNA_CODE_LUT)
 
 
 @jax.jit
@@ -26,13 +29,13 @@ def aa_offsets(ascii_u8: jax.Array) -> jax.Array:
 
     Mirrors toAminoAcidOff (ref :111-175) applied per char (ref :1054-1058).
     """
-    return _AA_OFF[ascii_u8.astype(jnp.int32)]
+    return jnp.asarray(_AA_OFF)[ascii_u8.astype(jnp.int32)]
 
 
 @jax.jit
 def dna_codes(ascii_u8: jax.Array) -> jax.Array:
     """ASCII bytes -> base codes A=0 C=1 G=2 T/U=3 (4 = invalid), ref dnaChar."""
-    return _DNA_CODE[ascii_u8.astype(jnp.int32)]
+    return jnp.asarray(_DNA_CODE)[ascii_u8.astype(jnp.int32)]
 
 
 @partial(jax.jit, static_argnames=("axis",))
@@ -44,4 +47,5 @@ def revcomp_codes(ascii_u8: jax.Array, axis: int = -1) -> jax.Array:
     composite-LUT gather plus a flip. IUPAC ambiguity codes complement to
     non-ACGT letters and therefore stay invalid (4), matching the reference.
     """
-    return jnp.flip(_COMPL_DNA_CODE[ascii_u8.astype(jnp.int32)], axis=axis)
+    return jnp.flip(jnp.asarray(_COMPL_DNA_CODE)[ascii_u8.astype(jnp.int32)],
+                    axis=axis)

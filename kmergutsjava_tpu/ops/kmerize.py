@@ -16,10 +16,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import K, POW20
 
-_POW20 = jnp.asarray(POW20)
+# numpy (not jnp) at module scope: a device constant minted under one trace
+# (lazy first import) would leak into every later trace (see ops/encode.py)
+_POW20 = np.asarray(POW20)
 
 
 @jax.jit
@@ -42,7 +45,7 @@ def kmer_windows(aa_off: jax.Array, num_starts: jax.Array):
     ok = jnp.ones(aa_off.shape[:-1] + (w,), dtype=bool)
     for k in range(K):
         seg = a32[..., k: k + w]
-        values = values + seg * _POW20[k]
+        values = values + seg * int(_POW20[k])
         ok = ok & (seg < 20)
     starts = jnp.arange(w)
     in_range = starts < jnp.expand_dims(num_starts, -1)

@@ -18,11 +18,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import CODON_AA_OFF, INVALID_AA, INVALID_DNA, TERMINATOR_AA
 from .encode import dna_codes, revcomp_codes
 
-_CODON_AA = jnp.asarray(CODON_AA_OFF)
+# numpy (not jnp) at module scope: the first import can happen inside a
+# traced function (consumers import lazily), and a device constant minted
+# under one trace leaks into every later trace that reuses the module.
+_CODON_AA = np.asarray(CODON_AA_OFF)
 
 
 def _frames_from_codes(codes: jax.Array, length: jax.Array) -> jax.Array:
@@ -38,7 +42,9 @@ def _frames_from_codes(codes: jax.Array, length: jax.Array) -> jax.Array:
         c3 = jnp.take(codes, pos + 2, mode="fill", fill_value=INVALID_DNA)
         codon_ok = (c1 < 4) & (c2 < 4) & (c3 < 4)
         idx = (c1.astype(jnp.int32) * 16 + c2.astype(jnp.int32) * 4 + c3.astype(jnp.int32))
-        aa = jnp.where(codon_ok, _CODON_AA[jnp.where(codon_ok, idx, 0)], INVALID_AA)
+        aa = jnp.where(codon_ok,
+                       jnp.asarray(_CODON_AA)[jnp.where(codon_ok, idx, 0)],
+                       INVALID_AA)
         # p = number of codons in this frame: floor((length - f) / 3), >= 0
         p = jnp.maximum(length - f, 0) // 3
         aa = jnp.where(j < p, aa, TERMINATOR_AA)

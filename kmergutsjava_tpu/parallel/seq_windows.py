@@ -1,0 +1,197 @@
+"""Sequence parallelism: long contigs split into overlapping device windows.
+
+The reference handles arbitrarily long contigs sequentially — a 4.6 Mbp
+contig is one char array walked frame by frame (processSeq,
+/root/reference/lib/src/kmergutsjava/KmerGutsJava.java:538-558). The SPMD
+annotate step (parallel/annotate_step.py) places whole contigs on data
+shards, which caps parallelism at the contig count; this module completes
+the SURVEY §2.2 "sequence parallelism analog": ONE contig is split into
+fixed-size windows with a 24-base overlap (one aa 8-mer = 3*K bases) so
+translation + k-mer extraction stay shape-static, the windows shard over
+the ``data`` mesh axis, and hit positions map back to exact global frame
+coordinates — hit grouping re-fuses the windows with no seam effects.
+
+Exactness argument (tests/test_seq_windows.py pins it differentially
+against the host prepare + parity lookup):
+
+- windows start at multiples of 3, so window-local forward frame f IS
+  global frame f shifted by start/3 codons;
+- the reverse strand is the reference's revComp-then-translate
+  (ref :1063-1072): window [s, e) of the contig is slice [L-e, L-s) of the
+  global reverse complement, so window-local rc frame (f - (L-e)) mod 3
+  is global rc frame f shifted by (L - e + f' - f)/3 codons;
+- every global 8-mer occupies exactly 24 bases of its strand; the window
+  whose 24-base-aligned stride bucket contains the k-mer's lowest original
+  base coordinate OWNS it (last window owns its tail), and the >= 24-base
+  overlap guarantees the owner window contains all 24 bases — each global
+  k-mer is emitted exactly once, with its exact (container, protein
+  position);
+- DNA frames have no skip-last-window quirk: the reference's ``i < len-K``
+  bound over its len/3+1 buffer admits every full codon window
+  (models/prepare.py), so local 8-aa validity == global validity.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..constants import K, POW20
+from ..formats.kmer_table import KmerTable
+from .mesh import DATA_AXIS, TABLE_AXIS
+from .sharded_lookup import _local_probe, shard_table_planes
+
+OVERLAP_NT = 3 * K  # one aa 8-mer spans 24 bases of its strand
+_BIG = np.int32(2 ** 30)
+
+
+def plan_windows(length: int, win_nt: int) -> dict:
+    """Host-side plan for one contig: window byte ranges plus, per
+    (window, global container g in +0+1+2-0-1-2 order), the local frame
+    row, the global codon offset, and the owned local-window interval.
+
+    Returns numpy arrays: s/e/len_w [n_win]; row_map/j0/own_start/own_end
+    [n_win, 6] (own_end exclusive; empty intervals where a window owns
+    nothing in a frame).
+    """
+    if win_nt % 3 or win_nt <= OVERLAP_NT:
+        raise ValueError("win_nt must be a multiple of 3 greater than 24")
+    L = int(length)
+    stride = win_nt - OVERLAP_NT
+    n_win = max(L - OVERLAP_NT, 0) // stride + 1
+    s = np.arange(n_win, dtype=np.int64) * stride
+    e = np.minimum(s + win_nt, L)
+    row_map = np.zeros((n_win, 6), np.int32)
+    j0 = np.zeros((n_win, 6), np.int64)
+    own_start = np.zeros((n_win, 6), np.int64)
+    own_end = np.zeros((n_win, 6), np.int64)
+    last = n_win - 1
+    for f in range(3):
+        # forward: local frame f == global frame f at codon offset s/3
+        row_map[:, f] = f
+        j0[:, f] = s // 3
+        # owned anchors a = s + f + 3j'' with a in [s, s+stride)
+        own_end[:, f] = (stride - f + 2) // 3
+        own_end[last, f] = _BIG  # the tail has no next window
+        # reverse: window [s,e) == global revComp slice [L-e, L-s)
+        g = 3 + f
+        fp = (f - (L - e)) % 3
+        row_map[:, g] = 3 + fp
+        j0[:, g] = (L - e + fp - f) // 3
+        # owned anchors a = L - f - 3*(j0+j'') - 24 in [s, s+stride)
+        t = L - f - 3 * j0[:, g] - OVERLAP_NT - s
+        own_end[:, g] = t // 3 + 1
+        own_start[:, g] = (t - stride) // 3 + 1
+        own_start[last, g] = 0  # the tail (smallest j'') has no next window
+    np.clip(own_start, 0, None, out=own_start)
+    np.clip(own_end, 0, None, out=own_end)
+    return {"s": s, "e": e, "len_w": e - s, "stride": stride,
+            "row_map": row_map, "j0": j0,
+            "own_start": own_start, "own_end": own_end}
+
+
+def _window_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, len_w, row_map,
+                  own_start, own_end, *, s_loc, probe_window, num_sigs,
+                  tbl_stride):
+    """Per-device body: translate windows, reorder rows into global
+    container order, kmerize, mask to owned intervals, probe."""
+    from ..ops.translate import translate_6frames
+
+    frames = jax.vmap(translate_6frames)(ascii_u8, len_w)  # [B, 6, m]
+    sel = jnp.take_along_axis(frames, row_map[:, :, None], axis=1)
+    b, _, m = sel.shape
+    w = m - K + 1
+    offs = sel.reshape(b * 6, m)
+    values = jnp.zeros((b * 6, w), dtype=jnp.int64)
+    ok = jnp.ones((b * 6, w), dtype=bool)
+    for k in range(K):
+        seg = offs[:, k: k + w].astype(jnp.int64)
+        values = values + seg * int(POW20[k])
+        ok = ok & (seg < 20)
+    jj = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    ok = (ok.reshape(b, 6, w) & (jj >= own_start[:, :, None])
+          & (jj < own_end[:, :, None]))
+    flat_v = values.reshape(-1)
+    homes = (flat_v % num_sigs).astype(jnp.int32)
+    found, otu, avg, fi, wt = _local_probe(
+        tk, t_otu, t_avg, t_fi, t_wt, flat_v, homes,
+        s_loc=s_loc, probe_window=probe_window, stride=tbl_stride)
+    found = found * ok.reshape(-1).astype(jnp.int32)
+    shape = (b, 6, w)
+    return (found.reshape(shape), otu.reshape(shape), avg.reshape(shape),
+            fi.reshape(shape), wt.reshape(shape))
+
+
+def make_windowed_dna_step(mesh, table: KmerTable, probe_window: int,
+                           win_nt: int) -> Tuple[callable, dict]:
+    """Sequence-parallel DNA SPMD step: windows sharded over ``data``, the
+    table over ``table``. step(kmer, otu, avg, fi, wt, ascii_u8[W, win_nt],
+    len_w[W], row_map[W, 6], own_start[W, 6], own_end[W, 6]) ->
+    per-(window, container, local-window) (found, otu, avg, fi, wt)."""
+    if win_nt % 3:
+        raise ValueError("win_nt must be a multiple of 3")
+    n_shards = mesh.shape[TABLE_AXIS]
+    planes = shard_table_planes(table, n_shards, probe_window)
+    fn = partial(_window_probe, s_loc=planes["s_loc"],
+                 probe_window=probe_window, num_sigs=table.num_sigs,
+                 tbl_stride=planes["stride"])
+    table_spec = P(TABLE_AXIS, None, None)
+    d1 = P(DATA_AXIS)
+    d2 = P(DATA_AXIS, None)
+    step = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(table_spec,) * 5 + (d2, d1, d2, d2, d2),
+            out_specs=(P(DATA_AXIS, None, None),) * 5,
+        )
+    )
+    device_planes = {
+        k: jax.device_put(planes[k], NamedSharding(mesh, table_spec))
+        for k in ("kmer", "otu", "avg", "fi", "wt")
+    }
+    return step, device_planes
+
+
+def windowed_contig_hits(mesh, step, device_planes, seq_ascii: np.ndarray,
+                         win_nt: int):
+    """Host driver: run one contig through the windowed step.
+
+    seq_ascii: uint8 ASCII bases. Returns hit columns in global frame
+    coordinates: (container g in 0..5 reference order, protein position,
+    otu, avg_from_end, fi, wt) — ready for the per-container grouping
+    machine (calls/grouping.py), which re-fuses the windows exactly.
+    """
+    L = len(seq_ascii)
+    plan = plan_windows(L, win_nt)
+    n_win = len(plan["s"])
+    n_data = mesh.shape[DATA_AXIS]
+    n_pad = -(-n_win // n_data) * n_data
+    a = np.full((n_pad, win_nt), ord("N"), np.uint8)  # invalid base pad
+    for i in range(n_win):
+        a[i, : plan["len_w"][i]] = seq_ascii[plan["s"][i]: plan["e"][i]]
+    len_w = np.zeros(n_pad, np.int32)
+    len_w[:n_win] = plan["len_w"]
+    pad6 = lambda x, fill=0: np.concatenate(
+        [x.astype(np.int32), np.full((n_pad - n_win, 6), fill, np.int32)])
+    row_map = pad6(plan["row_map"])
+    own_start = pad6(plan["own_start"])
+    own_end = pad6(plan["own_end"])  # padding windows own nothing (end=0)
+    ds1 = NamedSharding(mesh, P(DATA_AXIS))
+    ds2 = NamedSharding(mesh, P(DATA_AXIS, None))
+    found, otu, avg, fi, wt = step(
+        device_planes["kmer"], device_planes["otu"], device_planes["avg"],
+        device_planes["fi"], device_planes["wt"],
+        jax.device_put(a, ds2), jax.device_put(len_w, ds1),
+        jax.device_put(row_map, ds2), jax.device_put(own_start, ds2),
+        jax.device_put(own_end, ds2))
+    from .multihost import fetch_global
+
+    found, otu, avg, fi, wt = fetch_global((found, otu, avg, fi, wt))
+    wi, gi, ji = np.nonzero(found[:n_win])
+    pos = plan["j0"][wi, gi] + ji
+    return (gi.astype(np.int64), pos.astype(np.int64),
+            otu[wi, gi, ji], avg[wi, gi, ji], fi[wi, gi, ji], wt[wi, gi, ji])
