@@ -146,6 +146,8 @@ def bench_tpu_rows(table, values, reps: int, chunk: int = 1 << 19):
     from scripts.microbench_probe import rows1_loop, rows_loop
 
     lk = XlaLookup(table, chunk=chunk)  # default row-gather impl
+    if lk.probe_impl == "flat":  # e.g. KMER_PROBE_IMPL=flat: the rep loops
+        lk = XlaLookup(table, chunk=chunk, probe_impl="rows")  # need 2-D
     if lk.probe_impl == "rows1":
         loop = lambda qf, h, r: rows1_loop(lk.tbl_fp, qf, h, lk.w1,
                                            lk.stride, r)

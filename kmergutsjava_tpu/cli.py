@@ -47,6 +47,7 @@ def parse_args(argv: List[str]):
     data_dir: Optional[str] = None
     query: Optional[str] = None
     output: Optional[str] = None
+    platform: Optional[str] = None
     params = list(argv)
     while params:
         param = params.pop(0)
@@ -82,11 +83,7 @@ def parse_args(argv: List[str]):
                     raise ValueError("--threads must be >= 1")
                 os.environ["KMER_NATIVE_THREADS"] = str(n_threads)
             elif name == "platform":
-                # must land before any device use initializes the backend
-                # (the env var alone can be overridden by site config)
-                import jax
-
-                jax.config.update("jax_platforms", params.pop(0))
+                platform = params.pop(0)  # applied by main() after parsing
             else:
                 raise ValueError("Unknown parameter: --" + name)
             continue
@@ -120,17 +117,39 @@ def parse_args(argv: List[str]):
             raise ValueError("Unknown parameter: -" + name)
     if data_dir is None:
         raise ValueError("-D parameter is required")
-    return cfg, data_dir, query, output
+    return cfg, data_dir, query, output, platform
+
+
+def _apply_platform(platform: str) -> None:
+    """Pin jax_platforms before the backend initializes (the env var alone
+    is overridden by site config). Applied only after a successful parse so
+    a usage error leaves global jax config untouched; warns when a backend
+    is already live in this process (the setting cannot take effect then)."""
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+    try:  # no public "is the backend initialized" probe exists
+        from jax._src import xla_bridge
+
+        live = bool(xla_bridge._backends)
+    except Exception:  # pragma: no cover - private-API drift
+        live = False
+    if live and jax.default_backend() != platform.split(",")[0]:
+        print(f"Warning: --platform {platform} has no effect: the jax "
+              f"backend is already initialized "
+              f"({jax.default_backend()})", file=sys.stderr)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     try:
-        cfg, data_dir, query, output = parse_args(argv)
+        cfg, data_dir, query, output, platform = parse_args(argv)
     except (ValueError, IndexError) as ex:
         print("Error: " + str(ex))
         print(USAGE, end="")
         return 2
+    if platform is not None:
+        _apply_platform(platform)
     from .models.pipeline import Engine
 
     engine = Engine(cfg)

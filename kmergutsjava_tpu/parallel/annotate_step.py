@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..constants import AA_OFF_LUT, K, POW20
+from ..constants import AA_OFF_LUT, K
 from ..formats.kmer_table import KmerTable
+from ..ops.kmerize import kmer_windows
 from .mesh import DATA_AXIS, TABLE_AXIS
 from .sharded_lookup import _local_probe, shard_table_planes
 
@@ -27,14 +28,8 @@ def _encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
     offs = jnp.asarray(AA_OFF_LUT)[ascii_u8.astype(jnp.int32)]
     b, n = offs.shape
     w = n - K + 1
-    values = jnp.zeros((b, w), dtype=jnp.int64)
-    ok = jnp.ones((b, w), dtype=bool)
-    for k in range(K):
-        seg = offs[:, k: k + w].astype(jnp.int64)
-        values = values + seg * int(POW20[k])
-        ok = ok & (seg < 20)
     # reference window bound: i < len - K (ref KmerGutsJava.java:912)
-    ok = ok & (jnp.arange(w) < (lengths - K)[:, None])
+    values, ok = kmer_windows(offs, lengths - K)
     flat_v = values.reshape(-1)
     flat_ok = ok.reshape(-1)
     homes = (flat_v % num_sigs).astype(jnp.int32)
@@ -87,15 +82,8 @@ def _dna_encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
     m = frames.shape[2]
     w = m - K + 1
     offs = frames.reshape(b * 6, m)
-    values = jnp.zeros((b * 6, w), dtype=jnp.int64)
-    ok = jnp.ones((b * 6, w), dtype=bool)
-    for k in range(K):
-        seg = offs[:, k: k + w].astype(jnp.int64)
-        values = values + seg * int(POW20[k])
-        ok = ok & (seg < 20)
     num_starts = jnp.maximum(lengths // 3 - K + 1, 0)  # ref :912 over len/3+1
-    in_range = jnp.arange(w) < jnp.repeat(num_starts, 6)[:, None]
-    ok = ok & in_range
+    values, ok = kmer_windows(offs, jnp.repeat(num_starts, 6))
     flat_v = values.reshape(-1)
     homes = (flat_v % num_sigs).astype(jnp.int32)
     found, otu, avg, fi, wt = _local_probe(

@@ -159,8 +159,17 @@ class RoutedLookup:
         # per-shard slice (slot range + halo) in 128-lane rows; for
         # probe_window <= 64 the rows OVERLAP (stride = 128 - W) so the
         # step's gather is one row per query instead of two
+        import os
+
         slice_len = self.s_loc + probe_window
         self.stride = 128 - probe_window if probe_window <= 64 else 0
+        if self.stride:
+            # storage gate (see sharded_lookup.shard_table_planes): the
+            # overlapped uint16 plane costs 128/stride x per shard
+            budget = int(os.environ.get("KMER_ROWS1_MAX_BYTES", 4 << 30))
+            rows_ov = (self.s_loc - 1) // self.stride + 1
+            if rows_ov * 128 * 2 > budget:
+                self.stride = 0
         if self.stride:
             rows_loc = (self.s_loc - 1) // self.stride + 1
             ext = (rows_loc - 1) * self.stride + 128

@@ -40,8 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..constants import K, POW20
+from ..constants import K
 from ..formats.kmer_table import KmerTable
+from ..ops.kmerize import kmer_windows
 from .mesh import DATA_AXIS, TABLE_AXIS
 from .sharded_lookup import _local_probe, shard_table_planes
 
@@ -106,12 +107,9 @@ def _window_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, len_w, row_map,
     b, _, m = sel.shape
     w = m - K + 1
     offs = sel.reshape(b * 6, m)
-    values = jnp.zeros((b * 6, w), dtype=jnp.int64)
-    ok = jnp.ones((b * 6, w), dtype=bool)
-    for k in range(K):
-        seg = offs[:, k: k + w].astype(jnp.int64)
-        values = values + seg * int(POW20[k])
-        ok = ok & (seg < 20)
+    # every full window is a valid start here (DNA semantics); ownership
+    # intervals below do the global bounding
+    values, ok = kmer_windows(offs, jnp.full((b * 6,), w, jnp.int32))
     jj = jnp.arange(w, dtype=jnp.int32)[None, None, :]
     ok = (ok.reshape(b, 6, w) & (jj >= own_start[:, :, None])
           & (jj < own_end[:, :, None]))

@@ -44,10 +44,21 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
         raise ValueError("sharded lookup requires probe_window <= 128 "
                          "(two-row gather); rebuild the table at a lower "
                          "load factor")
+    import os
+
     s = table.num_sigs
     s_loc = -(-s // n_shards)
     slice_len = s_loc + probe_window
     stride = 128 - probe_window if probe_window <= 64 else 0
+    if stride:
+        # same storage gate as XlaLookup's rows1: the overlap factor
+        # (128/stride, up to 2x at probe_window 64) applies to all five
+        # planes (24 B/slot); a big table in exactly these barely-fits
+        # modes must not be inflated past the budget
+        budget = int(os.environ.get("KMER_ROWS1_MAX_BYTES", 4 << 30))
+        per_shard = ((s_loc - 1) // stride + 1) * 128 * 24
+        if per_shard > budget:
+            stride = 0
     if stride:
         rows_loc = (s_loc - 1) // stride + 1
         ext = (rows_loc - 1) * stride + 128

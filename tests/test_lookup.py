@@ -303,9 +303,14 @@ def test_probe_rows1_matches_flat():
     assert r1.stride == 128 - r1.w1
     assert r1.tbl_fp.ndim == 2 and r1.tbl_fp.shape[1] == 128
     values, cnt, pos = make_queries(rng, sig["kmers"], 4096)
-    # force homes onto overlapped-row boundaries (o = 0 and o = stride-1)
-    values[:64] = (values[:64] // r1.stride) * r1.stride
-    values[64:128] = (values[64:128] // r1.stride) * r1.stride + r1.stride - 1
+    # force HOMES onto overlapped-row boundaries (o = 0 and o = stride-1):
+    # home = value % num_sigs, so the values themselves must be built from
+    # the wanted home (rounding values would leave home % stride arbitrary)
+    n_rows_in_table = table.num_sigs // r1.stride
+    h0 = (np.arange(64, dtype=np.int64) % n_rows_in_table) * r1.stride
+    h1 = np.minimum(h0 + r1.stride - 1, table.num_sigs - 1)
+    values[:64] = h0 + np.int64(table.num_sigs)  # home == h0, o == 0
+    values[64:128] = h1  # home == h1, o == stride-1 (or table edge)
     homes = (values % np.int64(table.num_sigs)).astype(np.int32)
     q_fp = (values % FP_MOD).astype(np.uint16)
     off_a, st_a = probe_fingerprint_pass(flat.tbl_fp, jnp.asarray(q_fp),

@@ -22,10 +22,12 @@ def test_build_table_cli_and_annotate(tmp_path, capsys):
 def test_cli_flag_parsing_extras():
     from kmergutsjava_tpu.cli import parse_args
 
-    cfg, d, q, o = parse_args(["-D", "dir", "-t", "/tmp/x", "-l", "123",
-                               "-M", "2", "-O", "--grouping", "scan",
-                               "--mesh", "4x2", "--prepare", "jax"])
+    cfg, d, q, o, platform = parse_args(
+        ["-D", "dir", "-t", "/tmp/x", "-l", "123",
+         "-M", "2", "-O", "--grouping", "scan",
+         "--mesh", "4x2", "--prepare", "jax", "--platform", "cpu"])
     assert d == "dir" and cfg.temp_dir == "/tmp/x"
+    assert platform == "cpu"
     assert cfg.input_size_limit == 123
     assert cfg.min_weighted_hits == 2
     assert cfg.order_constraint is True
