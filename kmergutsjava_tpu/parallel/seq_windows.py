@@ -154,6 +154,65 @@ def make_windowed_dna_step(mesh, table: KmerTable, probe_window: int,
     return step, device_planes
 
 
+OVERLAP_AA = K - 1  # aa-mode window overlap: 7 aa (SURVEY §2.2)
+
+
+def plan_aa_windows(length: int, win_aa: int) -> dict:
+    """Window plan for one PROTEIN: aa windows overlapping by K-1 = 7, so
+    every global 8-aa window lies whole in exactly one owner window. The
+    reference's ``i < len - K`` bound (ref :912 — the final full window of
+    a protein is SKIPPED, a parity quirk) becomes a per-window start
+    count: num_starts[w] = clamp(L - K - s_w, 0, stride) with the last
+    window unclamped above."""
+    if win_aa <= OVERLAP_AA:
+        raise ValueError("win_aa must be greater than 7")
+    L = int(length)
+    stride = win_aa - OVERLAP_AA  # == win_aa - K + 1 = local start capacity
+    n_win = max(L - K - 1, 0) // stride + 1  # anchors i in [0, L-K-1]
+    s = np.arange(n_win, dtype=np.int64) * stride
+    e = np.minimum(s + win_aa, L)
+    num_starts = np.maximum(L - K - s, 0)
+    num_starts[:-1] = np.minimum(num_starts[:-1], stride)
+    return {"s": s, "e": e, "len_w": e - s, "stride": stride,
+            "num_starts": num_starts}
+
+
+def windowed_protein_hits(mesh, step, device_planes, seq_ascii: np.ndarray,
+                          win_aa: int):
+    """Host driver: one long protein through the aa annotate step, windowed.
+
+    ``step``/``device_planes`` come from annotate_step.
+    make_sharded_annotate_step — its body computes num_starts as
+    ``lengths - K``, so passing synthetic lengths = num_starts + K makes
+    the unmodified aa step enforce each window's exact global start count
+    (including the reference's skip-last-window quirk at the true end).
+    Returns (pos, otu, avg_from_end, fi, wt) in global protein coordinates
+    for the protein's single container.
+    """
+    L = len(seq_ascii)
+    plan = plan_aa_windows(L, win_aa)
+    n_win = len(plan["s"])
+    n_data = mesh.shape[DATA_AXIS]
+    n_pad = -(-n_win // n_data) * n_data
+    a = np.full((n_pad, win_aa), ord("*"), np.uint8)  # invalid aa pad
+    for i in range(n_win):
+        a[i, : plan["len_w"][i]] = seq_ascii[plan["s"][i]: plan["e"][i]]
+    lengths = np.zeros(n_pad, np.int64)
+    lengths[:n_win] = plan["num_starts"] + K
+    found, otu, avg, fi, wt = step(
+        device_planes["kmer"], device_planes["otu"], device_planes["avg"],
+        device_planes["fi"], device_planes["wt"],
+        jax.device_put(a, NamedSharding(mesh, P(DATA_AXIS, None))),
+        jax.device_put(lengths, NamedSharding(mesh, P(DATA_AXIS))))
+    from .multihost import fetch_global
+
+    found, otu, avg, fi, wt = fetch_global((found, otu, avg, fi, wt))
+    wi, ji = np.nonzero(found[:n_win])
+    pos = plan["s"][wi] + ji
+    return (pos.astype(np.int64), otu[wi, ji], avg[wi, ji], fi[wi, ji],
+            wt[wi, ji])
+
+
 def windowed_contig_hits(mesh, step, device_planes, seq_ascii: np.ndarray,
                          win_nt: int):
     """Host driver: run one contig through the windowed step.

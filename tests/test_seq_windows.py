@@ -126,6 +126,42 @@ def test_windowed_step_matches_host(mesh_shape, win_nt):
         assert got == want, (mesh_shape, win_nt, L)
 
 
+def test_windowed_protein_matches_host():
+    """aa-mode sequence parallelism: one long protein over overlapping
+    7-aa windows == host prepare + parity scan, including the reference's
+    skip-last-window quirk (i < len - K) at the true protein end."""
+    from kmergutsjava_tpu.models.prepare import prepare_aa_numpy
+    from kmergutsjava_tpu.parallel.annotate_step import \
+        make_sharded_annotate_step
+    from kmergutsjava_tpu.parallel.seq_windows import windowed_protein_hits
+
+    rng = np.random.default_rng(11)
+    mesh = make_mesh(4, 2)
+    aa = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    for L in [8, 9, 20, 63, 64, 65, 300, 2001]:
+        for win_aa in [16, 64]:
+            seq_a = rng.choice(aa, size=L).astype(np.uint8)
+            # sprinkle invalid residues (offset 20 paths)
+            m = rng.random(L) < 0.05
+            seq_a[m] = ord("X")
+            seq = seq_a.tobytes().decode("latin1")
+            store = _ListStore()
+            prepare_aa_numpy([FastaRecord("p", seq, "")], store)
+            v, c, p = store.cols()
+            table = _table_from_values(rng, v)
+            ref = lookup_stream(table, v, c, p)
+            want = sorted(zip(ref.pos.tolist(), ref.fi.tolist(),
+                              ref.otu.tolist(), ref.avg_from_end.tolist(),
+                              ref.wt.tolist()))
+            step, planes = make_sharded_annotate_step(
+                mesh, table, max(8, table.max_probe))
+            pos, otu, avg, fi, wt = windowed_protein_hits(
+                mesh, step, planes, seq_a, win_aa)
+            got = sorted(zip(pos.tolist(), fi.tolist(), otu.tolist(),
+                             avg.tolist(), wt.tolist()))
+            assert got == want, (L, win_aa)
+
+
 def test_windowed_long_contig_many_windows():
     """A long contig fans out over many windows; hit positions stay exact."""
     rng = np.random.default_rng(42)
