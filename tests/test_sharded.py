@@ -42,6 +42,37 @@ def _found_mask(ref, values):
     return mask
 
 
+def test_sharded_overlap_budget_gate(monkeypatch):
+    """KMER_ROWS1_MAX_BYTES forces the plain two-row layout (stride 0) in
+    the sharded and routed plane builders, and answers stay identical."""
+    from kmergutsjava_tpu.parallel.routed_lookup import (RoutedLookup,
+                                                         make_routed_mesh)
+    from kmergutsjava_tpu.parallel.sharded_lookup import shard_table_planes
+
+    rng = np.random.default_rng(17)
+    sig = random_signatures(rng, 2000)
+    table = build_table(**sig, load_factor=0.8)
+    probe_window = max(8, table.max_probe)
+    assert shard_table_planes(table, 2, probe_window)["stride"] > 0
+    monkeypatch.setenv("KMER_ROWS1_MAX_BYTES", "128")
+    planes = shard_table_planes(table, 2, probe_window)
+    assert planes["stride"] == 0
+    mesh = make_mesh(4, 2)
+    from kmergutsjava_tpu.parallel.sharded_lookup import (
+        make_sharded_lookup, sharded_lookup_queries)
+    from test_lookup import make_queries
+    values, cnt, pos = make_queries(rng, sig["kmers"], 2048)
+    step, dplanes = make_sharded_lookup(mesh, table, probe_window)
+    found, otu, avg, fi, wt = sharded_lookup_queries(
+        mesh, step, dplanes, values, table.num_sigs, pad_multiple=8)
+    ref = XlaLookup(table).lookup(values, cnt, pos)
+    assert int(found.astype(bool).sum()) == len(ref)
+    rmesh = make_routed_mesh(8)
+    rl = RoutedLookup(table, rmesh, probe_window=max(16, probe_window))
+    assert rl.stride == 0
+    assert len(rl.lookup(values, cnt, pos)) == len(ref)
+
+
 def test_sharded_backend_end_to_end(tmp_path):
     """Full engine run with backend='sharded' over the virtual mesh."""
     import io
