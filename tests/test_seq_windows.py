@@ -162,6 +162,31 @@ def test_windowed_protein_matches_host():
             assert got == want, (L, win_aa)
 
 
+def test_windowed_fuzz_random_geometry():
+    """Random (L, win_nt) draws on one mesh: the re-fused hit set must
+    match the host pipeline for arbitrary geometry, not just the grid."""
+    rng = np.random.default_rng(23)
+    mesh = make_mesh(2, 4)
+    for _ in range(8):
+        L = int(rng.integers(9, 1500))
+        win_nt = int(rng.integers(9, 200)) * 3
+        if win_nt <= OVERLAP_NT:
+            win_nt = 27
+        seq = _rand_contig(rng, L)
+        v, c, p = _host_queries(seq)
+        table = _table_from_values(rng, v, n_extra=100)
+        ref = lookup_stream(table, v, c, p)
+        step, planes = make_windowed_dna_step(
+            mesh, table, max(8, table.max_probe), win_nt)
+        g, pos, otu, avg, fi, wt = windowed_contig_hits(
+            mesh, step, planes,
+            np.frombuffer(seq.encode("latin1"), np.uint8), win_nt)
+        want = sorted(zip(ref.cnt_id.tolist(), ref.pos.tolist(),
+                          ref.fi.tolist(), ref.wt.tolist()))
+        got = sorted(zip(g.tolist(), pos.tolist(), fi.tolist(), wt.tolist()))
+        assert got == want, (L, win_nt)
+
+
 def test_windowed_long_contig_many_windows():
     """A long contig fans out over many windows; hit positions stay exact."""
     rng = np.random.default_rng(42)
