@@ -28,7 +28,7 @@ Arguments:
  -o - (optional) output file (STDOUT if not defined)
  -t - (optional) temporary directory (system one is used by default)
  -l - (optional) limit for input Kmer array (long, default = 20,000,000)
- --backend NAME - (optional) lookup backend: auto (default: stream vs xla by density), xla, stream, replicated, sharded, routed, pallas, parity
+ --backend NAME - (optional) lookup backend: auto (default: stream vs xla by density), xla, stream, spmd (fused device prepare+lookup), replicated, sharded, routed, pallas, parity
  --probe-window N - (optional) override table-derived probe window
  --chunk N - (optional) queries per device dispatch (default 524288)
  --prepare IMPL - (optional) encode impl: native (default), numpy, jax

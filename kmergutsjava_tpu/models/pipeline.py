@@ -248,8 +248,26 @@ class Engine:
         t1 = time.time()
         streaming = None
         store = None
+        spmd = None
         if deferred is not None:
             streaming = feed = deferred
+        elif cfg.backend == "spmd" and not table.truncated:
+            # fused device pipeline: raw sequence bytes go to the device;
+            # encode/translate/kmerize/probe run as one SPMD program per
+            # batch (models/spmd.py) — no host query-k-mer stream at all
+            from .spmd import SpmdAnnotator
+
+            try:
+                spmd = SpmdAnnotator(table, cfg)
+            except ValueError as ex:
+                import warnings
+
+                warnings.warn(f"spmd backend unavailable ({ex}); "
+                              "falling back to the parity scan")
+                store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
+                                       cfg.resolved_temp_dir())
+                feed = store
+                self.config = cfg = _replace_backend(cfg, "parity")
         elif cfg.backend == "xla" and not table.truncated:
             from ..lookup.xla import StreamingLookup
 
@@ -300,7 +318,11 @@ class Engine:
             feed = store
         try:
             prep = None
-            if cfg.prepare_impl == "native":
+            if spmd is not None:
+                records = read_fasta(query if query is not None
+                                     else query_stream)
+                prep = spmd.consume(records)
+            elif cfg.prepare_impl == "native":
                 # fully-native fast path: bulk parse + feeder share one
                 # buffer, no per-record Python (None = fall through)
                 from .prepare import try_prepare_bulk
@@ -347,6 +369,8 @@ class Engine:
         try:
             if streaming is not None:
                 hits = streaming.finish()
+            elif spmd is not None:
+                hits = spmd.finish()
             else:
                 hits = self._lookup(table, rec)
         except TableTruncatedError as ex:
@@ -359,8 +383,12 @@ class Engine:
             # still groups whatever hits were found (ref :797-802)
             traceback.print_exc(file=sys.stderr)
             self._info("Error: " + (str(ex) or "null"), report, stdout)
-            hits = (streaming.partial_hits() if streaming is not None
-                    else LookupHits.from_lists([], [], [], [], [], [], 0))
+            if streaming is not None:
+                hits = streaming.partial_hits()
+            elif spmd is not None:
+                hits = spmd.partial_hits()
+            else:
+                hits = LookupHits.from_lists([], [], [], [], [], [], 0)
         finally:
             if store is not None:
                 store.close()
