@@ -118,6 +118,18 @@ def run_round(seed: int, tmp: str) -> None:
         variants.append(("xla", {"grouping_impl": "scan"}))
     if rng.random() < 0.3:
         variants.append(("xla", {"prepare_impl": "numpy"}))
+    if rng.random() < 0.3:
+        # fused device prepare+lookup; occasional tiny window thresholds
+        # force the sequence-parallel long-record routing
+        import kmergutsjava_tpu.models.spmd as spmd_mod
+
+        if rng.random() < 0.3:
+            spmd_mod.LONG_AA, spmd_mod.WIN_AA = 60, 32
+            spmd_mod.LONG_NT, spmd_mod.WIN_NT = 150, 90
+        else:
+            spmd_mod.LONG_AA, spmd_mod.WIN_AA = 8192, 4096
+            spmd_mod.LONG_NT, spmd_mod.WIN_NT = 24576, 12288
+        variants.append(("spmd", {}))
     import re
 
     # debug reports embed timing/progress info lines — nondeterministic
