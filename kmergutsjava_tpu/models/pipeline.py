@@ -161,14 +161,18 @@ class _DeferredAutoFeed:
         return self.engine._lookup(self.table, rec)
 
 
-def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup":
+def _table_ident(table_path: str):
     import os
 
     try:
-        ident = (os.path.realpath(table_path), os.path.getmtime(table_path),
-                 os.path.getsize(table_path))
+        return (os.path.realpath(table_path), os.path.getmtime(table_path),
+                os.path.getsize(table_path))
     except OSError:
-        ident = (table_path, None, None)
+        return (table_path, None, None)
+
+
+def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup":
+    ident = _table_ident(table_path)
     key = (ident, cfg.probe_window, cfg.lookup_chunk)
     lk = _LOOKUP_CACHE.get(key)
     if lk is None:
@@ -192,6 +196,19 @@ class Engine:
             report.println(message)
         if not stdout:
             print(message)
+
+    def _parity_fallback(self, name: str, ex: Exception, cfg: EngineConfig):
+        """Shared degrade path when a device backend can't serve this table:
+        warn, rebind the run to the exact parity scan, and hand back a
+        bounded-RAM store as the prepare feed."""
+        import warnings
+
+        warnings.warn(f"{name} backend unavailable ({ex}); "
+                      "falling back to the parity scan")
+        store = QueryKmerStore(self._table.num_sigs, cfg.input_size_limit,
+                               cfg.resolved_temp_dir())
+        self.config = cfg = _replace_backend(cfg, "parity")
+        return store, store, cfg
 
     def _progress(self, total: int):
         from ..utils.timing import ProgressReporter
@@ -228,6 +245,7 @@ class Engine:
         self._table_path = table_path
         functions = load_function_index(func_path)
         table = read_table(table_path)
+        self._table = table
         deferred = None
         if cfg.backend == "auto":
             choice = _auto_backend(table, query, cfg)
@@ -255,19 +273,19 @@ class Engine:
             # fused device pipeline: raw sequence bytes go to the device;
             # encode/translate/kmerize/probe run as one SPMD program per
             # batch (models/spmd.py) — no host query-k-mer stream at all
-            from .spmd import SpmdAnnotator
+            from .spmd import SpmdAnnotator, SpmdProgram
 
             try:
-                spmd = SpmdAnnotator(table, cfg)
+                key = ("spmd", _table_ident(self._table_path),
+                       cfg.mesh_shape, cfg.aa, cfg.probe_window)
+                prog = _LOOKUP_CACHE.get(key)
+                if prog is None:
+                    prog = SpmdProgram(table, cfg)
+                    _LOOKUP_CACHE.clear()
+                    _LOOKUP_CACHE[key] = prog
+                spmd = SpmdAnnotator(table, cfg, program=prog)
             except ValueError as ex:
-                import warnings
-
-                warnings.warn(f"spmd backend unavailable ({ex}); "
-                              "falling back to the parity scan")
-                store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
-                                       cfg.resolved_temp_dir())
-                feed = store
-                self.config = cfg = _replace_backend(cfg, "parity")
+                store, feed, cfg = self._parity_fallback("spmd", ex, cfg)
         elif cfg.backend == "xla" and not table.truncated:
             from ..lookup.xla import StreamingLookup
 
@@ -280,14 +298,7 @@ class Engine:
             except ValueError as ex:
                 # e.g. pathologically dense table (probe window > 256):
                 # degrade to the exact streaming scan instead of failing
-                import warnings
-
-                warnings.warn(f"xla backend unavailable ({ex}); "
-                              "falling back to the parity scan")
-                store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
-                                       cfg.resolved_temp_dir())
-                feed = store
-                self.config = cfg = _replace_backend(cfg, "parity")
+                store, feed, cfg = self._parity_fallback("xla", ex, cfg)
         elif cfg.backend == "stream" and not table.truncated:
             # the dense-regime kernel's streaming front end: each prepare
             # chunk scatters straight into the persistent query tiles;
@@ -304,14 +315,7 @@ class Engine:
                 feed = streaming
             except ValueError as ex:
                 # e.g. max_probe beyond the packed-offset budget
-                import warnings
-
-                warnings.warn(f"stream backend unavailable ({ex}); "
-                              "falling back to the parity scan")
-                store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
-                                       cfg.resolved_temp_dir())
-                feed = store
-                self.config = cfg = _replace_backend(cfg, "parity")
+                store, feed, cfg = self._parity_fallback("stream", ex, cfg)
         else:
             store = QueryKmerStore(table.num_sigs, cfg.input_size_limit,
                                    cfg.resolved_temp_dir())

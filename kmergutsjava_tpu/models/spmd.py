@@ -71,11 +71,13 @@ def _values_at(offs_rows: np.ndarray, cc: np.ndarray) -> np.ndarray:
     return vals
 
 
-class SpmdAnnotator:
-    """Host driver for the fused device pipeline (one engine run)."""
+class SpmdProgram:
+    """Cacheable device state for the fused pipeline: mesh, compiled SPMD
+    steps, and the device-resident table planes. Shared across engine runs
+    (a server reuses it per table, like the other backends' lookup cache) —
+    per-run bookkeeping lives in SpmdAnnotator."""
 
-    def __init__(self, table: KmerTable, cfg, batch_rows: int = 512,
-                 min_bucket: int = 256):
+    def __init__(self, table: KmerTable, cfg):
         import jax
 
         from ..parallel.annotate_step import (make_sharded_annotate_step,
@@ -85,12 +87,12 @@ class SpmdAnnotator:
 
         if table.max_probe is None:
             table.compute_max_probe()
-        pw = max(8, table.max_probe)
+        pw = cfg.probe_window or max(8, table.max_probe)
         if pw > 128:
-            raise ValueError("spmd backend requires max_probe <= 128; "
+            raise ValueError("spmd backend requires probe_window <= 128; "
                              "rebuild the table at a lower load factor")
         self.table = table
-        self.cfg = cfg
+        self.aa = bool(cfg.aa)
         shape = cfg.mesh_shape or default_mesh_shape(len(jax.devices()))
         self.mesh = make_mesh(*shape)
         self.n_data = self.mesh.shape[DATA_AXIS]
@@ -102,6 +104,31 @@ class SpmdAnnotator:
             self.step, self.planes = make_sharded_dna_step(
                 self.mesh, table, pw)
         self._wstep = None  # windowed DNA step (built on first long contig)
+        self._win_nt = None
+
+    def windowed_dna(self, win_nt: int):
+        from ..parallel.seq_windows import make_windowed_dna_step
+
+        if self._wstep is None or self._win_nt != win_nt:
+            self._wstep = make_windowed_dna_step(self.mesh, self.table,
+                                                 self.pw, win_nt)
+            self._win_nt = win_nt
+        return self._wstep
+
+
+class SpmdAnnotator:
+    """Host driver for the fused device pipeline (one engine run)."""
+
+    def __init__(self, table: KmerTable, cfg,
+                 program: Optional[SpmdProgram] = None,
+                 batch_rows: int = 512, min_bucket: int = 256):
+        self.prog = program if program is not None else SpmdProgram(table,
+                                                                    cfg)
+        self.table = table
+        self.cfg = cfg
+        self.mesh = self.prog.mesh
+        self.n_data = self.prog.n_data
+        self.step, self.planes = self.prog.step, self.prog.planes
         self.batch_rows = batch_rows
         self.min_bucket = min_bucket
         self._pending: dict = {}    # bucket -> [(cid_base, ascii)]
@@ -174,7 +201,7 @@ class SpmdAnnotator:
                              fi[idx], wt[idx]))
         if self.debug_values and len(cc):
             if self.cfg.aa:
-                offs_rows = AA_OFF_LUT[mat][rr]
+                offs_rows = AA_OFF_LUT[mat[rr]]
             else:
                 frames = {r: _host_frames(mat[r][: lens[r]])
                           for r in np.unique(rr)}
@@ -188,8 +215,7 @@ class SpmdAnnotator:
     def _dispatch_long(self, base: int, a: np.ndarray) -> None:
         """Sequence-parallel path for one long record (synchronous; long
         records are rare by definition of the threshold)."""
-        from ..parallel.seq_windows import (make_windowed_dna_step,
-                                            windowed_contig_hits,
+        from ..parallel.seq_windows import (windowed_contig_hits,
                                             windowed_protein_hits)
 
         if self.cfg.aa:
@@ -201,10 +227,7 @@ class SpmdAnnotator:
                 self._val_pieces.append(_values_at(
                     np.broadcast_to(offs, (len(pos), len(offs))), pos))
         else:
-            if self._wstep is None:
-                self._wstep = make_windowed_dna_step(
-                    self.mesh, self.table, self.pw, WIN_NT)
-            wstep, wplanes = self._wstep
+            wstep, wplanes = self.prog.windowed_dna(WIN_NT)
             g, pos, otu, avg, fi, wt = windowed_contig_hits(
                 self.mesh, wstep, wplanes, a, WIN_NT)
             cnt = base + g

@@ -71,7 +71,10 @@ def _dna_encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
                           *, s_loc, probe_window, num_sigs, stride=0):
     """DNA per-device body: 6-frame translate -> kmerize -> probe -> psum.
 
-    ascii_u8: [B_loc, Lpad] contigs (Lpad a multiple of 3); lengths [B_loc].
+    ascii_u8: [B_loc, Lpad] contigs; lengths [B_loc]. Lpad need not be a
+    multiple of 3 — translation bounds every frame by ``lengths`` and pads
+    out-of-range reads with invalid codes (the spmd backend feeds
+    power-of-two buckets).
     Returns per-(contig, frame-row, window) hit fields with frame rows in
     the reference's container order (+0,+1,+2,-0,-1,-2).
     """

@@ -33,6 +33,7 @@ from kmergutsjava_tpu.formats.table_tools import (  # noqa: E402
 from kmergutsjava_tpu.models.pipeline import Engine  # noqa: E402
 
 AA = "ACDEFGHIKLMNPQRSTVWY"
+_SPMD_DEFAULTS = None  # captured from models/spmd.py on first spmd round
 DNA = "ACGT"
 CODON = {"A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT",
          "G": "GGT", "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTT",
@@ -123,12 +124,16 @@ def run_round(seed: int, tmp: str) -> None:
         # force the sequence-parallel long-record routing
         import kmergutsjava_tpu.models.spmd as spmd_mod
 
+        global _SPMD_DEFAULTS
+        if _SPMD_DEFAULTS is None:
+            _SPMD_DEFAULTS = (spmd_mod.LONG_AA, spmd_mod.WIN_AA,
+                              spmd_mod.LONG_NT, spmd_mod.WIN_NT)
         if rng.random() < 0.3:
             spmd_mod.LONG_AA, spmd_mod.WIN_AA = 60, 32
             spmd_mod.LONG_NT, spmd_mod.WIN_NT = 150, 90
         else:
-            spmd_mod.LONG_AA, spmd_mod.WIN_AA = 8192, 4096
-            spmd_mod.LONG_NT, spmd_mod.WIN_NT = 24576, 12288
+            (spmd_mod.LONG_AA, spmd_mod.WIN_AA,
+             spmd_mod.LONG_NT, spmd_mod.WIN_NT) = _SPMD_DEFAULTS
         variants.append(("spmd", {}))
     import re
 

@@ -72,6 +72,9 @@ def test_dna_mode_backends_agree(corpus):
     assert r_xla == r_parity
     assert r_xla.count("TRANSLATION") == 6
     assert "CALL\t" in r_xla
+    # fused device pipeline on the genome: the contig exceeds LONG_NT, so
+    # this also runs the sequence-parallel windowed path at corpus scale
+    assert _run(d, fasta, "spmd", aa=False) == r_parity
 
 
 def test_distribution_modes_agree_on_corpus(corpus):
@@ -79,8 +82,8 @@ def test_distribution_modes_agree_on_corpus(corpus):
     d, prots, _ = corpus
     fasta = "".join(f">{p.id}\n{p.seq}\n" for p in prots[:300])
     outs = {}
-    for backend in ("xla", "replicated", "sharded", "routed"):
+    for backend in ("xla", "replicated", "sharded", "routed", "spmd"):
         outs[backend] = _run(d, fasta, backend, aa=True)
     assert (outs["xla"] == outs["replicated"] == outs["sharded"]
-            == outs["routed"])
+            == outs["routed"] == outs["spmd"])
     assert "CALL\t" in outs["xla"]
