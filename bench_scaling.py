@@ -68,10 +68,10 @@ def main() -> None:
         mesh = make_mesh(data, tshard)
         step, planes = make_sharded_lookup(mesh, table, probe_window)
         # warm + measure
-        sharded_lookup_queries(mesh, step, planes, values, table.num_sigs, 256)
+        sharded_lookup_queries(mesh, step, planes, values, table, 256)
         t0 = time.time()
         found, *_ = sharded_lookup_queries(mesh, step, planes, values,
-                                           table.num_sigs, 256)
+                                           table, 256)
         dt = time.time() - t0
         rate = n_queries / dt
         n_dev = data * tshard

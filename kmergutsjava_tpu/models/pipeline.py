@@ -600,7 +600,7 @@ class Engine:
         step, planes = make_sharded_lookup(mesh, table, probe_window)
         values = np.asarray(rec["value"], dtype=np.int64)
         found, otu, avg, fi, wt = sharded_lookup_queries(
-            mesh, step, planes, values, table.num_sigs, pad_multiple=256)
+            mesh, step, planes, values, table, pad_multiple=256)
         mask = found.astype(bool)
         return LookupHits(
             cnt_id=np.asarray(rec["cnt"])[mask].astype(np.int64),

@@ -175,8 +175,7 @@ class SpmdAnnotator:
             lens[r] = len(a)
             bases[r] = base
         out = self.step(
-            self.planes["kmer"], self.planes["otu"], self.planes["avg"],
-            self.planes["fi"], self.planes["wt"],
+            self.planes["kmer"],
             jax.device_put(mat, NamedSharding(self.mesh, P(DATA_AXIS, None))),
             jax.device_put(lens, NamedSharding(self.mesh, P(DATA_AXIS))))
         self._inflight.append((bases, lens,
@@ -186,19 +185,20 @@ class SpmdAnnotator:
 
     def _decode(self, item) -> None:
         from ..parallel.multihost import fetch_global
+        from ..parallel.sharded_lookup import gather_hit_metadata
 
         bases, lens, mat, out = item
-        found, otu, avg, fi, wt = fetch_global(out)
+        slotp = np.asarray(fetch_global(out))
         if self.cfg.aa:
-            rr, cc = np.nonzero(found)
+            rr, cc = np.nonzero(slotp)
             cnt = bases[rr]
             idx = (rr, cc)
         else:
-            rr, gg, cc = np.nonzero(found)
+            rr, gg, cc = np.nonzero(slotp)
             cnt = bases[rr] + gg
             idx = (rr, gg, cc)
-        self._pieces.append((cnt, cc.astype(np.int64), otu[idx], avg[idx],
-                             fi[idx], wt[idx]))
+        _, otu, avg, fi, wt = gather_hit_metadata(self.table, slotp[idx])
+        self._pieces.append((cnt, cc.astype(np.int64), otu, avg, fi, wt))
         if self.debug_values and len(cc):
             if self.cfg.aa:
                 offs_rows = AA_OFF_LUT[mat[rr]]
@@ -220,7 +220,7 @@ class SpmdAnnotator:
 
         if self.cfg.aa:
             pos, otu, avg, fi, wt = windowed_protein_hits(
-                self.mesh, self.step, self.planes, a, WIN_AA)
+                self.mesh, self.step, self.planes, self.table, a, WIN_AA)
             cnt = np.full(len(pos), base, np.int64)
             if self.debug_values and len(pos):
                 offs = AA_OFF_LUT[a]
@@ -229,7 +229,7 @@ class SpmdAnnotator:
         else:
             wstep, wplanes = self.prog.windowed_dna(WIN_NT)
             g, pos, otu, avg, fi, wt = windowed_contig_hits(
-                self.mesh, wstep, wplanes, a, WIN_NT)
+                self.mesh, wstep, wplanes, self.table, a, WIN_NT)
             cnt = base + g
             if self.debug_values and len(pos):
                 frames = _host_frames(a)

@@ -2,9 +2,12 @@
 
 One jitted SPMD program over a (data, table) mesh — the framework's
 "training step" analog. Protein batches are sharded over the data axis,
-the signature table over the table axis; each device encodes its local
-sequences, packs 8-mers, probes the slot range it owns, and a psum over the
-table axis assembles complete per-window hit answers on every data shard.
+the signature k-mer plane over the table axis; each device encodes its
+local sequences, packs 8-mers, probes the slot range it owns, and a psum
+over the table axis assembles the per-window answer — matched slot + 1
+(0 = miss) — on every data shard. Hit metadata is gathered host-side at
+the returned slots (sharded_lookup.gather_hit_metadata), so only the
+int64 k-mer plane occupies device HBM and 4 bytes per window travel back.
 """
 from __future__ import annotations
 
@@ -22,7 +25,7 @@ from .mesh import DATA_AXIS, TABLE_AXIS
 from .sharded_lookup import _local_probe, shard_table_planes
 
 
-def _encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
+def _encode_and_probe(tk, ascii_u8, lengths,
                       *, s_loc, probe_window, num_sigs, stride=0):
     """Per-device body (runs inside shard_map)."""
     offs = jnp.asarray(AA_OFF_LUT)[ascii_u8.astype(jnp.int32)]
@@ -31,22 +34,17 @@ def _encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
     # reference window bound: i < len - K (ref KmerGutsJava.java:912)
     values, ok = kmer_windows(offs, lengths - K)
     flat_v = values.reshape(-1)
-    flat_ok = ok.reshape(-1)
     homes = (flat_v % num_sigs).astype(jnp.int32)
-    found, otu, avg, fi, wt = _local_probe(
-        tk, t_otu, t_avg, t_fi, t_wt, flat_v, homes,
-        s_loc=s_loc, probe_window=probe_window, stride=stride)
-    found = found * flat_ok.astype(jnp.int32)
-    shape = (b, w)
-    return (found.reshape(shape), otu.reshape(shape), avg.reshape(shape),
-            fi.reshape(shape), wt.reshape(shape))
+    slotp = _local_probe(tk, flat_v, homes, s_loc=s_loc,
+                         probe_window=probe_window, stride=stride)
+    return (slotp * ok.reshape(-1).astype(jnp.int32)).reshape(b, w)
 
 
 def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
                                ) -> Tuple[Callable, dict]:
-    """Returns (step, device_planes). step(kmer, otu, avg, fi, wt,
-    ascii_u8[B, L], lengths[B]) -> per-window (found, otu, avg, fi, wt),
-    with B sharded over the data axis."""
+    """Returns (step, device_planes). step(kmer, ascii_u8[B, L],
+    lengths[B]) -> per-window slot+1 (0 = miss), with B sharded over the
+    data axis; metadata via sharded_lookup.gather_hit_metadata."""
     n_shards = mesh.shape[TABLE_AXIS]
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_encode_and_probe, s_loc=planes["s_loc"],
@@ -56,18 +54,18 @@ def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
     step = jax.jit(
         jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(table_spec,) * 5 + (P(DATA_AXIS, None), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS, None),) * 5,
+            in_specs=(table_spec, P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS, None),
         )
     )
     device_planes = {
-        k: jax.device_put(planes[k], NamedSharding(mesh, table_spec))
-        for k in ("kmer", "otu", "avg", "fi", "wt")
+        "kmer": jax.device_put(planes["kmer"],
+                               NamedSharding(mesh, table_spec))
     }
     return step, device_planes
 
 
-def _dna_encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
+def _dna_encode_and_probe(tk, ascii_u8, lengths,
                           *, s_loc, probe_window, num_sigs, stride=0):
     """DNA per-device body: 6-frame translate -> kmerize -> probe -> psum.
 
@@ -89,20 +87,16 @@ def _dna_encode_and_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, lengths,
     values, ok = kmer_windows(offs, jnp.repeat(num_starts, 6))
     flat_v = values.reshape(-1)
     homes = (flat_v % num_sigs).astype(jnp.int32)
-    found, otu, avg, fi, wt = _local_probe(
-        tk, t_otu, t_avg, t_fi, t_wt, flat_v, homes,
-        s_loc=s_loc, probe_window=probe_window, stride=stride)
-    found = found * ok.reshape(-1).astype(jnp.int32)
-    shape = (b, 6, w)
-    return (found.reshape(shape), otu.reshape(shape), avg.reshape(shape),
-            fi.reshape(shape), wt.reshape(shape))
+    slotp = _local_probe(tk, flat_v, homes, s_loc=s_loc,
+                         probe_window=probe_window, stride=stride)
+    return (slotp * ok.reshape(-1).astype(jnp.int32)).reshape(b, 6, w)
 
 
 def make_sharded_dna_step(mesh, table: KmerTable, probe_window: int
                           ) -> Tuple[Callable, dict]:
     """Full DNA SPMD step: contigs sharded over data, table over table.
-    step(kmer, otu, avg, fi, wt, ascii_u8[B, Lpad], lengths[B]) ->
-    per-(contig, frame, window) (found, otu, avg, fi, wt)."""
+    step(kmer, ascii_u8[B, Lpad], lengths[B]) -> per-(contig, frame,
+    window) slot+1 (0 = miss)."""
     n_shards = mesh.shape[TABLE_AXIS]
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_dna_encode_and_probe, s_loc=planes["s_loc"],
@@ -112,12 +106,12 @@ def make_sharded_dna_step(mesh, table: KmerTable, probe_window: int
     step = jax.jit(
         jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(table_spec,) * 5 + (P(DATA_AXIS, None), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS, None, None),) * 5,
+            in_specs=(table_spec, P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS, None, None),
         )
     )
     device_planes = {
-        k: jax.device_put(planes[k], NamedSharding(mesh, table_spec))
-        for k in ("kmer", "otu", "avg", "fi", "wt")
+        "kmer": jax.device_put(planes["kmer"],
+                               NamedSharding(mesh, table_spec))
     }
     return step, device_planes

@@ -95,11 +95,12 @@ def plan_windows(length: int, win_nt: int) -> dict:
             "own_start": own_start, "own_end": own_end}
 
 
-def _window_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, len_w, row_map,
+def _window_probe(tk, ascii_u8, len_w, row_map,
                   own_start, own_end, *, s_loc, probe_window, num_sigs,
                   tbl_stride):
     """Per-device body: translate windows, reorder rows into global
-    container order, kmerize, mask to owned intervals, probe."""
+    container order, kmerize, mask to owned intervals, probe. Returns
+    per-(window, container, local-window) slot+1 (0 = miss)."""
     from ..ops.translate import translate_6frames
 
     frames = jax.vmap(translate_6frames)(ascii_u8, len_w)  # [B, 6, m]
@@ -115,21 +116,17 @@ def _window_probe(tk, t_otu, t_avg, t_fi, t_wt, ascii_u8, len_w, row_map,
           & (jj < own_end[:, :, None]))
     flat_v = values.reshape(-1)
     homes = (flat_v % num_sigs).astype(jnp.int32)
-    found, otu, avg, fi, wt = _local_probe(
-        tk, t_otu, t_avg, t_fi, t_wt, flat_v, homes,
-        s_loc=s_loc, probe_window=probe_window, stride=tbl_stride)
-    found = found * ok.reshape(-1).astype(jnp.int32)
-    shape = (b, 6, w)
-    return (found.reshape(shape), otu.reshape(shape), avg.reshape(shape),
-            fi.reshape(shape), wt.reshape(shape))
+    slotp = _local_probe(tk, flat_v, homes, s_loc=s_loc,
+                         probe_window=probe_window, stride=tbl_stride)
+    return (slotp * ok.reshape(-1).astype(jnp.int32)).reshape(b, 6, w)
 
 
 def make_windowed_dna_step(mesh, table: KmerTable, probe_window: int,
                            win_nt: int) -> Tuple[callable, dict]:
     """Sequence-parallel DNA SPMD step: windows sharded over ``data``, the
-    table over ``table``. step(kmer, otu, avg, fi, wt, ascii_u8[W, win_nt],
-    len_w[W], row_map[W, 6], own_start[W, 6], own_end[W, 6]) ->
-    per-(window, container, local-window) (found, otu, avg, fi, wt)."""
+    table over ``table``. step(kmer, ascii_u8[W, win_nt], len_w[W],
+    row_map[W, 6], own_start[W, 6], own_end[W, 6]) -> per-(window,
+    container, local-window) slot+1 (0 = miss)."""
     if win_nt % 3:
         raise ValueError("win_nt must be a multiple of 3")
     n_shards = mesh.shape[TABLE_AXIS]
@@ -143,13 +140,13 @@ def make_windowed_dna_step(mesh, table: KmerTable, probe_window: int,
     step = jax.jit(
         jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(table_spec,) * 5 + (d2, d1, d2, d2, d2),
-            out_specs=(P(DATA_AXIS, None, None),) * 5,
+            in_specs=(table_spec, d2, d1, d2, d2, d2),
+            out_specs=P(DATA_AXIS, None, None),
         )
     )
     device_planes = {
-        k: jax.device_put(planes[k], NamedSharding(mesh, table_spec))
-        for k in ("kmer", "otu", "avg", "fi", "wt")
+        "kmer": jax.device_put(planes["kmer"],
+                               NamedSharding(mesh, table_spec))
     }
     return step, device_planes
 
@@ -177,8 +174,8 @@ def plan_aa_windows(length: int, win_aa: int) -> dict:
             "num_starts": num_starts}
 
 
-def windowed_protein_hits(mesh, step, device_planes, seq_ascii: np.ndarray,
-                          win_aa: int):
+def windowed_protein_hits(mesh, step, device_planes, table: KmerTable,
+                          seq_ascii: np.ndarray, win_aa: int):
     """Host driver: one long protein through the aa annotate step, windowed.
 
     ``step``/``device_planes`` come from annotate_step.
@@ -187,8 +184,11 @@ def windowed_protein_hits(mesh, step, device_planes, seq_ascii: np.ndarray,
     the unmodified aa step enforce each window's exact global start count
     (including the reference's skip-last-window quirk at the true end).
     Returns (pos, otu, avg_from_end, fi, wt) in global protein coordinates
-    for the protein's single container.
+    for the protein's single container (metadata gathered host-side from
+    ``table`` at the device's slot answers).
     """
+    from .sharded_lookup import gather_hit_metadata
+
     L = len(seq_ascii)
     plan = plan_aa_windows(L, win_aa)
     n_win = len(plan["s"])
@@ -199,29 +199,32 @@ def windowed_protein_hits(mesh, step, device_planes, seq_ascii: np.ndarray,
         a[i, : plan["len_w"][i]] = seq_ascii[plan["s"][i]: plan["e"][i]]
     lengths = np.zeros(n_pad, np.int64)
     lengths[:n_win] = plan["num_starts"] + K
-    found, otu, avg, fi, wt = step(
-        device_planes["kmer"], device_planes["otu"], device_planes["avg"],
-        device_planes["fi"], device_planes["wt"],
+    slotp = step(
+        device_planes["kmer"],
         jax.device_put(a, NamedSharding(mesh, P(DATA_AXIS, None))),
         jax.device_put(lengths, NamedSharding(mesh, P(DATA_AXIS))))
     from .multihost import fetch_global
 
-    found, otu, avg, fi, wt = fetch_global((found, otu, avg, fi, wt))
-    wi, ji = np.nonzero(found[:n_win])
+    slotp = np.asarray(fetch_global(slotp))[:n_win]
+    wi, ji = np.nonzero(slotp)
+    _, otu, avg, fi, wt = gather_hit_metadata(table, slotp[wi, ji])
     pos = plan["s"][wi] + ji
-    return (pos.astype(np.int64), otu[wi, ji], avg[wi, ji], fi[wi, ji],
-            wt[wi, ji])
+    return (pos.astype(np.int64), otu, avg, fi, wt)
 
 
-def windowed_contig_hits(mesh, step, device_planes, seq_ascii: np.ndarray,
-                         win_nt: int):
+def windowed_contig_hits(mesh, step, device_planes, table: KmerTable,
+                         seq_ascii: np.ndarray, win_nt: int):
     """Host driver: run one contig through the windowed step.
 
     seq_ascii: uint8 ASCII bases. Returns hit columns in global frame
     coordinates: (container g in 0..5 reference order, protein position,
     otu, avg_from_end, fi, wt) — ready for the per-container grouping
     machine (calls/grouping.py), which re-fuses the windows exactly.
+    Metadata is gathered host-side from ``table`` at the device's slot
+    answers.
     """
+    from .sharded_lookup import gather_hit_metadata
+
     L = len(seq_ascii)
     plan = plan_windows(L, win_nt)
     n_win = len(plan["s"])
@@ -239,16 +242,15 @@ def windowed_contig_hits(mesh, step, device_planes, seq_ascii: np.ndarray,
     own_end = pad6(plan["own_end"])  # padding windows own nothing (end=0)
     ds1 = NamedSharding(mesh, P(DATA_AXIS))
     ds2 = NamedSharding(mesh, P(DATA_AXIS, None))
-    found, otu, avg, fi, wt = step(
-        device_planes["kmer"], device_planes["otu"], device_planes["avg"],
-        device_planes["fi"], device_planes["wt"],
+    slotp = step(
+        device_planes["kmer"],
         jax.device_put(a, ds2), jax.device_put(len_w, ds1),
         jax.device_put(row_map, ds2), jax.device_put(own_start, ds2),
         jax.device_put(own_end, ds2))
     from .multihost import fetch_global
 
-    found, otu, avg, fi, wt = fetch_global((found, otu, avg, fi, wt))
-    wi, gi, ji = np.nonzero(found[:n_win])
+    slotp = np.asarray(fetch_global(slotp))[:n_win]
+    wi, gi, ji = np.nonzero(slotp)
+    _, otu, avg, fi, wt = gather_hit_metadata(table, slotp[wi, gi, ji])
     pos = plan["j0"][wi, gi] + ji
-    return (gi.astype(np.int64), pos.astype(np.int64),
-            otu[wi, gi, ji], avg[wi, gi, ji], fi[wi, gi, ji], wt[wi, gi, ji])
+    return (gi.astype(np.int64), pos.astype(np.int64), otu, avg, fi, wt)

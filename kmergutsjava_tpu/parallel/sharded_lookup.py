@@ -11,6 +11,14 @@ slot range across the ``table`` mesh axis, query batches sharded across the
   (exactly one owner per query), contributing zeros otherwise;
 - ``psum`` over the table axis assembles complete per-query answers on every
   data shard — collectives ride ICI, no host round-trips.
+
+The device answer is ONE int32 per query — the matched slot + 1 (0 =
+miss) — and hit metadata (otu/avgFromEnd/fI/wt) is gathered host-side
+from the table's host arrays at the returned slots, exactly like the
+single-chip fingerprint backend (lookup/xla.py). Only the int64 k-mer
+plane lives in device HBM (4x more table per chip than shipping all five
+columns), the psum reduces one plane instead of five, and the D2H
+transfer is 4 bytes per query.
 """
 from __future__ import annotations
 
@@ -28,17 +36,19 @@ from .mesh import DATA_AXIS, TABLE_AXIS
 
 
 def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
-    """Host-side prep: per-shard slot-range slices (+ probe halo) laid out
-    in 128-lane rows — TPU XLA vectorizes whole-row gathers but runs
-    1-D-operand gathers scalar (docs/performance.md), so every plane is
-    [n_shards, rows_loc, 128].
+    """Host-side prep: per-shard slot-range slices of the K-MER plane
+    (+ probe halo) laid out in 128-lane rows — TPU XLA vectorizes
+    whole-row gathers but runs 1-D-operand gathers scalar
+    (docs/performance.md), so the plane is [n_shards, rows_loc, 128].
+    Only the int64 k-mer column ships to the device: the probe answers
+    with the matched slot, and metadata is gathered host-side.
 
     probe_window <= 64 (every standard-load-factor table): OVERLAPPED rows
     (row r = local slots [r*stride, r*stride + 128), stride = 128 -
-    probe_window), so any window AND its matched slot's metadata lie in
-    ONE row — one gather per plane per query instead of two, for a
-    128/stride storage factor (<= 2x). Larger windows fall back to plain
-    rows + two-row gathers; returned "stride" is 0 in that case.
+    probe_window), so any window lies in ONE row — one gather per query
+    instead of two, for a 128/stride storage factor (<= 2x). Larger
+    windows fall back to plain rows + two-row gathers; returned "stride"
+    is 0 in that case.
     """
     if probe_window > 128:
         raise ValueError("sharded lookup requires probe_window <= 128 "
@@ -68,14 +78,6 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
     total = n_shards * s_loc + slice_len
     kmer = np.full(total, EMPTY_KMER, dtype=np.int64)
     kmer[:s] = table.slots["kmer"]
-    otu = np.zeros(total, np.int32)
-    otu[:s] = table.slots["otu"]
-    avg = np.zeros(total, np.int32)
-    avg[:s] = table.slots["avg_from_end"]
-    fi = np.zeros(total, np.int32)
-    fi[:s] = table.slots["fi"]
-    wt = np.zeros(total, np.float32)
-    wt[:s] = table.slots["wt"]
 
     def window(a, fill):
         flat = np.full((n_shards, ext), fill, dtype=a.dtype)
@@ -89,28 +91,20 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
             strides=(flat.strides[0], stride * it, it))
         return np.ascontiguousarray(rows)
 
-    return {"kmer": window(kmer, EMPTY_KMER), "otu": window(otu, 0),
-            "avg": window(avg, 0), "fi": window(fi, 0),
-            "wt": window(wt, 0), "s_loc": s_loc, "stride": stride}
+    return {"kmer": window(kmer, EMPTY_KMER), "s_loc": s_loc,
+            "stride": stride}
 
 
-def _lane_select(rows, lane):
-    """rows[q, lane[q]] without a minor-dim gather: one-hot mask + sum."""
-    onehot = jnp.arange(128, dtype=jnp.int32)[None, :] == lane[:, None]
-    return jnp.sum(jnp.where(onehot, rows, jnp.zeros_like(rows)), axis=1)
-
-
-def _local_probe(tk, t_otu, t_avg, t_fi, t_wt, values, homes, s_loc,
-                 probe_window, stride=0):
+def _local_probe(tk, values, homes, s_loc, probe_window, stride=0):
     """Probe queries whose home falls in this shard's slice. Runs inside
-    shard_map; leading shard dim of the table planes is squeezed to 1.
+    shard_map; the k-mer plane's leading shard dim is squeezed to 1.
     Row-gather formulation (no scalar gathers): with an overlapped layout
-    (stride > 0, see shard_table_planes) the window AND the matched slot
-    lie in one 128-lane row — one gather per plane per query; the plain
-    layout needs two consecutive rows per gather. Metadata lanes are
-    selected with a one-hot sum."""
+    (stride > 0, see shard_table_planes) the whole window lies in one
+    128-lane row — one gather per query; the plain layout needs two
+    consecutive rows. Returns matched GLOBAL slot + 1 per query (0 =
+    miss), psum'ed over the table axis (each query has exactly one owner
+    shard; the rest contribute 0)."""
     tk = tk[0]
-    t_otu, t_avg, t_fi, t_wt = t_otu[0], t_avg[0], t_fi[0], t_wt[0]
     shard = jax.lax.axis_index(TABLE_AXIS)
     local = homes.astype(jnp.int32) - shard * s_loc
     mine = (local >= 0) & (local < s_loc)
@@ -131,34 +125,20 @@ def _local_probe(tk, t_otu, t_avg, t_fi, t_wt, values, homes, s_loc,
              & (rel >= 0) & (rel < probe_window))
     off = jnp.min(jnp.where(match, rel, big), axis=1)
     found = (off < big) & mine
-    off = jnp.where(found, off, 0)
-    # matched slot's row/lane within the local slice
-    pos = o + off
-    if stride:
-        r2 = r  # o + off <= stride-1 + probe_window-1 < 128: same row
-        lane = pos
-    else:
-        r2 = r + jax.lax.shift_right_logical(pos, jnp.int32(7))
-        lane = pos & jnp.int32(127)
-    z = jnp.int32(0)
-    out = (
-        found.astype(jnp.int32),
-        jnp.where(found, _lane_select(jnp.take(t_otu, r2, axis=0), lane), z),
-        jnp.where(found, _lane_select(jnp.take(t_avg, r2, axis=0), lane), z),
-        jnp.where(found, _lane_select(jnp.take(t_fi, r2, axis=0), lane), z),
-        jnp.where(found, _lane_select(jnp.take(t_wt, r2, axis=0), lane),
-                  jnp.float32(0)),
-    )
-    return tuple(jax.lax.psum(o, TABLE_AXIS) for o in out)
+    slotp = jnp.where(found,
+                      shard * s_loc + base + off + jnp.int32(1),
+                      jnp.int32(0))
+    return jax.lax.psum(slotp, TABLE_AXIS)
 
 
 def make_sharded_lookup(mesh, table: KmerTable, probe_window: int
                         ) -> Tuple[Callable, dict]:
-    """Build a jitted sharded lookup step and its device-ready table planes.
+    """Build a jitted sharded lookup step and its device-ready k-mer plane.
 
-    Returns (step, planes): step(kmer, otu, avg, fi, wt, values, homes) ->
-    (found, otu, avg, fi, wt) with values/homes sharded over the data axis
-    and the table planes sharded over the table axis.
+    Returns (step, planes): step(kmer, values, homes) -> slot+1 (0 = miss)
+    with values/homes sharded over the data axis and the k-mer plane
+    sharded over the table axis. Metadata comes from the table's host
+    arrays at the returned slots.
     """
     n_shards = mesh.shape[TABLE_AXIS]
     planes = shard_table_planes(table, n_shards, probe_window)
@@ -172,37 +152,50 @@ def make_sharded_lookup(mesh, table: KmerTable, probe_window: int
     step = jax.jit(
         jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(table_spec,) * 5 + (query_spec, query_spec),
-            out_specs=(query_spec,) * 5,
+            in_specs=(table_spec, query_spec, query_spec),
+            out_specs=query_spec,
         )
     )
 
     device_planes = {
-        k: jax.device_put(planes[k], NamedSharding(mesh, table_spec))
-        for k in ("kmer", "otu", "avg", "fi", "wt")
+        "kmer": jax.device_put(planes["kmer"],
+                               NamedSharding(mesh, table_spec))
     }
     return step, device_planes
 
 
+def gather_hit_metadata(table: KmerTable, slotp: np.ndarray):
+    """Host-side metadata gather at slot+1 answers (0 = miss). Returns
+    (found_bool, otu, avg_from_end, fi, wt) aligned with the queries."""
+    found = slotp > 0
+    slots = np.where(found, slotp.astype(np.int64) - 1, 0)
+    t = table.slots
+    z32 = np.int32(0)
+    return (found,
+            np.where(found, t["otu"][slots], z32),
+            np.where(found, t["avg_from_end"][slots], z32),
+            np.where(found, t["fi"][slots], z32),
+            np.where(found, t["wt"][slots], np.float32(0)))
+
+
 def sharded_lookup_queries(mesh, step, device_planes, values: np.ndarray,
-                           num_sigs: int, pad_multiple: int):
-    """Host convenience: pad values to the data-shard multiple and run."""
+                           table: KmerTable, pad_multiple: int):
+    """Host convenience: pad values to the data-shard multiple, run the
+    device probe, gather metadata host-side."""
     n = len(values)
     n_data = mesh.shape[DATA_AXIS]
     mult = n_data * pad_multiple
     n_pad = -(-max(n, 1) // mult) * mult
     v = np.zeros(n_pad, dtype=np.int64)
     v[:n] = values
-    homes = (v % np.int64(num_sigs)).astype(np.int32)
+    homes = (v % np.int64(table.num_sigs)).astype(np.int32)
     # padding rows have value 0 / home 0; they may "find" kmer 0 but are
     # sliced off below
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     v_dev = jax.device_put(v, sharding)
     h_dev = jax.device_put(homes, sharding)
-    found, otu, avg, fi, wt = step(
-        device_planes["kmer"], device_planes["otu"], device_planes["avg"],
-        device_planes["fi"], device_planes["wt"], v_dev, h_dev)
+    slotp = step(device_planes["kmer"], v_dev, h_dev)
     from .multihost import fetch_global
 
-    out = fetch_global((found, otu, avg, fi, wt))
-    return tuple(a[:n] for a in out)
+    slotp = fetch_global(slotp)[:n]
+    return gather_hit_metadata(table, slotp)

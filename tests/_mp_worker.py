@@ -66,7 +66,7 @@ from kmergutsjava_tpu.parallel.sharded_lookup import (  # noqa: E402
 mesh = make_mesh(2, 2)
 step, planes = make_sharded_lookup(mesh, table, max(8, table.max_probe))
 found, otu, avg, fi, wt = sharded_lookup_queries(
-    mesh, step, planes, values, table.num_sigs, pad_multiple=256)
+    mesh, step, planes, values, table, pad_multiple=256)
 check("sharded-psum", found, otu, fi)
 
 # 2. routed lookup: queries all_to_all'd to owner shards across processes

@@ -119,8 +119,8 @@ def test_windowed_step_matches_host(mesh_shape, win_nt):
         step, planes = make_windowed_dna_step(
             mesh, table, max(8, table.max_probe), win_nt)
         g, pos, otu, avg, fi, wt = windowed_contig_hits(
-            mesh, step, planes, np.frombuffer(seq.encode("latin1"),
-                                              dtype=np.uint8), win_nt)
+            mesh, step, planes, table,
+            np.frombuffer(seq.encode("latin1"), dtype=np.uint8), win_nt)
         got = sorted(zip(g.tolist(), pos.tolist(), fi.tolist(), otu.tolist(),
                          avg.tolist(), wt.tolist()))
         assert got == want, (mesh_shape, win_nt, L)
@@ -156,7 +156,7 @@ def test_windowed_protein_matches_host():
             step, planes = make_sharded_annotate_step(
                 mesh, table, max(8, table.max_probe))
             pos, otu, avg, fi, wt = windowed_protein_hits(
-                mesh, step, planes, seq_a, win_aa)
+                mesh, step, planes, table, seq_a, win_aa)
             got = sorted(zip(pos.tolist(), fi.tolist(), otu.tolist(),
                              avg.tolist(), wt.tolist()))
             assert got == want, (L, win_aa)
@@ -179,7 +179,7 @@ def test_windowed_fuzz_random_geometry():
         step, planes = make_windowed_dna_step(
             mesh, table, max(8, table.max_probe), win_nt)
         g, pos, otu, avg, fi, wt = windowed_contig_hits(
-            mesh, step, planes,
+            mesh, step, planes, table,
             np.frombuffer(seq.encode("latin1"), np.uint8), win_nt)
         want = sorted(zip(ref.cnt_id.tolist(), ref.pos.tolist(),
                           ref.fi.tolist(), ref.wt.tolist()))
@@ -198,7 +198,7 @@ def test_windowed_long_contig_many_windows():
     step, planes = make_windowed_dna_step(mesh, table,
                                           max(8, table.max_probe), 300)
     g, pos, otu, avg, fi, wt = windowed_contig_hits(
-        mesh, step, planes,
+        mesh, step, planes, table,
         np.frombuffer(seq.encode("latin1"), dtype=np.uint8), 300)
     assert len(g) == len(ref)
     want = sorted(zip(ref.cnt_id.tolist(), ref.pos.tolist(), ref.fi.tolist()))

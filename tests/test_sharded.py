@@ -22,7 +22,7 @@ def test_sharded_matches_single_device(mesh_shape):
     from test_lookup import make_queries
     values, cnt, pos = make_queries(rng, sig["kmers"], 4096)
     found, otu, avg, fi, wt = sharded_lookup_queries(
-        mesh, step, planes, values, table.num_sigs, pad_multiple=8)
+        mesh, step, planes, values, table, pad_multiple=8)
 
     ref = XlaLookup(table).lookup(values, cnt, pos)
     mask = found.astype(bool)
@@ -64,7 +64,7 @@ def test_sharded_overlap_budget_gate(monkeypatch):
     values, cnt, pos = make_queries(rng, sig["kmers"], 2048)
     step, dplanes = make_sharded_lookup(mesh, table, probe_window)
     found, otu, avg, fi, wt = sharded_lookup_queries(
-        mesh, step, dplanes, values, table.num_sigs, pad_multiple=8)
+        mesh, step, dplanes, values, table, pad_multiple=8)
     ref = XlaLookup(table).lookup(values, cnt, pos)
     assert int(found.astype(bool).sum()) == len(ref)
     rmesh = make_routed_mesh(8)
@@ -166,10 +166,10 @@ def test_sharded_dna_step_matches_oracle():
         lengths[i] = len(a)
     shard_b = NamedSharding(mesh, P(DATA_AXIS, None))
     shard_l = NamedSharding(mesh, P(DATA_AXIS))
-    found, otu, avg, fi, wt = jax.device_get(step(
-        planes["kmer"], planes["otu"], planes["avg"], planes["fi"],
-        planes["wt"], jax.device_put(jnp.asarray(ascii_u8), shard_b),
+    slotp = jax.device_get(step(
+        planes["kmer"], jax.device_put(jnp.asarray(ascii_u8), shard_b),
         jax.device_put(jnp.asarray(lengths), shard_l)))
+    found = slotp > 0
     # compare against oracle prepare + parity lookup per frame row
     from kmergutsjava_tpu.lookup.parity import lookup_stream
 
