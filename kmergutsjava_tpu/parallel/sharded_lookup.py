@@ -16,9 +16,9 @@ The device answer is ONE int32 per query — the matched slot + 1 (0 =
 miss) — and hit metadata (otu/avgFromEnd/fI/wt) is gathered host-side
 from the table's host arrays at the returned slots, exactly like the
 single-chip fingerprint backend (lookup/xla.py). Only the int64 k-mer
-plane lives in device HBM (4x more table per chip than shipping all five
-columns), the psum reduces one plane instead of five, and the D2H
-transfer is 4 bytes per query.
+plane lives in device HBM (3x more table per chip than shipping all five
+columns: 8 B/slot vs 24), the psum reduces one plane instead of five, and
+the D2H transfer is 4 bytes per query.
 """
 from __future__ import annotations
 
@@ -62,11 +62,12 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
     stride = 128 - probe_window if probe_window <= 64 else 0
     if stride:
         # same storage gate as XlaLookup's rows1: the overlap factor
-        # (128/stride, up to 2x at probe_window 64) applies to all five
-        # planes (24 B/slot); a big table in exactly these barely-fits
-        # modes must not be inflated past the budget
+        # (128/stride, up to 2x at probe_window 64) applies to the int64
+        # k-mer plane (8 B/slot — the only plane shipped to the device);
+        # a big table in these barely-fits modes must not be inflated
+        # past the budget
         budget = int(os.environ.get("KMER_ROWS1_MAX_BYTES", 4 << 30))
-        per_shard = ((s_loc - 1) // stride + 1) * 128 * 24
+        per_shard = ((s_loc - 1) // stride + 1) * 128 * 8
         if per_shard > budget:
             stride = 0
     if stride:
@@ -166,9 +167,13 @@ def make_sharded_lookup(mesh, table: KmerTable, probe_window: int
 
 def gather_hit_metadata(table: KmerTable, slotp: np.ndarray):
     """Host-side metadata gather at slot+1 answers (0 = miss). Returns
-    (found_bool, otu, avg_from_end, fi, wt) aligned with the queries."""
-    found = slotp > 0
-    slots = np.where(found, slotp.astype(np.int64) - 1, 0)
+    (found_bool, otu, avg_from_end, fi, wt) aligned with the queries.
+    A slot in the padded tail past num_sigs (only reachable by a query
+    VALUE equal to the empty sentinel, i.e. corrupted input — real k-mers
+    are < 20^8) counts as a miss rather than indexing out of bounds."""
+    slots = slotp.astype(np.int64) - 1
+    found = (slotp > 0) & (slots < table.num_sigs)
+    slots = np.where(found, slots, 0)
     t = table.slots
     z32 = np.int32(0)
     return (found,
