@@ -267,17 +267,24 @@ def gather_hits_scan_batch(containers: List[Tuple], functions: Sequence[str],
     c = len(containers)
     lmax = max((len(x[0]) for x in containers), default=0)
     lmax = max(lmax, 1)
-    # power-of-two padding so distinct batches reuse compiled executables
+    # power-of-two padding on BOTH dims so distinct batches reuse compiled
+    # executables: every fresh (container count, length) pair would
+    # otherwise compile its own vmapped scan, and compiles dominate the
+    # wall clock (seconds each vs milliseconds of scan). Padded rows have
+    # length 0 — they emit nothing and are sliced off below.
     p2 = 1
     while p2 < lmax:
         p2 *= 2
     lmax = p2
-    P = np.zeros((c, lmax), np.int32)
-    O = np.zeros((c, lmax), np.int32)
-    A = np.zeros((c, lmax), np.int32)
-    F = np.zeros((c, lmax), np.int32)
-    W = np.zeros((c, lmax), np.float32)
-    L = np.zeros(c, np.int32)
+    cp = 8
+    while cp < c:
+        cp *= 2
+    P = np.zeros((cp, lmax), np.int32)
+    O = np.zeros((cp, lmax), np.int32)
+    A = np.zeros((cp, lmax), np.int32)
+    F = np.zeros((cp, lmax), np.int32)
+    W = np.zeros((cp, lmax), np.float32)
+    L = np.zeros(cp, np.int32)
     for i, (pos, oi, avg, fi, wt) in enumerate(containers):
         n = len(pos)
         L[i] = n
