@@ -595,9 +595,15 @@ class Engine:
 
         cfg = self.config
         shape = cfg.mesh_shape or default_mesh_shape(len(jax.devices()))
-        mesh = make_mesh(*shape)
         probe_window = cfg.probe_window or max(8, table.max_probe)
-        step, planes = make_sharded_lookup(mesh, table, probe_window)
+        key = ("sharded", _table_ident(self._table_path), shape, probe_window)
+        cached = _LOOKUP_CACHE.get(key)
+        if cached is None:
+            mesh = make_mesh(*shape)
+            cached = (mesh,) + make_sharded_lookup(mesh, table, probe_window)
+            _LOOKUP_CACHE.clear()
+            _LOOKUP_CACHE[key] = cached
+        mesh, step, planes = cached
         values = np.asarray(rec["value"], dtype=np.int64)
         found, otu, avg, fi, wt = sharded_lookup_queries(
             mesh, step, planes, values, table, pad_multiple=256)
