@@ -534,8 +534,13 @@ class StreamingLookup:
             if os.environ.get("KMER_SORT_CHUNKS") in ("0", "1"):
                 sort_chunks = os.environ["KMER_SORT_CHUNKS"] == "1"
             else:
-                # chunk-local home sort coalesces HBM-bound gathers
-                sort_chunks = lk.num_sigs * 2 > 32 * 1024 * 1024
+                # chunk-local home sort coalesces HBM-bound gathers — for
+                # the two-row layouts only: the overlapped rows1 gather
+                # measured locality-independent (sorted == random at a
+                # 122MB plane, docs/performance.md), so sorting is wasted
+                # feeder CPU there
+                sort_chunks = (lk.probe_impl != "rows1"
+                               and lk.num_sigs * 2 > 32 * 1024 * 1024)
         self.sort_chunks = sort_chunks
         if device_sort is None:
             device_sort = os.environ.get("KMER_DEVICE_SORT", "") == "1"

@@ -509,10 +509,13 @@ class Engine:
         if cfg.backend == "xla":
             lk = _cached_xla_lookup(self._table_path, table, cfg)
             values, cnt, pos = rec["value"], rec["cnt"], rec["pos"]
-            # Home-sorted probes coalesce the device gathers (3-5x on
-            # HBM-bound tables, see docs/performance.md); for small
-            # VMEM-resident planes the host sort isn't worth it.
-            if table.num_sigs * 2 > 32 * 1024 * 1024 and len(values) > 1:
+            # Home-sorted probes coalesce the device gathers of the
+            # two-row layouts (3-5x on HBM-bound tables); the rows1
+            # overlapped gather measured locality-independent, so skip
+            # the host sort there (docs/performance.md).
+            if (lk.probe_impl != "rows1"
+                    and table.num_sigs * 2 > 32 * 1024 * 1024
+                    and len(values) > 1):
                 order = np.argsort(values % np.int64(table.num_sigs),
                                    kind="stable")
                 values, cnt, pos = values[order], cnt[order], pos[order]
