@@ -48,6 +48,7 @@ def parse_args(argv: List[str]):
     query: Optional[str] = None
     output: Optional[str] = None
     platform: Optional[str] = None
+    n_threads: Optional[int] = None
     params = list(argv)
     while params:
         param = params.pop(0)
@@ -75,13 +76,11 @@ def parse_args(argv: List[str]):
             elif name == "device-sort":
                 cfg.device_sort = True
             elif name == "threads":
-                # the native stages read this per call (getenv)
-                import os
-
                 n_threads = int(params.pop(0))
                 if n_threads < 1:
                     raise ValueError("--threads must be >= 1")
-                os.environ["KMER_NATIVE_THREADS"] = str(n_threads)
+                # applied by main() after a successful parse, so a later
+                # parse error can't leave the process env mutated
             elif name == "platform":
                 platform = params.pop(0)  # applied by main() after parsing
             else:
@@ -117,7 +116,7 @@ def parse_args(argv: List[str]):
             raise ValueError("Unknown parameter: -" + name)
     if data_dir is None:
         raise ValueError("-D parameter is required")
-    return cfg, data_dir, query, output, platform
+    return cfg, data_dir, query, output, platform, n_threads
 
 
 def _apply_platform(platform: str) -> None:
@@ -143,13 +142,18 @@ def _apply_platform(platform: str) -> None:
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     try:
-        cfg, data_dir, query, output, platform = parse_args(argv)
+        cfg, data_dir, query, output, platform, n_threads = parse_args(argv)
     except (ValueError, IndexError) as ex:
         print("Error: " + str(ex))
         print(USAGE, end="")
         return 2
     if platform is not None:
         _apply_platform(platform)
+    if n_threads is not None:
+        import os
+
+        # the native stages read this per call (getenv)
+        os.environ["KMER_NATIVE_THREADS"] = str(n_threads)
     from .models.pipeline import Engine
 
     engine = Engine(cfg)

@@ -688,7 +688,7 @@ class StreamingLookup:
             self._put_checked(self._queue, item)  # dispatch backpressure
         else:
             self._pending.append(item)
-            while len(self._pending) > self.MAX_IN_FLIGHT:
+            while len(self._pending) >= self.MAX_IN_FLIGHT:
                 self._resolve_item(self._pending.pop(0))
 
     def _resolve_item(self, item) -> None:

@@ -71,6 +71,15 @@ def _values_at(offs_rows: np.ndarray, cc: np.ndarray) -> np.ndarray:
     return vals
 
 
+def _values_in_row(row: np.ndarray, cc: np.ndarray) -> np.ndarray:
+    """Packed k-mer values at window starts ``cc``, all within ONE
+    aa-offset row (hits grouped by sequence/frame)."""
+    vals = np.zeros(len(cc), np.int64)
+    for k in range(K):
+        vals += row[cc + k].astype(np.int64) * int(POW20[k])
+    return vals
+
+
 class SpmdProgram:
     """Cacheable device state for the fused pipeline: mesh, compiled SPMD
     steps, and the device-resident table planes. Shared across engine runs
@@ -180,7 +189,7 @@ class SpmdAnnotator:
             jax.device_put(lens, NamedSharding(self.mesh, P(DATA_AXIS))))
         self._inflight.append((bases, lens,
                                mat if self.debug_values else None, out))
-        while len(self._inflight) > MAX_IN_FLIGHT:
+        while len(self._inflight) >= MAX_IN_FLIGHT:
             self._decode(self._inflight.pop(0))
 
     def _decode(self, item) -> None:
@@ -200,17 +209,21 @@ class SpmdAnnotator:
         _, otu, avg, fi, wt = gather_hit_metadata(self.table, slotp[idx])
         self._pieces.append((cnt, cc.astype(np.int64), otu, avg, fi, wt))
         if self.debug_values and len(cc):
+            # per-(sequence, frame) groups: O(hits x K) work, no dense
+            # [n_hits, frame_width] staging matrix (advisor round-1)
+            vals = np.zeros(len(cc), np.int64)
             if self.cfg.aa:
-                offs_rows = AA_OFF_LUT[mat[rr]]
+                for r in np.unique(rr):
+                    m = rr == r
+                    vals[m] = _values_in_row(AA_OFF_LUT[mat[r]], cc[m])
             else:
-                frames = {r: _host_frames(mat[r][: lens[r]])
-                          for r in np.unique(rr)}
-                width = max(f.shape[1] for f in frames.values())
-                offs_rows = np.full((len(rr), width), INVALID_AA, np.uint8)
-                for i, (r, g) in enumerate(zip(rr, gg)):
-                    row = frames[r][g]
-                    offs_rows[i, : len(row)] = row
-            self._val_pieces.append(_values_at(offs_rows, cc))
+                for r in np.unique(rr):
+                    fr = _host_frames(mat[r][: lens[r]])
+                    mr = rr == r
+                    for g in np.unique(gg[mr]):
+                        m = mr & (gg == g)
+                        vals[m] = _values_in_row(fr[g], cc[m])
+            self._val_pieces.append(vals)
 
     def _dispatch_long(self, base: int, a: np.ndarray) -> None:
         """Sequence-parallel path for one long record (synchronous; long

@@ -54,6 +54,12 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
         raise ValueError("sharded lookup requires probe_window <= 128 "
                          "(two-row gather); rebuild the table at a lower "
                          "load factor")
+    if table.num_sigs + probe_window >= 2**31 - 1:
+        # the probe answer (matched global slot + 1) rides the psum as
+        # int32; a larger table would silently wrap to a wrong slot
+        raise ValueError("sharded lookup encodes slots as int32; "
+                         f"num_sigs={table.num_sigs} would overflow — "
+                         "shard the table across hosts instead")
     import os
 
     s = table.num_sigs

@@ -22,12 +22,19 @@ def test_build_table_cli_and_annotate(tmp_path, capsys):
 def test_cli_flag_parsing_extras():
     from kmergutsjava_tpu.cli import parse_args
 
-    cfg, d, q, o, platform = parse_args(
+    import os
+
+    env_before = os.environ.get("KMER_NATIVE_THREADS")
+    cfg, d, q, o, platform, n_threads = parse_args(
         ["-D", "dir", "-t", "/tmp/x", "-l", "123",
-         "-M", "2", "-O", "--grouping", "scan",
+         "-M", "2", "-O", "--grouping", "scan", "--threads", "3",
          "--mesh", "4x2", "--prepare", "jax", "--platform", "cpu"])
     assert d == "dir" and cfg.temp_dir == "/tmp/x"
     assert platform == "cpu"
+    # --threads is only collected at parse time; main() applies it after a
+    # successful parse (a parse error must not leave the env mutated)
+    assert n_threads == 3
+    assert os.environ.get("KMER_NATIVE_THREADS") == env_before
     assert cfg.input_size_limit == 123
     assert cfg.min_weighted_hits == 2
     assert cfg.order_constraint is True
