@@ -1,24 +1,20 @@
 """Parity-corpus integration: the reference repo's E. coli K-12 W3110 data
-(/root/reference/test/data/, ref KmerGutsJavaServerTest.java:80 mounts the
-table externally — we build our own from the proteome).
+(vendored into tests/data; ref KmerGutsJavaServerTest.java:80 mounts the
+table externally — we build our own from the proteome, recipe shared with
+the golden generator via corpus_util).
 
 Backends must agree byte-for-byte on the full report. Sized-down by default
 (first N proteins / genome slice); set KMER_ECOLI_FULL=1 for the full corpus.
 """
-import gzip
 import io
 import os
 
-import numpy as np
 import pytest
+from corpus_util import build_corpus_data_dir, load_corpus
 
 from kmergutsjava_tpu.config import EngineConfig
-from kmergutsjava_tpu.formats.fasta import read_fasta
-from kmergutsjava_tpu.formats.table_tools import (signatures_from_proteins,
-                                                  write_data_dir)
 from kmergutsjava_tpu.models.pipeline import Engine
 
-DATA = "/root/reference/test/data"
 FULL = os.environ.get("KMER_ECOLI_FULL") == "1"
 N_PROT = None if FULL else 800
 GENOME_SLICE = None if FULL else 300_000
@@ -26,22 +22,9 @@ GENOME_SLICE = None if FULL else 300_000
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
-    faa = os.path.join(DATA, "Ecoli_K12_W3110.faa.gz")
-    fna = os.path.join(DATA, "Ecoli_K12_W3110.fna.gz")
-    if not os.path.exists(faa):
-        pytest.skip("reference corpus not available")
-    prots = list(read_fasta(faa))[:N_PROT]
-    contig = next(iter(read_fasta(fna)))
-    if GENOME_SLICE:
-        contig = contig._replace(seq=contig.seq[:GENOME_SLICE])
-    # signature set: every 3rd protein contributes, one function per protein
-    # family bucket, otu = protein index mod 20
-    triples = [(p.seq, i % 97, i % 20) for i, p in enumerate(prots)
-               if i % 3 != 2]
-    funcs = [f"ecoli function {i}" for i in range(97)]
+    prots, contig = load_corpus(N_PROT, GENOME_SLICE)
     d = tmp_path_factory.mktemp("ecoli_data")
-    write_data_dir(str(d), signatures_from_proteins(triples), funcs,
-                   load_factor=0.7)
+    build_corpus_data_dir(str(d), prots)
     return d, prots, contig
 
 
