@@ -157,6 +157,7 @@ class PallasStreamLookup:
                 "the table at a lower load factor or use the xla backend")
         # exact path: host verification plane + full-window fallback
         self._exact = XlaLookup(table, probe_window=probe_window, chunk=chunk,
+                                host_only=True,
                                 device=device)
         self._cols = None  # contiguous table columns, built on first decode
         if interpret is None:

@@ -155,6 +155,58 @@ def probe_fingerprint_rows1(
     return off, state
 
 
+@partial(jax.jit, static_argnames=("probe_window",))
+def probe_fingerprint_chunk_bins(
+    tbl_fp3: jax.Array,  # [C, chunk_rows, 128] rows1 plane, chunk-reshaped
+    qfp_b: jax.Array,  # [C, cap] uint16 query fingerprints, host-binned
+    row_b: jax.Array,  # [C, cap] uint16 chunk-local row of each query
+    off_b: jax.Array,  # [C, cap] uint8 in-row offset (home - row*stride)
+    probe_window: int,
+):
+    """Chunk-local row-gather probe for HBM-bound planes.
+
+    Measured on TPU v5e (scripts/sweep_sparse.py): XLA's vectorized row
+    gather runs ~206-227M lookups/s while the gathered-from operand is
+    <= ~64MB and collapses to ~112M/s on >= 256MB planes, independent of
+    element dtype — the limit is the operand (index-range) size, not the
+    bytes.  So the overlapped rows1 plane is reshaped into C chunks of
+    ``chunk_rows`` rows (a window never straddles rows, hence never
+    chunks) and a lax.scan visits each chunk, gathering that chunk's
+    queries from the small [chunk_rows, 128] slice at the fast rate.
+
+    Queries are routed to per-chunk capacity bins ON THE HOST
+    (XlaLookup._bin_queries: a uint8-key radix argsort + one record
+    gather, ~16M queries/s single-thread, overlapped with device work by
+    the dispatch worker): an on-device routing variant (sort_key_val +
+    searchsorted + scatter) measured 11M lookups/s end-to-end — XLA's TPU
+    sort/scatter lowering erased the gather win 20x over.
+
+    Returns per-bin-cell (off, state) with the probe_fingerprint_pass
+    contract; cells the host left empty return garbage the host never
+    reads back.
+    """
+    big = jnp.int32(probe_window)
+    rel_base = jnp.arange(128, dtype=jnp.int32)[None, :]
+
+    def chunk_fn(carry, xs):
+        pl_c, qf, rr, oo = xs
+        win = jnp.take(pl_c, rr.astype(jnp.int32), axis=0)  # [cap, 128]
+        rel = rel_base - oo.astype(jnp.int32)[:, None]
+        in_w = (rel >= 0) & (rel < probe_window)
+        cand = (win == qf[:, None]) & in_w
+        empty = (win == jnp.uint16(FP_EMPTY)) & in_w
+        fc = jnp.min(jnp.where(cand, rel, big), axis=1)
+        fe = jnp.min(jnp.where(empty, rel, big), axis=1)
+        has = (fc < big) & (fc < fe)
+        off_c = jnp.where(has, fc, 0).astype(jnp.uint8)
+        st_c = (has.astype(jnp.uint8) + 2 * (fe < big).astype(jnp.uint8))
+        return carry, (off_c, st_c)
+
+    _, (off_o, state_o) = jax.lax.scan(
+        chunk_fn, jnp.int32(0), (tbl_fp3, qfp_b, row_b, off_b))
+    return off_o, state_o
+
+
 @partial(jax.jit, static_argnames=("probe_window", "stride"))
 def probe_fingerprint_rows1_sorted(
     tbl_fp2d: jax.Array,
@@ -275,7 +327,12 @@ class XlaLookup:
                  chunk: int = 1 << 19, device=None,
                  first_pass_window: int = FIRST_PASS_WINDOW,
                  use_fingerprint: bool = True,
-                 probe_impl: Optional[str] = None):
+                 probe_impl: Optional[str] = None,
+                 host_only: bool = False):
+        """host_only=True skips every device allocation (no fingerprint
+        plane in HBM, no uploads): for callers that only need the host
+        pieces — host_kmer, _host_full_window, windows — e.g. the stream
+        kernel's exact-fallback helper."""
         import os
 
         from .. import enable_compile_cache
@@ -297,6 +354,12 @@ class XlaLookup:
         # host-side padded k-mer plane (verification + host second pass)
         self.host_kmer = np.full(s + p, EMPTY_KMER, dtype=np.int64)
         self.host_kmer[:s] = table.slots["kmer"]
+        if host_only:
+            self.probe_impl = None
+            self.tbl_fp = None
+            self.tbl_kmer = None
+            self.chunk = chunk
+            return
         put = partial(jax.device_put, device=device)
         # Pad the device fp plane up to a canonical size bucket so tables of
         # similar size share one compiled probe executable (XLA specializes
@@ -308,39 +371,72 @@ class XlaLookup:
         fp = np.full(plane_len, FP_EMPTY, dtype=np.uint16)
         occ = table.occupied
         fp[:s][occ] = (table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
-        # probe_impl "rows1" (default): ONE gather of a whole 128-lane row
-        # per query from an OVERLAPPED plane (row r = slots [r*stride,
-        # r*stride+128), stride = 128 - w1) — every window fits in one row.
-        # "rows": two-row gather of a plain [R, 128] plane (windows may
-        # straddle rows) — the fallback when w1 or the overlap storage
-        # factor is too big. "flat": classic [N, W] 1-D gather (TPU XLA
-        # runs 1-D-operand gathers scalar, ~6M/s — CPU/debug only).
+        # probe_impl "rows1" (default for small planes): ONE gather of a
+        # whole 128-lane row per query from an OVERLAPPED plane (row r =
+        # slots [r*stride, r*stride+128), stride = 128 - w1) — every window
+        # fits in one row. "chunked" (default for HBM-large planes): the
+        # same overlapped plane reshaped into ~4MB chunks, queries routed
+        # to their home chunk on device and gathered chunk-locally — the
+        # vectorized row gather runs ~2x faster when the gathered-from
+        # operand stays <= ~64MB (measured, scripts/sweep_sparse.py; see
+        # docs/performance.md). "rows": two-row gather of a plain [R, 128]
+        # plane (windows may straddle rows) — the fallback when w1 or the
+        # overlap storage factor is too big. "flat": classic [N, W] 1-D
+        # gather (TPU XLA runs 1-D-operand gathers scalar — CPU/debug only).
         if probe_impl is None:
-            probe_impl = os.environ.get("KMER_PROBE_IMPL", "rows1")
-        if probe_impl == "rows1":
+            probe_impl = os.environ.get("KMER_PROBE_IMPL", "auto")
+        auto_impl = probe_impl == "auto"
+        if auto_impl:
+            probe_impl = "rows1"
+        if probe_impl in ("rows1", "chunked"):
             stride = 128 - self.w1
             budget = int(os.environ.get("KMER_ROWS1_MAX_BYTES", 4 << 30))
             if stride < 64 or (plane_len * 2 * 128) // stride > budget:
                 probe_impl = "rows"  # w1 > 64 or overlap too costly
         if self.w1 > 128 and probe_impl == "rows":
             probe_impl = "flat"
-        self.probe_impl = probe_impl
-        if probe_impl == "rows1":
+        if probe_impl in ("rows1", "chunked"):
             self.stride = 128 - self.w1
             nrows = -(-(plane_len - 128) // self.stride) + 1
             ext = (nrows - 1) * self.stride + 128
             if ext > plane_len:
                 fp = np.concatenate(
                     [fp, np.full(ext - plane_len, FP_EMPTY, np.uint16)])
-            fp2d = np.lib.stride_tricks.as_strided(
-                fp, shape=(nrows, 128), strides=(2 * self.stride, 2))
-            self.tbl_fp = put(np.ascontiguousarray(fp2d))
+            fp2d = np.ascontiguousarray(np.lib.stride_tricks.as_strided(
+                fp, shape=(nrows, 128), strides=(2 * self.stride, 2)))
+            # chunk the plane when it is HBM-large (auto) or forced
+            self.chunk_rows = int(os.environ.get("KMER_CHUNK_ROWS", 16384))
+            chunked_min = int(os.environ.get("KMER_CHUNKED_MIN_BYTES",
+                                             96 << 20))
+            occ_rows = (s - 1) // self.stride + 1  # rows homes can land in
+            if probe_impl == "chunked" or (auto_impl
+                                           and fp2d.nbytes >= chunked_min):
+                if occ_rows > self.chunk_rows:
+                    probe_impl = "chunked"
+                    # trim the pow2 plane padding: the scan visits every
+                    # chunk, so empty padding chunks would be pure waste;
+                    # round the chunk count to a multiple of 4 so similar
+                    # tables still share executables
+                    nc = -(-occ_rows // self.chunk_rows)
+                    self.n_chunks = -(-nc // 4) * 4
+                    total = self.n_chunks * self.chunk_rows
+                    fp2d = fp2d[:min(occ_rows, len(fp2d))]
+                    if total > len(fp2d):
+                        fp2d = np.concatenate(
+                            [fp2d, np.full((total - len(fp2d), 128),
+                                           FP_EMPTY, np.uint16)])
+                    self._occ_chunks = nc
+                    fp2d = fp2d.reshape(self.n_chunks, self.chunk_rows, 128)
+                else:
+                    probe_impl = "rows1"  # plane smaller than one chunk
+            self.tbl_fp = put(fp2d)
         elif probe_impl == "rows":
             fp2d = np.concatenate(
                 [fp, np.full(128, FP_EMPTY, np.uint16)]).reshape(-1, 128)
             self.tbl_fp = put(fp2d)
         else:
             self.tbl_fp = put(fp)
+        self.probe_impl = probe_impl
         self.tbl_kmer = put(self.host_kmer) if not use_fingerprint else None
         self.chunk = chunk
 
@@ -368,8 +464,100 @@ class XlaLookup:
             w *= 2
         return w
 
+    def _chunk_cap(self, n: int) -> int:
+        """Per-chunk bin capacity for the chunked probe: mean + 8 sigma
+        (Poisson-ish for hash-uniform homes) + slack, rounded to sublanes.
+        Static per (bucketed n, table) — executables reuse. Sized on the
+        chunks homes can actually land in (the tail chunk holding only
+        FP_EMPTY pad rows receives no real queries)."""
+        mean = n / self._occ_chunks
+        cap = int(mean + 8 * mean ** 0.5 + 72)
+        return min(-(-cap // 8) * 8, max(8, n))
+
+    def _bin_queries(self, q_fp: np.ndarray, homes: np.ndarray, cap: int):
+        """Host-side routing for the chunked probe: group queries by home
+        chunk into [n_chunks, cap] padded bins. uint8-key radix argsort +
+        one record pass (~16M queries/s single-thread on the dev VM);
+        overflowed queries (rank >= cap, only under adversarial home skew)
+        are left out of the bins and resolved by the exact host pass.
+        Returns (qfp_b, row_b, off_b, order, c_s, rank, ok)."""
+        n = len(homes)
+        span = self.stride * self.chunk_rows
+        key = homes // span
+        c8 = key.astype(np.uint8 if self.n_chunks <= 256 else np.uint16)
+        order = np.argsort(c8, kind="stable")  # radix for small ints
+        c_s = c8[order].astype(np.int64)
+        homes_s = homes[order]
+        counts = np.bincount(c_s, minlength=self.n_chunks)
+        starts = np.zeros(self.n_chunks, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        rank = np.arange(n, dtype=np.int64) - starts[c_s]
+        r_s = homes_s // self.stride
+        qfp_b = np.zeros((self.n_chunks, cap), np.uint16)
+        row_b = np.zeros((self.n_chunks, cap), np.uint16)
+        off_b = np.zeros((self.n_chunks, cap), np.uint8)
+        if counts.max() <= cap:
+            ok = None  # fast path: no overflow, no mask gathers
+            qfp_b[c_s, rank] = q_fp[order]
+            row_b[c_s, rank] = r_s - c_s * self.chunk_rows
+            off_b[c_s, rank] = homes_s - r_s * self.stride
+        else:
+            ok = rank < cap
+            io_, jo = c_s[ok], rank[ok]
+            qfp_b[io_, jo] = q_fp[order][ok]
+            row_b[io_, jo] = (r_s - c_s * self.chunk_rows)[ok]
+            off_b[io_, jo] = (homes_s - r_s * self.stride)[ok]
+        return qfp_b, row_b, off_b, order, c_s, rank, ok
+
+    def dispatch_probe(self, q_fp: np.ndarray, homes: np.ndarray,
+                       device_sort: bool = False):
+        """Start one device probe dispatch from host arrays; returns an
+        opaque pending handle for resolve_probe. Owns the padding
+        (power-of-two buckets so distinct sizes reuse executables) and,
+        for the chunked impl, the host-side bin routing."""
+        n = len(homes)
+        if self.probe_impl == "chunked":
+            nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
+            cap = self._chunk_cap(nb)
+            qfp_b, row_b, off_b, order, c_s, rank, ok = self._bin_queries(
+                q_fp, homes, cap)
+            out = probe_fingerprint_chunk_bins(
+                self.tbl_fp, jnp.asarray(qfp_b), jnp.asarray(row_b),
+                jnp.asarray(off_b), self.w1)
+            return ("bins", out, order, c_s, rank, ok, n)
+        target = (self.chunk if n == self.chunk
+                  else max(_round_up_pow2(n), 4096))
+        if target > n:
+            q_fp = np.pad(q_fp, (0, target - n))
+            homes = np.pad(homes, (0, target - n))
+        probe = self.probe_chunk_sorted if device_sort else self.probe_chunk
+        out = probe(jnp.asarray(q_fp), jnp.asarray(homes))
+        return ("plain", out, n)
+
+    def resolve_probe(self, pending):
+        """Fetch one dispatch_probe result -> (off, state) numpy arrays in
+        the caller's query order (state 0 = unresolved -> exact host
+        pass)."""
+        if pending[0] == "bins":
+            _, out, order, c_s, rank, ok, n = pending
+            off_bh, st_bh = jax.device_get(out)
+            off = np.zeros(n, np.uint8)
+            state = np.zeros(n, np.uint8)
+            if ok is None:
+                off[order] = off_bh[c_s, rank]
+                state[order] = st_bh[c_s, rank]
+            else:
+                off[order[ok]] = off_bh[c_s[ok], rank[ok]]
+                state[order[ok]] = st_bh[c_s[ok], rank[ok]]
+            return off, state
+        _, out, n = pending
+        o, st = jax.device_get(out)
+        return o[:n], st[:n]
+
     def probe_chunk(self, q_fp: jax.Array, homes: jax.Array):
-        """One device dispatch of the fingerprint pass (jit-compiled)."""
+        """One device dispatch of the fingerprint pass (jit-compiled).
+        Non-chunked impls only — the chunked impl routes through
+        dispatch_probe/resolve_probe (host binning)."""
         if self.probe_impl == "rows1":
             return probe_fingerprint_rows1(self.tbl_fp, q_fp, homes, self.w1,
                                            self.stride)
@@ -424,25 +612,16 @@ class XlaLookup:
             pending = []
             for start in range(0, n, self.chunk):
                 end = min(start + self.chunk, n)
-                f, h = q_fp[start:end], homes[start:end]
-                # pad every dispatch to a power-of-two bucket so distinct
-                # input sizes reuse compiled executables
-                target = (self.chunk if n > self.chunk
-                          else max(_round_up_pow2(end - start), 4096))
-                pad = target - (end - start)
-                if pad:
-                    f = np.pad(f, (0, pad))
-                    h = np.pad(h, (0, pad))
-                pending.append((start, end,
-                                self.probe_chunk(jnp.asarray(f), jnp.asarray(h))))
+                pending.append((start, end, self.dispatch_probe(
+                    q_fp[start:end], homes[start:end])))
             off = np.empty(n, dtype=np.uint8)
             state = np.empty(n, dtype=np.uint8)
-            for start, end, out in pending:
-                o, st = jax.device_get(out)
-                off[start:end] = o[: end - start]
-                state[start:end] = st[: end - start]
+            for start, end, p in pending:
+                o, st = self.resolve_probe(p)
+                off[start:end] = o
+                state[start:end] = st
                 if progress is not None:
-                    progress.update(end, int((st[: end - start] & 1).sum()))
+                    progress.update(end, int((st & 1).sum()))
             has_cand = (state & 1) != 0
             empty_any = (state & 2) != 0
             # host-side candidate verification
@@ -538,8 +717,8 @@ class StreamingLookup:
                 # the two-row layouts only: the overlapped rows1 gather
                 # measured locality-independent (sorted == random at a
                 # 122MB plane, docs/performance.md), so sorting is wasted
-                # feeder CPU there
-                sort_chunks = (lk.probe_impl != "rows1"
+                # feeder CPU there; the chunked probe sorts on device
+                sort_chunks = (lk.probe_impl not in ("rows1", "chunked")
                                and lk.num_sigs * 2 > 32 * 1024 * 1024)
         self.sort_chunks = sort_chunks
         if device_sort is None:
@@ -672,17 +851,8 @@ class StreamingLookup:
             values, cnt, pos, homes = (values[order], cnt[order], pos[order],
                                        homes[order])
         q_fp = (values % FP_MOD).astype(np.uint16)
-        n = len(values)
-        target = (self.lk.chunk if n == self.lk.chunk
-                  else max(_round_up_pow2(n), 4096))
-        if target > n:
-            q_fp = np.pad(q_fp, (0, target - n))
-            homes_p = np.pad(homes, (0, target - n))
-        else:
-            homes_p = homes
-        probe = (self.lk.probe_chunk_sorted if self.device_sort
-                 else self.lk.probe_chunk)
-        out = probe(jnp.asarray(q_fp), jnp.asarray(homes_p))
+        out = self.lk.dispatch_probe(q_fp, homes,
+                                     device_sort=self.device_sort)
         item = (values, cnt, pos, homes, out)
         if self._queue is not None:
             self._put_checked(self._queue, item)  # dispatch backpressure
@@ -694,9 +864,8 @@ class StreamingLookup:
     def _resolve_item(self, item) -> None:
         values, cnt, pos, homes, out = item
         n = len(values)
-        off, state = jax.device_get(out)
-        off = off[:n].astype(np.int64)
-        state = state[:n]
+        off, state = self.lk.resolve_probe(out)
+        off = off.astype(np.int64)
         has_cand = (state & 1) != 0
         empty_any = (state & 2) != 0
         found = np.zeros(n, dtype=bool)

@@ -39,8 +39,12 @@ class ReplicatedLookup:
     def __init__(self, table: KmerTable, mesh: Mesh):
         self.mesh = mesh
         self.n_dev = mesh.shape[AXIS]
-        # reuse the single-device wrapper for windows/verification/pass-2
-        self._lk = XlaLookup(table)
+        # reuse the single-device wrapper for windows/verification/pass-2.
+        # probe impl pinned to the 2-D row layouts: this driver probes via
+        # sharding annotations on one flat gather, which is incompatible
+        # with the chunked impl's host-binned [C, cap] dispatch (and a
+        # replicated plane is the fits-in-HBM case where rows1 is right)
+        self._lk = XlaLookup(table, probe_impl="rows1")
         self.num_sigs = table.num_sigs
         # re-place the fp plane replicated across the mesh
         self._lk.tbl_fp = jax.device_put(

@@ -199,9 +199,106 @@ def bench_chunked(plane_mb: float, chunk_mb: float, n_queries: int,
             "lookups_per_sec": round(q * nchunks * reps / dt, 1)}
 
 
+@partial(jax.jit, static_argnames=("w", "chunk_rows", "reps"))
+def prod_chunked_loop(tbl3, qfp_b, row_b, off_b, w, chunk_rows, reps):
+    """The production device program (lookup/xla.py
+    probe_fingerprint_chunk_bins) rep-looped: bins are host-built in
+    production (device routing via sort/scatter measured 11M/s — 20x
+    worse than the raw scan), so the device work is exactly this."""
+    from kmergutsjava_tpu.lookup.xla import probe_fingerprint_chunk_bins
+
+    def body(i, carry):
+        rb = (row_b + i.astype(jnp.uint16)) % jnp.uint16(chunk_rows)
+        off, st = probe_fingerprint_chunk_bins(tbl3, qfp_b, rb, off_b, w)
+        return (carry + jnp.sum(st.astype(jnp.int32))
+                + jnp.sum(off.astype(jnp.int32)))
+
+    return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+
+def bench_prod_chunked(plane_mb: float, chunk_mb: float, n_queries: int,
+                       reps: int, floor: float):
+    """Device rate of the binned chunked probe. Every bin cell does the
+    work of one query, so bins are generated full: n = C x cap cells
+    (production fill is ~0.85-0.98 of cap; host binning runs ~16M
+    queries/s on the dev VM and overlaps device work in the pipeline)."""
+    chunk_rows = int(chunk_mb * 2**20) // 256
+    nchunks = max(1, int(plane_mb / chunk_mb))
+    cap = -(-(n_queries // nchunks) // 8) * 8
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(21), 4)
+    with jax.enable_x64(False):
+        tbl3 = jax.random.bits(k1, (nchunks, chunk_rows, 128),
+                               dtype=jnp.uint16)
+        qfp_b = jax.random.bits(k2, (nchunks, cap), dtype=jnp.uint16)
+        row_b = (jax.random.bits(k3, (nchunks, cap), dtype=jnp.uint16)
+                 % jnp.uint16(chunk_rows))
+        off_b = (jax.random.bits(k4, (nchunks, cap), dtype=jnp.uint8)
+                 % jnp.uint8(STRIDE))
+        out = prod_chunked_loop(tbl3, qfp_b, row_b, off_b, W, chunk_rows,
+                                reps)
+        sync(out)
+        t0 = time.time()
+        out = prod_chunked_loop(tbl3, qfp_b, row_b, off_b, W, chunk_rows,
+                                reps)
+        sync(out)
+        dt = max(time.time() - t0 - floor, 1e-9)
+    n = nchunks * cap
+    return {"kind": "prod_chunked_bins", "plane_mb": round(plane_mb, 1),
+            "chunk_mb": chunk_mb, "chunks": nchunks, "cap": cap,
+            "queries": n, "reps": reps, "secs": round(dt, 4),
+            "lookups_per_sec": round(n * reps / dt, 1)}
+
+
+def chunked_correctness_on_tpu():
+    """Real table, real queries, forced-chunked XlaLookup COMPILED on TPU
+    vs the host parity oracle (incl. an overflow-skew batch)."""
+    from kmergutsjava_tpu.formats.kmer_table import build_table
+    from kmergutsjava_tpu.lookup.parity import lookup_stream
+    from kmergutsjava_tpu.lookup.xla import XlaLookup
+
+    rng = np.random.default_rng(7)
+    kmers = np.unique(rng.integers(0, 20**8, 400_000, dtype=np.int64))
+    table = build_table(kmers,
+                        rng.integers(0, 100, len(kmers)).astype(np.int32),
+                        rng.integers(0, 500, len(kmers)).astype(np.int32),
+                        rng.integers(0, 999, len(kmers)).astype(np.int32),
+                        rng.random(len(kmers)).astype(np.float32))
+    os.environ["KMER_CHUNK_ROWS"] = "256"
+    try:
+        lk = XlaLookup(table, probe_impl="chunked")
+    finally:
+        del os.environ["KMER_CHUNK_ROWS"]
+    n = 300_000
+    values = np.concatenate([
+        rng.choice(kmers, n // 2),
+        rng.integers(0, 20**8, n - n // 2, dtype=np.int64)])
+    cnt = np.arange(n, dtype=np.int64) % 7
+    pos = np.arange(n, dtype=np.int64)
+    a = lookup_stream(table, values, cnt, pos)
+    b = lk.lookup(values, cnt, pos)
+    rec = lambda h: sorted(zip(h.cnt_id, h.pos, h.fi, h.otu, h.avg_from_end,
+                               h.wt))
+    ok = rec(a) == rec(b) and a.kmers_found == b.kmers_found
+    # skew batch: all homes in the first chunk -> bin overflow fallback
+    skew = (values % np.int64(table.num_sigs)) % np.int64(
+        lk.chunk_rows * lk.stride // 4)
+    c2 = lookup_stream(table, skew, cnt, pos)
+    d2 = lk.lookup(skew, cnt, pos)
+    ok2 = rec(c2) == rec(d2) and c2.kmers_found == d2.kmers_found
+    return {"kind": "chunked_correctness_tpu", "impl": lk.probe_impl,
+            "hits": len(b), "skew_hits": len(d2),
+            "ok": bool(ok), "skew_ok": bool(ok2)}
+
+
 def main():
     print(json.dumps({"backend": jax.default_backend(),
                       "devices": len(jax.devices())}), flush=True)
+    if "correct" in os.environ.get("SWEEP", ""):
+        try:
+            print(json.dumps(chunked_correctness_on_tpu()), flush=True)
+        except Exception as ex:
+            print(json.dumps({"kind": "chunked_correctness_tpu",
+                              "error": repr(ex)[:2000]}), flush=True)
     floor = min(null_roundtrip() for _ in range(3))
     print(json.dumps({"kind": "sync_floor", "secs": round(floor, 4)}),
           flush=True)
@@ -224,6 +321,13 @@ def main():
         for chunk_mb in (1, 4, 8, 16):
             runs.append(lambda c=chunk_mb: bench_chunked(512, c, 4_000_000,
                                                          16, floor))
+    if "prod" in which:
+        for n in (1_000_000, 4_000_000, 16_000_000):
+            runs.append(lambda n=n: bench_prod_chunked(
+                512, 4, n, max(4, 64_000_000 // n), floor))
+        runs.append(lambda: bench_prod_chunked(512, 8, 4_000_000, 16, floor))
+        runs.append(lambda: bench_prod_chunked(512, 16, 4_000_000, 16,
+                                               floor))
     for fn in runs:
         try:
             print(json.dumps(fn()), flush=True)

@@ -375,3 +375,121 @@ def test_streaming_lookup_device_sort():
                       hits.wt.tolist())) == \
         sorted(zip(ref.pos.tolist(), ref.fi.tolist(), ref.wt.tolist()))
     assert hits.kmers_found == ref.kmers_found
+
+
+def test_probe_chunked_matches_rows1():
+    """Chunked probe (host bin routing -> device scan of chunk-local
+    gathers) == rows1 on identical queries when no bin overflows, and full
+    lookups agree bit-for-bit including overflow/skew cases."""
+    import os
+
+    import jax.numpy as jnp
+
+    from kmergutsjava_tpu.lookup.xla import (FP_MOD,
+                                             probe_fingerprint_rows1)
+
+    rng = np.random.default_rng(95)
+    sig = random_signatures(rng, 50_000)
+    table = build_table(**sig, load_factor=0.8)
+    os.environ["KMER_CHUNK_ROWS"] = "64"
+    try:
+        ck = XlaLookup(table, probe_impl="chunked")
+        r1 = XlaLookup(table, probe_impl="rows1")
+    finally:
+        del os.environ["KMER_CHUNK_ROWS"]
+    assert ck.probe_impl == "chunked"
+    assert ck.tbl_fp.ndim == 3 and ck.tbl_fp.shape[1] == 64
+    assert ck.n_chunks == ck.tbl_fp.shape[0]
+
+    values, cnt, pos = make_queries(rng, sig["kmers"], 4096)
+    homes = (values % np.int64(table.num_sigs)).astype(np.int32)
+    q_fp = (values % FP_MOD).astype(np.uint16)
+    # uniform homes: expected max bin load ~ mean + a few sigma << cap
+    off_a, st_a = probe_fingerprint_rows1(r1.tbl_fp, jnp.asarray(q_fp),
+                                          jnp.asarray(homes), r1.w1,
+                                          r1.stride)
+    off_b, st_b = ck.resolve_probe(ck.dispatch_probe(q_fp, homes))
+    assert ck.w1 == r1.w1 and ck.stride == r1.stride
+    assert np.array_equal(np.asarray(off_a), off_b)
+    assert np.array_equal(np.asarray(st_a), st_b)
+
+    # full lookups agree (random + non-power-of-two length)
+    ha = r1.lookup(values[:3000], cnt[:3000], pos[:3000])
+    hb = ck.lookup(values[:3000], cnt[:3000], pos[:3000])
+    assert canon(ha) == canon(hb) and ha.kmers_found == hb.kmers_found
+
+    # adversarial skew: all homes in chunk 0 -> guaranteed bin overflow ->
+    # unresolved -> exact host full-window pass; hits still bit-identical
+    skew_homes = rng.integers(0, ck.chunk_rows * ck.stride // 2,
+                              len(values)).astype(np.int64)
+    skew_values = skew_homes.copy()
+    # embed some REAL table kmers whose homes land in chunk 0
+    in0 = sig["kmers"][(sig["kmers"] % table.num_sigs)
+                       < ck.chunk_rows * ck.stride // 2]
+    if len(in0):
+        skew_values[: len(in0[:500])] = in0[:500]
+    # the skewed bins must actually overflow for this to exercise the
+    # fallback: dispatch once and check
+    skew_fp = (skew_values % FP_MOD).astype(np.uint16)
+    skew_h = (skew_values % np.int64(table.num_sigs)).astype(np.int32)
+    pend = ck.dispatch_probe(skew_fp, skew_h)
+    assert pend[0] == "bins" and pend[5] is not None, \
+        "skew case no longer overflows; strengthen it"
+    hs_a = r1.lookup(skew_values, cnt, pos)
+    hs_b = ck.lookup(skew_values, cnt, pos)
+    assert canon(hs_a) == canon(hs_b)
+    assert hs_a.kmers_found == hs_b.kmers_found
+    if len(in0):
+        assert len(hs_b) >= min(500, len(in0))
+
+
+def test_probe_chunked_auto_gate():
+    """auto selects chunked only for HBM-large planes; tiny planes stay
+    rows1 even when chunked is forced but the plane fits in one chunk."""
+    import os
+
+    rng = np.random.default_rng(96)
+    sig = random_signatures(rng, 3000)
+    table = build_table(**sig, load_factor=0.7)
+    lk = XlaLookup(table)  # auto: small plane -> rows1
+    assert lk.probe_impl == "rows1"
+    lk2 = XlaLookup(table, probe_impl="chunked")  # plane < one chunk
+    assert lk2.probe_impl == "rows1"
+    os.environ["KMER_CHUNKED_MIN_BYTES"] = "1024"
+    os.environ["KMER_CHUNK_ROWS"] = "8"
+    try:
+        lk3 = XlaLookup(table)  # auto with a tiny threshold -> chunked
+    finally:
+        del os.environ["KMER_CHUNKED_MIN_BYTES"]
+        del os.environ["KMER_CHUNK_ROWS"]
+    assert lk3.probe_impl == "chunked"
+    rngq = np.random.default_rng(97)
+    values, cnt, pos = make_queries(rngq, sig["kmers"], 2048)
+    assert canon(lk3.lookup(values, cnt, pos)) == canon(
+        lk.lookup(values, cnt, pos))
+
+
+def test_streaming_lookup_chunked_impl():
+    """StreamingLookup over the chunked probe: same hits as rows1,
+    including the padded tail dispatch (pad spreading)."""
+    import os
+
+    rng = np.random.default_rng(98)
+    sig = random_signatures(rng, 40_000)
+    table = build_table(**sig, load_factor=0.75)
+    os.environ["KMER_CHUNK_ROWS"] = "32"
+    try:
+        ck = XlaLookup(table, probe_impl="chunked", chunk=1 << 12)
+    finally:
+        del os.environ["KMER_CHUNK_ROWS"]
+    assert ck.probe_impl == "chunked"
+    r1 = XlaLookup(table, probe_impl="rows1", chunk=1 << 12)
+    values, cnt, pos = make_queries(rng, sig["kmers"], 10_000)
+    from kmergutsjava_tpu.lookup.xla import StreamingLookup
+
+    sa = StreamingLookup(r1, compute_kmers_found=True)
+    sa.add_batch(values, 3, pos)
+    sb = StreamingLookup(ck, compute_kmers_found=True)
+    sb.add_batch(values, 3, pos)
+    ha, hb = sa.finish(), sb.finish()
+    assert canon(ha) == canon(hb) and ha.kmers_found == hb.kmers_found
