@@ -405,7 +405,9 @@ class XlaLookup:
             fp2d = np.ascontiguousarray(np.lib.stride_tricks.as_strided(
                 fp, shape=(nrows, 128), strides=(2 * self.stride, 2)))
             # chunk the plane when it is HBM-large (auto) or forced
-            self.chunk_rows = int(os.environ.get("KMER_CHUNK_ROWS", 16384))
+            # (<= 32768 rows: the bin wire format carries local rows as u16)
+            self.chunk_rows = min(
+                int(os.environ.get("KMER_CHUNK_ROWS", 16384)), 32768)
             chunked_min = int(os.environ.get("KMER_CHUNKED_MIN_BYTES",
                                              96 << 20))
             occ_rows = (s - 1) // self.stride + 1  # rows homes can land in

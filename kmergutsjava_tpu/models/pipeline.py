@@ -42,8 +42,11 @@ _LOOKUP_CACHE: Dict[tuple, object] = {}
 
 # Backend-'auto' density crossover: the stream kernel wins when the query
 # count exceeds num_sigs / DENSITY_CROSSOVER (one plane pass vs per-query
-# rows1 gathers; measured on v5e, docs/performance.md).
-DENSITY_CROSSOVER = 9
+# gathers; measured on v5e, docs/performance.md). Round 2: the chunked
+# probe doubled the sparse rate on HBM-bound planes (112 -> ~225M/s), so
+# the stream pass now amortizes only at ~numSigs/4.7 queries; 5 keeps a
+# conservative margin for the small-plane 206M/s rows1 regime too.
+DENSITY_CROSSOVER = 5
 
 
 def _replace_backend(cfg: EngineConfig, backend: str) -> EngineConfig:
@@ -172,8 +175,15 @@ def _table_ident(table_path: str):
 
 
 def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup":
+    import os
+
     ident = _table_ident(table_path)
-    key = (ident, cfg.probe_window, cfg.lookup_chunk)
+    # the probe-impl env knobs shape the cached device plane — key on them
+    # so a knob change (tests force impls this way) can't serve a stale impl
+    impl_env = tuple(os.environ.get(k) for k in (
+        "KMER_PROBE_IMPL", "KMER_CHUNKED_MIN_BYTES", "KMER_CHUNK_ROWS",
+        "KMER_ROWS1_MAX_BYTES"))
+    key = (ident, cfg.probe_window, cfg.lookup_chunk, impl_env)
     lk = _LOOKUP_CACHE.get(key)
     if lk is None:
         lk = XlaLookup(table, probe_window=cfg.probe_window,

@@ -117,6 +117,12 @@ def run_round(seed: int, tmp: str) -> None:
     variants = [("parity", {}), ("xla", {}), ("stream", {}), ("auto", {})]
     if rng.random() < 0.2 and kw["min_hits"] >= 2 and not kw["debug"]:
         variants.append(("xla", {"grouping_impl": "scan"}))
+    # forced-chunked probe (the HBM-large auto default, round 2): tiny
+    # thresholds make these small random tables exercise it, incl. the
+    # bin-overflow fallback under the corpus' natural home clustering
+    if rng.random() < 0.3:
+        variants.append(("xla", {"_chunk_rows": rng.choice([8, 32, 64,
+                                                            256])}))
     if rng.random() < 0.3:
         variants.append(("xla", {"prepare_impl": "numpy"}))
     if rng.random() < 0.3:
@@ -147,12 +153,22 @@ def run_round(seed: int, tmp: str) -> None:
         # randomize the native thread count per variant: any divergence
         # between thread counts (or vs the numpy twins) is a threading bug
         os.environ["KMER_NATIVE_THREADS"] = str(rng.choice([1, 2, 3, 4]))
+        extra = dict(extra)
+        chunk_rows = extra.pop("_chunk_rows", None)
+        if chunk_rows is not None:
+            os.environ["KMER_CHUNKED_MIN_BYTES"] = "1024"
+            os.environ["KMER_CHUNK_ROWS"] = str(chunk_rows)
+        else:
+            os.environ.pop("KMER_CHUNKED_MIN_BYTES", None)
+            os.environ.pop("KMER_CHUNK_ROWS", None)
         cfg = EngineConfig(backend=backend, **{**kw, **extra})
         out = io.StringIO()
         Engine(cfg).run(d, None, out, stdout=True,
                         query_stream=io.StringIO(fasta))
         outs.append((backend, extra, strip(out.getvalue())))
     os.environ.pop("KMER_NATIVE_THREADS", None)
+    os.environ.pop("KMER_CHUNKED_MIN_BYTES", None)
+    os.environ.pop("KMER_CHUNK_ROWS", None)
     base = outs[0][2]
     for backend, extra, text in outs[1:]:
         if text != base:

@@ -326,8 +326,7 @@ def main():
             runs.append(lambda n=n: bench_prod_chunked(
                 512, 4, n, max(4, 64_000_000 // n), floor))
         runs.append(lambda: bench_prod_chunked(512, 8, 4_000_000, 16, floor))
-        runs.append(lambda: bench_prod_chunked(512, 16, 4_000_000, 16,
-                                               floor))
+        # (no 16MB config: 65536 rows exceeds the u16 local-row wire format)
     for fn in runs:
         try:
             print(json.dumps(fn()), flush=True)

@@ -357,7 +357,7 @@ def test_auto_backend_resolution(tmp_path):
 
 def test_auto_deferred_upgrades_to_stream(tmp_path):
     """Unknown-size input (query_stream) + dense corpus: the deferred auto
-    feed crosses numSigs/12 mid-prepare, upgrades to the stream scatter,
+    feed crosses the density crossover (numSigs/DENSITY_CROSSOVER) mid-prepare, upgrades to the stream scatter,
     and the report matches the parity backend byte for byte."""
     rng = random.Random(99)
     prots, triples, funcs = _random_corpus(rng, n_prot=60)

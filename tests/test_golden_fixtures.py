@@ -59,3 +59,14 @@ def test_dna_report_matches_golden(corpus):
     d, _, contig = corpus
     fasta = f">{contig.id} {contig.descr}\n{contig.seq}\n"
     assert _run(d, fasta, "auto", aa=False) == golden("dna")
+
+
+def test_forced_chunked_engine_matches_golden(corpus, monkeypatch):
+    """The chunked probe impl (auto default on HBM-large planes; forced
+    small here) reproduces the golden corpus report byte-for-byte through
+    the full engine."""
+    monkeypatch.setenv("KMER_CHUNKED_MIN_BYTES", "1024")
+    monkeypatch.setenv("KMER_CHUNK_ROWS", "64")
+    d, prots, _ = corpus
+    fasta = "".join(f">{p.id} {p.descr}\n{p.seq}\n" for p in prots)
+    assert _run(d, fasta, "xla", aa=True) == golden("aa")
