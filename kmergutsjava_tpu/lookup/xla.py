@@ -478,15 +478,26 @@ class XlaLookup:
 
     def _bin_queries(self, q_fp: np.ndarray, homes: np.ndarray, cap: int):
         """Host-side routing for the chunked probe: group queries by home
-        chunk into [n_chunks, cap] padded bins. uint8-key radix argsort +
-        one record pass (~16M queries/s single-thread on the dev VM);
-        overflowed queries (rank >= cap, only under adversarial home skew)
-        are left out of the bins and resolved by the exact host pass.
-        Returns (qfp_b, row_b, off_b, order, c_s, rank, ok)."""
+        chunk into [n_chunks, cap] padded bins. Native threaded two-pass
+        (histogram + cursor scatter, utils/native.py bin_queries) when the
+        toolchain built it, else a uint8-key radix argsort + one record
+        pass (~16M queries/s single-thread on the dev VM) — bit-identical
+        by construction (rank = input encounter order within the chunk),
+        pinned by tests/test_lookup.py. Overflowed queries (rank >= cap,
+        only under adversarial home skew) are left out of the bins and
+        resolved by the exact host pass. Returns
+        (qfp_b, row_b, off_b, chunk_of, rank_of) with the latter two in
+        the caller's query order."""
+        from ..utils.native import bin_queries_native
+
         n = len(homes)
+        native = bin_queries_native(
+            homes, q_fp, self.stride, self.chunk_rows, self.n_chunks, cap)
+        if native is not None:
+            return native
         span = self.stride * self.chunk_rows
-        key = homes // span
-        c8 = key.astype(np.uint8 if self.n_chunks <= 256 else np.uint16)
+        c = (homes // span).astype(np.int32)
+        c8 = c.astype(np.uint8 if self.n_chunks <= 256 else np.uint16)
         order = np.argsort(c8, kind="stable")  # radix for small ints
         c_s = c8[order].astype(np.int64)
         homes_s = homes[order]
@@ -499,7 +510,6 @@ class XlaLookup:
         row_b = np.zeros((self.n_chunks, cap), np.uint16)
         off_b = np.zeros((self.n_chunks, cap), np.uint8)
         if counts.max() <= cap:
-            ok = None  # fast path: no overflow, no mask gathers
             qfp_b[c_s, rank] = q_fp[order]
             row_b[c_s, rank] = r_s - c_s * self.chunk_rows
             off_b[c_s, rank] = homes_s - r_s * self.stride
@@ -509,7 +519,9 @@ class XlaLookup:
             qfp_b[io_, jo] = q_fp[order][ok]
             row_b[io_, jo] = (r_s - c_s * self.chunk_rows)[ok]
             off_b[io_, jo] = (homes_s - r_s * self.stride)[ok]
-        return qfp_b, row_b, off_b, order, c_s, rank, ok
+        rank_of = np.empty(n, np.int64)
+        rank_of[order] = rank
+        return qfp_b, row_b, off_b, c.astype(np.int64), rank_of
 
     def dispatch_probe(self, q_fp: np.ndarray, homes: np.ndarray,
                        device_sort: bool = False):
@@ -521,12 +533,12 @@ class XlaLookup:
         if self.probe_impl == "chunked":
             nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
             cap = self._chunk_cap(nb)
-            qfp_b, row_b, off_b, order, c_s, rank, ok = self._bin_queries(
+            qfp_b, row_b, off_b, chunk_of, rank_of = self._bin_queries(
                 q_fp, homes, cap)
             out = probe_fingerprint_chunk_bins(
                 self.tbl_fp, jnp.asarray(qfp_b), jnp.asarray(row_b),
                 jnp.asarray(off_b), self.w1)
-            return ("bins", out, order, c_s, rank, ok, n)
+            return ("bins", out, chunk_of, rank_of, cap, n)
         target = (self.chunk if n == self.chunk
                   else max(_round_up_pow2(n), 4096))
         if target > n:
@@ -541,16 +553,16 @@ class XlaLookup:
         the caller's query order (state 0 = unresolved -> exact host
         pass)."""
         if pending[0] == "bins":
-            _, out, order, c_s, rank, ok, n = pending
+            _, out, chunk_of, rank_of, cap, n = pending
             off_bh, st_bh = jax.device_get(out)
-            off = np.zeros(n, np.uint8)
-            state = np.zeros(n, np.uint8)
-            if ok is None:
-                off[order] = off_bh[c_s, rank]
-                state[order] = st_bh[c_s, rank]
+            ok = rank_of < cap
+            if ok.all():
+                off = off_bh[chunk_of, rank_of]
+                state = st_bh[chunk_of, rank_of]
             else:
-                off[order[ok]] = off_bh[c_s[ok], rank[ok]]
-                state[order[ok]] = st_bh[c_s[ok], rank[ok]]
+                rc = np.minimum(rank_of, cap - 1)
+                off = np.where(ok, off_bh[chunk_of, rc], np.uint8(0))
+                state = np.where(ok, st_bh[chunk_of, rc], np.uint8(0))
             return off, state
         _, out, n = pending
         o, st = jax.device_get(out)

@@ -410,3 +410,93 @@ extern "C" int64_t scatter_chunk(
     for (int t = 0; t < T; t++) placed += placed_t[t];
     return placed;
 }
+
+// ---------------------------------------------------------------------
+// Chunked-probe bin router (lookup/xla.py probe_impl="chunked").
+//
+// Routes query fingerprints into per-chunk capacity bins for the
+// chunk-local device gather (the 2x sparse-probe win on HBM-bound
+// planes, docs/performance.md round 2). rank_of[i] = how many earlier
+// queries (input order) share query i's chunk — i.e. the bin cell in
+// sequential encounter order — so the output is BIT-IDENTICAL to the
+// single-thread pass and to the numpy stable-argsort twin at any thread
+// count (pinned by tests/test_lookup.py).
+//
+// Two passes: per-thread per-chunk histograms, an exclusive scan giving
+// each thread its starting cursor per chunk, then a scatter pass writing
+// bin cells (rank < cap) and the per-query (chunk, rank) used by
+// resolve_probe. Cells never written stay zero (callers pass
+// zero-initialized bins); overflowed queries (rank >= cap — adversarial
+// home skew only) are resolved by the exact host pass.
+extern "C" void bin_queries(
+    const int32_t* homes, const uint16_t* qfp, int64_t n,
+    int64_t stride, int64_t chunk_rows, int64_t n_chunks, int64_t cap,
+    uint16_t* qfp_b,    // [n_chunks*cap] zeroed by caller
+    uint16_t* row_b,    // [n_chunks*cap] zeroed by caller
+    uint8_t* off_b,     // [n_chunks*cap] zeroed by caller
+    int64_t* chunk_of,  // out [n]
+    int64_t* rank_of)   // out [n]
+{
+    const int64_t span = stride * chunk_rows;
+    const int T0 = num_threads();
+    const int T = n < (int64_t)1 << 15 ? 1
+        : (int)(n / 16384 < T0 ? n / 16384 : T0);
+    const int64_t step = (n + T - 1) / T;
+    std::vector<int64_t> hist((size_t)T * n_chunks, 0);
+    if (T <= 1) {
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t h = homes[i];
+            const int64_t c = h / span;
+            const int64_t r = hist[(size_t)c]++;
+            chunk_of[i] = c;
+            rank_of[i] = r;
+            if (r < cap) {
+                const int64_t cell = c * cap + r;
+                const int64_t row = h / stride;
+                qfp_b[cell] = qfp[i];
+                row_b[cell] = (uint16_t)(row - c * chunk_rows);
+                off_b[cell] = (uint8_t)(h - row * stride);
+            }
+        }
+        return;
+    }
+    parallel_for_threads(T, [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        int64_t* h_t = hist.data() + (size_t)t * n_chunks;
+        for (int64_t i = a; i < b; i++) {
+            const int64_t c = homes[i] / span;
+            chunk_of[i] = c;
+            h_t[c]++;
+        }
+    });
+    // exclusive per-(chunk, thread) cursors in input-slice order: thread
+    // t's first query of chunk c gets rank sum of earlier threads' counts
+    for (int64_t c = 0; c < n_chunks; c++) {
+        int64_t run = 0;
+        for (int t = 0; t < T; t++) {
+            const size_t k = (size_t)t * n_chunks + c;
+            const int64_t v = hist[k];
+            hist[k] = run;
+            run += v;
+        }
+    }
+    parallel_for_threads(T, [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        int64_t* cur_t = hist.data() + (size_t)t * n_chunks;
+        for (int64_t i = a; i < b; i++) {
+            const int64_t h = homes[i];
+            const int64_t c = chunk_of[i];
+            const int64_t r = cur_t[c]++;
+            rank_of[i] = r;
+            if (r < cap) {
+                const int64_t cell = c * cap + r;
+                const int64_t row = h / stride;
+                qfp_b[cell] = qfp[i];
+                row_b[cell] = (uint16_t)(row - c * chunk_rows);
+                off_b[cell] = (uint8_t)(h - row * stride);
+            }
+        }
+    });
+}

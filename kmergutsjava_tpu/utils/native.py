@@ -121,6 +121,15 @@ def _bind_scatter(lib) -> None:
         _I64P, _I64P, _I32P, _I32P, _I32P, _F32P,     # hit columns out
         _I64P,                                        # hit values out
     ]
+    fn = lib.bin_queries
+    fn.restype = None
+    fn.argtypes = [
+        _I32P, _U16P, ctypes.c_int64,                 # homes, qfp, n
+        ctypes.c_int64, ctypes.c_int64,               # stride, chunk_rows
+        ctypes.c_int64, ctypes.c_int64,               # n_chunks, cap
+        _U16P, _U16P, _U8P,                           # bins out
+        _I64P, _I64P,                                 # chunk_of, rank_of out
+    ]
 
 
 def load_scatter() -> Optional[ctypes.CDLL]:
@@ -169,3 +178,26 @@ def _bind_fasta(lib) -> None:
 def load_fasta() -> Optional[ctypes.CDLL]:
     """Native bulk FASTA parser; None without g++."""
     return _load("fasta", "KMER_NO_NATIVE_FASTA", _bind_fasta)
+
+
+def bin_queries_native(homes: np.ndarray, q_fp: np.ndarray, stride: int,
+                       chunk_rows: int, n_chunks: int, cap: int):
+    """Threaded bin router for the chunked probe (scatter.cpp
+    bin_queries): (qfp_b, row_b, off_b, chunk_of, rank_of), bit-identical
+    to XlaLookup._bin_queries' numpy twin. None without the toolchain
+    (or under KMER_NO_NATIVE_SCATTER)."""
+    lib = load_scatter()
+    if lib is None:
+        return None
+    n = len(homes)
+    qfp_b = np.zeros((n_chunks, cap), np.uint16)
+    row_b = np.zeros((n_chunks, cap), np.uint16)
+    off_b = np.zeros((n_chunks, cap), np.uint8)
+    chunk_of = np.empty(n, np.int64)
+    rank_of = np.empty(n, np.int64)
+    lib.bin_queries(np.ascontiguousarray(homes, np.int32),
+                    np.ascontiguousarray(q_fp, np.uint16), n,
+                    stride, chunk_rows, n_chunks, cap,
+                    qfp_b.reshape(-1), row_b.reshape(-1), off_b.reshape(-1),
+                    chunk_of, rank_of)
+    return qfp_b, row_b, off_b, chunk_of, rank_of

@@ -433,7 +433,7 @@ def test_probe_chunked_matches_rows1():
     skew_fp = (skew_values % FP_MOD).astype(np.uint16)
     skew_h = (skew_values % np.int64(table.num_sigs)).astype(np.int32)
     pend = ck.dispatch_probe(skew_fp, skew_h)
-    assert pend[0] == "bins" and pend[5] is not None, \
+    assert pend[0] == "bins" and (pend[3] >= pend[4]).any(), \
         "skew case no longer overflows; strengthen it"
     hs_a = r1.lookup(skew_values, cnt, pos)
     hs_b = ck.lookup(skew_values, cnt, pos)

@@ -197,3 +197,62 @@ def test_native_scatter_invariants():
     for h, f, s_ in zip(homes[ok].tolist(), fl.tolist(), sh.tolist()):
         cells_per_home.setdefault(h, set()).add((f, s_))
     assert max(len(s) for s in cells_per_home.values()) <= lk.channels
+
+
+def test_bin_queries_native_matches_numpy_and_threads():
+    """Native bin router == numpy stable-argsort twin, at every thread
+    count, incl. the overflow regime (rank >= cap)."""
+    import os
+
+    import numpy as np
+
+    from kmergutsjava_tpu.utils.native import bin_queries_native
+
+    rng = np.random.default_rng(41)
+    stride, chunk_rows, n_chunks, cap = 112, 64, 12, 40
+    span = stride * chunk_rows
+    n = 5000
+    homes = rng.integers(0, n_chunks * span - 200, n).astype(np.int32)
+    homes[:2000] = rng.integers(0, span, 2000)  # skew chunk 0 -> overflow
+    q_fp = rng.integers(0, 65536, n).astype(np.uint16)
+
+    # numpy twin (the exact code path XlaLookup falls back to)
+    c = (homes // span).astype(np.int64)
+    order = np.argsort(c.astype(np.uint8), kind="stable")
+    c_s = c[order]
+    counts = np.bincount(c_s, minlength=n_chunks)
+    starts = np.zeros(n_chunks, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    rank = np.arange(n, dtype=np.int64) - starts[c_s]
+    homes_s = homes[order]
+    r_s = homes_s // stride
+    want_q = np.zeros((n_chunks, cap), np.uint16)
+    want_r = np.zeros((n_chunks, cap), np.uint16)
+    want_o = np.zeros((n_chunks, cap), np.uint8)
+    ok = rank < cap
+    want_q[c_s[ok], rank[ok]] = q_fp[order][ok]
+    want_r[c_s[ok], rank[ok]] = (r_s - c_s * chunk_rows)[ok]
+    want_o[c_s[ok], rank[ok]] = (homes_s - r_s * stride)[ok]
+    want_rank = np.empty(n, np.int64)
+    want_rank[order] = rank
+
+    outs = []
+    for threads in ("1", "2", "5"):
+        os.environ["KMER_NATIVE_THREADS"] = threads
+        try:
+            got = bin_queries_native(homes, q_fp, stride, chunk_rows,
+                                     n_chunks, cap)
+        finally:
+            del os.environ["KMER_NATIVE_THREADS"]
+        if got is None:
+            import pytest
+
+            pytest.skip("no native toolchain")
+        outs.append(got)
+    for qb, rb, ob, cof, rof in outs:
+        assert np.array_equal(qb, want_q)
+        assert np.array_equal(rb, want_r)
+        assert np.array_equal(ob, want_o)
+        assert np.array_equal(cof, c)
+        assert np.array_equal(rof, want_rank)
+    assert (want_rank >= cap).any()  # the overflow regime was exercised
