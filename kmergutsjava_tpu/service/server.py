@@ -18,6 +18,12 @@ same wire shape (JSON-RPC 1.1-style: {"method": "KmerGutsJava.<m>",
   submit returns a job id, _check_job([job_id]) returns
   [{"job_id", "finished": 0|1, "result"?|"error"?}].
 
+Operational endpoints (GET; no reference counterpart — the reference's
+only signal is Jetty's NCSA log): ``/metrics`` (Prometheus text,
+service/metrics.py), ``/healthz`` (liveness), ``/readyz`` (readiness:
+the data directory resolves to a readable table). SIGTERM drains
+in-flight requests before exit (``--drain-timeout``).
+
 Run: python -m kmergutsjava_tpu.service.server -D <data_dir> [-p port]
 """
 from __future__ import annotations
@@ -25,11 +31,13 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from .. import __version__
 from ..config import EngineConfig
+from .metrics import MetricsRegistry
 
 GIT_URL = "https://github.com/kbaseapps/KmerGutsJava"
 
@@ -43,12 +51,65 @@ class RpcError(Exception):
 class KmerGutsService:
     """Method registry; one instance owns one data directory."""
 
+    # Finished jobs are kept for polling this long, then reaped; unfinished
+    # jobs are never reaped. A hard cap bounds the table even under a
+    # poll-never client flood (oldest finished go first).
+    JOB_TTL_S = 3600.0
+    MAX_JOBS = 10_000
+
     def __init__(self, data_dir: Optional[str] = None):
         self.data_dir = data_dir
         self._lock = threading.Lock()
         self._jobs: dict = {}          # job_id -> {"finished", "result"/"error"}
         self._jobs_lock = threading.Lock()
         self._job_seq = 0
+        self.metrics = MetricsRegistry()
+        m = self.metrics
+        m.describe("rpc_requests_total", "counter",
+                   "RPC requests by method and outcome")
+        m.describe("rpc_request_seconds", "histogram",
+                   "RPC request latency by method")
+        m.describe("rpc_requests_in_flight", "gauge",
+                   "RPC requests currently executing")
+        m.describe("annotate_input_bytes_total", "counter",
+                   "FASTA bytes received by annotate (inline uploads)")
+        m.describe("async_jobs", "gauge",
+                   "Async jobs tracked, by state")
+
+    def ready(self):
+        """Readiness: a status-only server (no -D) is ready; with a data
+        dir, the table file must resolve and be readable."""
+        if self.data_dir is None:
+            return True, "ok (status-only: no data dir)"
+        try:
+            from ..formats.kmer_table import resolve_table_files
+
+            table_path, _ = resolve_table_files(self.data_dir)
+            with open(table_path, "rb"):
+                pass
+            return True, "ok"
+        except Exception as ex:  # noqa: BLE001 — any failure = not ready
+            return False, f"{type(ex).__name__}: {ex}"
+
+    def _reap_jobs(self, now: Optional[float] = None) -> None:
+        """Call with _jobs_lock held."""
+        now = time.time() if now is None else now
+        dead = [jid for jid, j in self._jobs.items()
+                if j.get("finished") and now - j.get("_done_at", now)
+                > self.JOB_TTL_S]
+        for jid in dead:
+            del self._jobs[jid]
+        if len(self._jobs) > self.MAX_JOBS:
+            finished = sorted(
+                (j.get("_done_at", 0.0), jid)
+                for jid, j in self._jobs.items() if j.get("finished"))
+            for _, jid in finished[: len(self._jobs) - self.MAX_JOBS]:
+                del self._jobs[jid]
+        n_done = sum(1 for j in self._jobs.values() if j.get("finished"))
+        self.metrics.set_gauge("async_jobs", n_done,
+                               {"state": "finished"})
+        self.metrics.set_gauge("async_jobs", len(self._jobs) - n_done,
+                               {"state": "running"})
 
     def status(self, params):
         # Same keys as the reference servlet's status map (ref :35-44)
@@ -78,6 +139,9 @@ class KmerGutsService:
         from ..models.pipeline import Engine
 
         out = io.StringIO()
+        if "fasta" in p:
+            self.metrics.inc("annotate_input_bytes_total",
+                             by=len(p["fasta"]))
         with self._lock:  # device-resident table planes are per-call state
             if "fasta" in p:
                 Engine(cfg).run(self.data_dir, None, out, stdout=True,
@@ -108,6 +172,7 @@ class KmerGutsService:
 
     def _submit(self, target, params):
         with self._jobs_lock:
+            self._reap_jobs()
             self._job_seq += 1
             job_id = f"job_{self._job_seq}"
             self._jobs[job_id] = {"finished": 0}
@@ -116,12 +181,13 @@ class KmerGutsService:
             try:
                 result = target(params)
                 with self._jobs_lock:
-                    self._jobs[job_id] = {"finished": 1, "result": result}
+                    self._jobs[job_id] = {"finished": 1, "result": result,
+                                          "_done_at": time.time()}
             except Exception as ex:  # noqa: BLE001 — delivered via _check_job
                 code = ex.code if isinstance(ex, RpcError) else -32603
                 with self._jobs_lock:
                     self._jobs[job_id] = {
-                        "finished": 1,
+                        "finished": 1, "_done_at": time.time(),
                         "error": {"name": "JSONRPCError", "code": code,
                                   "message": str(ex)}}
 
@@ -138,8 +204,10 @@ class KmerGutsService:
         with self._jobs_lock:
             job = self._jobs.get(job_id)
         if job is None:
-            raise RpcError(f"unknown job id {job_id!r}")
-        return [dict(job, job_id=job_id)]
+            raise RpcError(f"unknown job id {job_id!r} (finished jobs are "
+                           f"kept {int(self.JOB_TTL_S)}s)")
+        out = {k: v for k, v in job.items() if not k.startswith("_")}
+        return [dict(out, job_id=job_id)]
 
     def dispatch(self, method: str, params):
         short = method.split(".", 1)[-1]
@@ -148,17 +216,40 @@ class KmerGutsService:
               "_annotate_submit": self.annotate_submit,
               "_check_job": self.check_job}.get(short)
         if fn is None:
+            self.metrics.inc("rpc_requests_total",
+                             {"method": short, "outcome": "no_such_method"})
             raise RpcError(f"Method {method} is not a valid method", -32601)
-        return fn(params)
+        self.metrics.add_gauge("rpc_requests_in_flight", 1)
+        t0 = time.time()
+        try:
+            result = fn(params)
+            outcome = "ok"
+            return result
+        except RpcError:
+            outcome = "rpc_error"
+            raise
+        except Exception:
+            outcome = "internal_error"
+            raise
+        finally:
+            self.metrics.add_gauge("rpc_requests_in_flight", -1)
+            self.metrics.observe("rpc_request_seconds", time.time() - t0,
+                                 {"method": short})
+            self.metrics.inc("rpc_requests_total",
+                             {"method": short, "outcome": outcome})
 
 
 def make_handler(service: KmerGutsService, token: Optional[str] = None,
-                 access_log: Optional[str] = None):
+                 access_log: Optional[str] = None,
+                 max_body_bytes: int = 1 << 30):
     """``token``: shared bearer token; when set, requests must carry
     ``Authorization: <token>`` (the role of the reference's authclient.py —
     its KBase token cache — reduced to a static credential).
     ``access_log``: path for an NCSA common-log-format request log (the
-    reference's Jetty NCSARequestLog, jetty.xml:75-87)."""
+    reference's Jetty NCSARequestLog, jetty.xml:75-87).
+    ``max_body_bytes``: reject larger uploads before buffering them (one
+    inline-FASTA request is held fully in RAM; the cap keeps a single
+    oversized client from taking the whole server down)."""
     log_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -172,15 +263,58 @@ def make_handler(service: KmerGutsService, token: Optional[str] = None,
                 with open(access_log, "a") as fh:
                     fh.write(line)
 
+        def do_GET(self):
+            """Operational endpoints (unauthenticated by design: they carry
+            no annotation data and sit behind the deployment's scrape/probe
+            plane — Prometheus and kubelet probes don't send app tokens)."""
+            path = self.path.split("?", 1)[0]
+            if path == "/metrics":
+                payload = service.metrics.render().encode()
+                code, ctype = 200, "text/plain; version=0.0.4"
+            elif path == "/healthz":
+                payload, code, ctype = b"ok\n", 200, "text/plain"
+            elif path == "/readyz":
+                ok, msg = service.ready()
+                payload = (msg + "\n").encode()
+                code, ctype = (200 if ok else 503), "text/plain"
+            else:
+                payload, code, ctype = b"not found\n", 404, "text/plain"
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+            self._log_access(code, len(payload))
+
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(length)
             rpc_id = None
+            if length > max_body_bytes:
+                resp = {"version": "1.1", "id": None,
+                        "error": {"name": "JSONRPCError", "code": -32002,
+                                  "message": f"request body {length} B "
+                                             f"exceeds limit {max_body_bytes} B"}}
+                payload = json.dumps(resp).encode()
+                self.send_response(413)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.send_header("Connection", "close")
+                self.end_headers()
+                self.wfile.write(payload)
+                self._log_access(413, len(payload))
+                service.metrics.inc("rpc_requests_total",
+                                    {"method": "_http",
+                                     "outcome": "body_too_large"})
+                return
+            body = self.rfile.read(length)
             try:
                 req = json.loads(body)
                 rpc_id = req.get("id")
                 if token is not None and \
                         self.headers.get("Authorization") != token:
+                    service.metrics.inc("rpc_requests_total",
+                                        {"method": "_http",
+                                         "outcome": "unauthorized"})
                     raise RpcError("Authorization required", -32001)
                 result = service.dispatch(req.get("method", ""),
                                           req.get("params", []))
@@ -229,13 +363,29 @@ class PooledHTTPServer(ThreadingHTTPServer):
         super().server_close()
         self._pool.shutdown(wait=False)
 
+    def drain(self, timeout_s: float = 30.0) -> bool:
+        """Stop accepting and wait up to ``timeout_s`` for in-flight
+        requests to finish. Returns True if the pool drained in time."""
+        self.shutdown()  # stops serve_forever's accept loop
+        done = threading.Event()
+
+        def waiter():
+            self._pool.shutdown(wait=True)
+            done.set()
+
+        threading.Thread(target=waiter, daemon=True).start()
+        drained = done.wait(timeout_s)
+        super().server_close()
+        return drained
+
 
 def serve(data_dir: Optional[str], port: int = 5000,
           token: Optional[str] = None, access_log: Optional[str] = None,
-          max_workers: int = 32):
+          max_workers: int = 32, max_body_bytes: int = 1 << 30):
     service = KmerGutsService(data_dir)
     server = PooledHTTPServer(
-        ("0.0.0.0", port), make_handler(service, token, access_log),
+        ("0.0.0.0", port),
+        make_handler(service, token, access_log, max_body_bytes),
         max_workers=max_workers)
     server.service = service
     return server
@@ -254,20 +404,39 @@ def main(argv=None) -> int:
                     help="append NCSA-format request log to this file")
     ap.add_argument("--max-workers", type=int, default=32,
                     help="request worker pool size (Jetty ran 5-200)")
+    ap.add_argument("--max-body-bytes", type=int, default=1 << 30,
+                    help="reject request bodies larger than this (HTTP 413)")
+    ap.add_argument("--drain-timeout", type=float, default=30.0,
+                    help="seconds to let in-flight requests finish on SIGTERM")
     ap.add_argument("--warm", action="store_true",
                     help="preload table + device planes before serving")
     args = ap.parse_args(argv)
     server = serve(args.data_dir, args.port, args.token, args.access_log,
-                   args.max_workers)
+                   args.max_workers, args.max_body_bytes)
     if args.warm:
         st = server.service.warm([])[0]
         print(f"warm: num_sigs={st['num_sigs']} max_probe={st['max_probe']} "
               f"probe_window={st['probe_window']}")
+
+    import signal
+
+    stopping = threading.Event()
+
+    def on_sigterm(signum, frame):
+        # k8s-style graceful shutdown: stop accepting, drain, exit
+        stopping.set()
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, on_sigterm)
     print(f"serving on :{args.port} (data_dir={args.data_dir})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    if stopping.is_set():
+        drained = server.drain(args.drain_timeout)
+        print("drained cleanly" if drained
+              else f"drain timed out after {args.drain_timeout}s")
     return 0
 
 
