@@ -39,6 +39,8 @@ Arguments:
  --threads N - (optional) native host-stage threads (default: all cores; also env KMER_NATIVE_THREADS)
  --platform NAME - (optional) jax platform for the device stages, e.g. tpu or cpu (default: jax's pick)
  --profile DIR - (optional) write a jax.profiler trace of the run
+ --checkpoint FILE - (optional) restartable run: commit progress to FILE after every batch and resume from it on restart (requires -q and -o, refuses -d; output is byte-identical to a single run)
+ --checkpoint-every N - (optional) sequences per committed batch (default 100000)
 """
 
 
@@ -49,6 +51,8 @@ def parse_args(argv: List[str]):
     output: Optional[str] = None
     platform: Optional[str] = None
     n_threads: Optional[int] = None
+    ckpt: Optional[str] = None
+    ckpt_every: Optional[int] = None
     params = list(argv)
     while params:
         param = params.pop(0)
@@ -83,6 +87,12 @@ def parse_args(argv: List[str]):
                 # parse error can't leave the process env mutated
             elif name == "platform":
                 platform = params.pop(0)  # applied by main() after parsing
+            elif name == "checkpoint":
+                ckpt = params.pop(0)
+            elif name == "checkpoint-every":
+                ckpt_every = int(params.pop(0))
+                if ckpt_every < 1:
+                    raise ValueError("--checkpoint-every must be >= 1")
             else:
                 raise ValueError("Unknown parameter: --" + name)
             continue
@@ -116,7 +126,17 @@ def parse_args(argv: List[str]):
             raise ValueError("Unknown parameter: -" + name)
     if data_dir is None:
         raise ValueError("-D parameter is required")
-    return cfg, data_dir, query, output, platform, n_threads
+    if ckpt is not None:
+        if query is None or output is None:
+            raise ValueError("--checkpoint requires -q FILE and -o FILE "
+                             "(stdin/stdout runs cannot be resumed)")
+        if cfg.debug:
+            raise ValueError("--checkpoint does not support -d (debug "
+                             "writes per-run info lines into the report)")
+    elif ckpt_every is not None:
+        raise ValueError("--checkpoint-every requires --checkpoint")
+    return (cfg, data_dir, query, output, platform, n_threads,
+            ckpt, ckpt_every)
 
 
 def _apply_platform(platform: str) -> None:
@@ -142,7 +162,8 @@ def _apply_platform(platform: str) -> None:
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     try:
-        cfg, data_dir, query, output, platform, n_threads = parse_args(argv)
+        (cfg, data_dir, query, output, platform, n_threads,
+         ckpt, ckpt_every) = parse_args(argv)
     except (ValueError, IndexError) as ex:
         print("Error: " + str(ex))
         print(USAGE, end="")
@@ -154,6 +175,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         # the native stages read this per call (getenv)
         os.environ["KMER_NATIVE_THREADS"] = str(n_threads)
+    if ckpt is not None:
+        from .models.checkpoint import (DEFAULT_BATCH_GROUPS, CheckpointError,
+                                        run_with_checkpoint)
+
+        try:
+            run_with_checkpoint(cfg, data_dir, query, output, ckpt,
+                                ckpt_every or DEFAULT_BATCH_GROUPS)
+        except CheckpointError as ex:
+            print("Error: " + str(ex), file=sys.stderr)
+            return 3
+        return 0
     from .models.pipeline import Engine
 
     engine = Engine(cfg)

@@ -174,6 +174,23 @@ def _table_ident(table_path: str):
         return (table_path, None, None)
 
 
+_TABLE_CACHE: Dict[tuple, object] = {}
+
+
+def _cached_read_table(table_path: str):
+    """Single-slot host-table cache keyed by (realpath, mtime, size) — the
+    server answers many requests and a checkpointed run processes many
+    batches against one table; re-reading a multi-GB file per run would
+    dominate both. Same identity contract as _cached_xla_lookup."""
+    ident = _table_ident(table_path)
+    tbl = _TABLE_CACHE.get(ident)
+    if tbl is None:
+        tbl = read_table(table_path)
+        _TABLE_CACHE.clear()
+        _TABLE_CACHE[ident] = tbl
+    return tbl
+
+
 def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup":
     import os
 
@@ -254,7 +271,7 @@ class Engine:
         table_path, func_path = resolve_table_files(data_dir)
         self._table_path = table_path
         functions = load_function_index(func_path)
-        table = read_table(table_path)
+        table = _cached_read_table(table_path)
         self._table = table
         deferred = None
         if cfg.backend == "auto":

@@ -25,7 +25,7 @@ def test_cli_flag_parsing_extras():
     import os
 
     env_before = os.environ.get("KMER_NATIVE_THREADS")
-    cfg, d, q, o, platform, n_threads = parse_args(
+    cfg, d, q, o, platform, n_threads, ckpt, ckpt_every = parse_args(
         ["-D", "dir", "-t", "/tmp/x", "-l", "123",
          "-M", "2", "-O", "--grouping", "scan", "--threads", "3",
          "--mesh", "4x2", "--prepare", "jax", "--platform", "cpu"])
