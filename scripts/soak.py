@@ -176,6 +176,29 @@ def run_round(seed: int, tmp: str) -> None:
                 f"seed {seed}: backend {backend} {extra} diverged from "
                 f"parity\n--- parity ---\n{base[:2000]}\n--- {backend} ---\n"
                 f"{text[:2000]}")
+    if rng.random() < 0.25 and not kw["debug"]:
+        # checkpointed batched execution must reproduce the single-run
+        # report byte-for-byte at any batch size (models/checkpoint.py)
+        from kmergutsjava_tpu.models.checkpoint import run_with_checkpoint
+
+        qp = os.path.join(tmp, f"q{seed}.fa")
+        op = os.path.join(tmp, f"o{seed}.txt")
+        cp = os.path.join(tmp, f"c{seed}.ckpt")
+        with open(qp, "w") as fh:
+            fh.write(fasta)
+        run_with_checkpoint(EngineConfig(**kw), d, qp, op, cp,
+                            batch_groups=rng.randint(1, 7), progress=False)
+        with open(op) as fh:
+            text = strip(fh.read())
+        # the checkpoint path writes a pure report file (stdout=False:
+        # info lines go to the console, not the report)
+        if text != base:
+            raise AssertionError(
+                f"seed {seed}: checkpoint path diverged from parity\n"
+                f"--- parity ---\n{base[:2000]}\n--- checkpoint ---\n"
+                f"{text[:2000]}")
+        for p in (qp, op, cp):
+            os.unlink(p)
 
 
 def main():
