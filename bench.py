@@ -197,10 +197,11 @@ def bench_tpu_sparse_big(reps: int):
     host link cannot upload one, and probe throughput is content-
     independent — correctness is pinned separately by tests/test_lookup.py
     differential tests), random sparse queries, marginal two-point fit.
-    Measures both the chunked production probe (sort + bins + chunk-local
-    gathers, lookup/xla.py probe_fingerprint_chunk_bins; bins host-built
-    in production, ~16M queries/s, pipelined) and the plain rows1 gather
-    it replaces on planes this size."""
+    Measures the NARROW-lane rows1 layout (lanes=32, stride=16 — the
+    production default since the round-2 narrow-row discovery,
+    scripts/sweep_narrow.py), the chunked probe it retired from the auto
+    path (sort + bins + chunk-local gathers), and the wide 128-lane rows1
+    both replaced on planes this size."""
     import jax
     import jax.numpy as jnp
 
@@ -236,7 +237,17 @@ def bench_tpu_sparse_big(reps: int):
                 best = min(best, time.time() - t0)
             return best
 
+        # the production narrow plane: same 512MB byte budget, 32 lanes,
+        # stride 16 (storage factor 2 -> half the slots per byte)
+        k5, k6 = jax.random.split(jax.random.key(23))
+        nstride = 32 - W
+        nrows = int(plane_mb * 2**20) // 64
+        tnar = jax.random.bits(k5, (nrows, 32), dtype=jnp.uint16)
+        hnar = (jax.random.bits(k6, (n,), dtype=jnp.uint32)
+                % jnp.uint32((nrows - 2) * nstride)).astype(jnp.int32)
         for name, nn, fn in (
+            ("narrow32", n, lambda r: rows1_loop(
+                tnar, qfp[:n], hnar, W, nstride, r)),
             ("chunked", n_cells, lambda r: prod_chunked_loop(
                 tbl3, qfp_b, row_b, off_b, W, chunk_rows, r)),
             ("rows1", n_cells, lambda r: rows1_loop(

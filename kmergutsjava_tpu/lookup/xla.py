@@ -119,7 +119,7 @@ def probe_fingerprint_rows(
 
 @partial(jax.jit, static_argnames=("probe_window", "stride"))
 def probe_fingerprint_rows1(
-    tbl_fp2d: jax.Array,  # [R, 128] overlapped plane: row r = fp[r*stride:+128]
+    tbl_fp2d: jax.Array,  # [R, L] overlapped plane: row r = fp[r*stride:+L]
     q_fp: jax.Array,  # [N] uint16
     homes: jax.Array,  # [N] int32
     probe_window: int,
@@ -128,20 +128,29 @@ def probe_fingerprint_rows1(
     """Single-row-gather fingerprint probe on an OVERLAPPED plane.
 
     The plain row layout needs two row gathers per query because a probe
-    window can straddle a 128-slot row boundary. Laying the plane out with
-    overlapping rows — row r covers slots [r*stride, r*stride + 128) with
-    stride = 128 - probe_window — guarantees the whole window of any home
-    lies inside ONE row (offset o = home - r*stride < stride, so
-    o + probe_window <= 128): half the gather ops, half the HBM bytes
-    (256 B/query), and half the compare lanes of probe_fingerprint_rows,
-    for a storage factor of 128/stride (1.14x at the default W=16).
+    window can straddle a row boundary. Laying the plane out with
+    overlapping rows — row r covers slots [r*stride, r*stride + L) with
+    stride = L - probe_window, L the lane width — guarantees the whole
+    window of any home lies inside ONE row (offset o = home - r*stride
+    < stride, so o + probe_window <= L): one gather per query, for a
+    storage factor of L/stride.
+
+    Lane width L comes from the plane's shape. NARROW rows win big: the
+    TPU row gather is operand-size and issue bound, not byte bound, and a
+    W=16 window needs nowhere near 128 lanes — L=32 measured 537-546
+    M lookups/s vs 272 M/s (small plane) and 131 M/s (512 MB plane) at
+    L=128 (scripts/sweep_narrow.py), plane-size INDEPENDENT, at a 2x
+    storage factor. L=32 is the production default for w1 <= 16
+    (XlaLookup picks L; narrow planes are not lane-padded in HBM —
+    pinned by the full-plane reduce probe in the same sweep).
     Same (off, state) contract as probe_fingerprint_pass.
     """
-    assert 0 < stride <= 128 - probe_window
+    lanes = tbl_fp2d.shape[1]
+    assert 0 < stride <= lanes - probe_window
     r = homes // jnp.int32(stride)  # constant divisor: XLA strength-reduces
     o = (homes - r * jnp.int32(stride)).astype(jnp.int32)
-    win = jnp.take(tbl_fp2d, r, axis=0)  # [N, 128] one vectorized row gather
-    rel = jnp.arange(128, dtype=jnp.int32)[None, :] - o[:, None]
+    win = jnp.take(tbl_fp2d, r, axis=0)  # [N, L] one vectorized row gather
+    rel = jnp.arange(lanes, dtype=jnp.int32)[None, :] - o[:, None]
     in_window = (rel >= 0) & (rel < probe_window)
     big = jnp.int32(probe_window)
     cand = (win == q_fp[:, None]) & in_window
@@ -356,6 +365,7 @@ class XlaLookup:
         self.host_kmer[:s] = table.slots["kmer"]
         if host_only:
             self.probe_impl = None
+            self.lanes = None
             self.tbl_fp = None
             self.tbl_kmer = None
             self.chunk = chunk
@@ -388,30 +398,50 @@ class XlaLookup:
         auto_impl = probe_impl == "auto"
         if auto_impl:
             probe_impl = "rows1"
+        lanes = 128
         if probe_impl in ("rows1", "chunked"):
-            stride = 128 - self.w1
             budget = int(os.environ.get("KMER_ROWS1_MAX_BYTES", 4 << 30))
-            if stride < 64 or (plane_len * 2 * 128) // stride > budget:
+            if probe_impl == "rows1":
+                # NARROW lane width (scripts/sweep_narrow.py): the row
+                # gather is operand-size/issue bound, so fetching only
+                # ~2*w1 lanes per query runs 2-4x faster than 128 lanes
+                # at EVERY plane size (537-546M/s vs 272M small / 131M at
+                # 512MB) — which also retires the chunked scan from the
+                # auto path. Storage factor = lanes/stride (2x at 32/16);
+                # widen lanes (cheaper overlap, slower probe) if the
+                # overlapped plane would blow the byte budget. The
+                # chunked impl keeps 128 lanes: its bin wire format and
+                # native router assume them.
+                lanes = int(os.environ.get("KMER_PROBE_LANES", 0)) or (
+                    32 if self.w1 <= 16 else 64 if self.w1 <= 48 else 128)
+                while (lanes < 128 and
+                       (plane_len * 2 * lanes) // (lanes - self.w1) > budget):
+                    lanes *= 2
+            stride = lanes - self.w1
+            if 2 * self.w1 > lanes or (plane_len * 2 * lanes) // stride > budget:
                 probe_impl = "rows"  # w1 > 64 or overlap too costly
         if self.w1 > 128 and probe_impl == "rows":
             probe_impl = "flat"
         if probe_impl in ("rows1", "chunked"):
-            self.stride = 128 - self.w1
-            nrows = -(-(plane_len - 128) // self.stride) + 1
-            ext = (nrows - 1) * self.stride + 128
+            self.stride = lanes - self.w1
+            self.lanes = lanes
+            nrows = -(-(plane_len - lanes) // self.stride) + 1
+            ext = (nrows - 1) * self.stride + lanes
             if ext > plane_len:
                 fp = np.concatenate(
                     [fp, np.full(ext - plane_len, FP_EMPTY, np.uint16)])
             fp2d = np.ascontiguousarray(np.lib.stride_tricks.as_strided(
-                fp, shape=(nrows, 128), strides=(2 * self.stride, 2)))
-            # chunk the plane when it is HBM-large (auto) or forced
+                fp, shape=(nrows, lanes), strides=(2 * self.stride, 2)))
+            # chunk the plane when forced, or when a 128-lane plane is
+            # HBM-large (auto; only reachable with wide lanes — narrow
+            # rows1 measured plane-size independent, so auto stays rows1)
             # (<= 32768 rows: the bin wire format carries local rows as u16)
             self.chunk_rows = min(
                 int(os.environ.get("KMER_CHUNK_ROWS", 16384)), 32768)
             chunked_min = int(os.environ.get("KMER_CHUNKED_MIN_BYTES",
                                              96 << 20))
             occ_rows = (s - 1) // self.stride + 1  # rows homes can land in
-            if probe_impl == "chunked" or (auto_impl
+            if probe_impl == "chunked" or (auto_impl and lanes == 128
                                            and fp2d.nbytes >= chunked_min):
                 if occ_rows > self.chunk_rows:
                     probe_impl = "chunked"
@@ -435,8 +465,10 @@ class XlaLookup:
         elif probe_impl == "rows":
             fp2d = np.concatenate(
                 [fp, np.full(128, FP_EMPTY, np.uint16)]).reshape(-1, 128)
+            self.lanes = 128
             self.tbl_fp = put(fp2d)
         else:
+            self.lanes = None  # flat layout has no row geometry
             self.tbl_fp = put(fp)
         self.probe_impl = probe_impl
         self.tbl_kmer = put(self.host_kmer) if not use_fingerprint else None

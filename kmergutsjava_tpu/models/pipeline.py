@@ -42,11 +42,12 @@ _LOOKUP_CACHE: Dict[tuple, object] = {}
 
 # Backend-'auto' density crossover: the stream kernel wins when the query
 # count exceeds num_sigs / DENSITY_CROSSOVER (one plane pass vs per-query
-# gathers; measured on v5e, docs/performance.md). Round 2: the chunked
-# probe doubled the sparse rate on HBM-bound planes (112 -> ~225M/s), so
-# the stream pass now amortizes only at ~numSigs/4.7 queries; 5 keeps a
-# conservative margin for the small-plane 206M/s rows1 regime too.
-DENSITY_CROSSOVER = 5
+# gathers; measured on v5e, docs/performance.md). Round 2: the NARROW-lane
+# rows1 layout lifted the sparse rate to ~540M/s at every plane size
+# (scripts/sweep_narrow.py), so the stream pass (4*numSigs/4.2B s)
+# amortizes only at ~numSigs * 540e6 * 4 / 4.2e9 ~ numSigs/2 queries;
+# 2.5 keeps a small margin for host-stage overheads on the stream side.
+DENSITY_CROSSOVER = 2.5
 
 
 def _replace_backend(cfg: EngineConfig, backend: str) -> EngineConfig:
@@ -198,7 +199,8 @@ def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup"
     # the probe-impl env knobs shape the cached device plane — key on them
     # so a knob change (tests force impls this way) can't serve a stale impl
     impl_env = tuple(os.environ.get(k) for k in (
-        "KMER_PROBE_IMPL", "KMER_CHUNKED_MIN_BYTES", "KMER_CHUNK_ROWS",
+        "KMER_PROBE_IMPL", "KMER_PROBE_LANES",
+        "KMER_CHUNKED_MIN_BYTES", "KMER_CHUNK_ROWS",
         "KMER_ROWS1_MAX_BYTES"))
     key = (ident, cfg.probe_window, cfg.lookup_chunk, impl_env)
     lk = _LOOKUP_CACHE.get(key)

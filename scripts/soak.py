@@ -156,10 +156,12 @@ def run_round(seed: int, tmp: str) -> None:
         extra = dict(extra)
         chunk_rows = extra.pop("_chunk_rows", None)
         if chunk_rows is not None:
-            os.environ["KMER_CHUNKED_MIN_BYTES"] = "1024"
+            # force the chunked impl (narrow-lane rows1 became the auto
+            # default at every plane size, so auto no longer upgrades)
+            os.environ["KMER_PROBE_IMPL"] = "chunked"
             os.environ["KMER_CHUNK_ROWS"] = str(chunk_rows)
         else:
-            os.environ.pop("KMER_CHUNKED_MIN_BYTES", None)
+            os.environ.pop("KMER_PROBE_IMPL", None)
             os.environ.pop("KMER_CHUNK_ROWS", None)
         cfg = EngineConfig(backend=backend, **{**kw, **extra})
         out = io.StringIO()
@@ -167,7 +169,7 @@ def run_round(seed: int, tmp: str) -> None:
                         query_stream=io.StringIO(fasta))
         outs.append((backend, extra, strip(out.getvalue())))
     os.environ.pop("KMER_NATIVE_THREADS", None)
-    os.environ.pop("KMER_CHUNKED_MIN_BYTES", None)
+    os.environ.pop("KMER_PROBE_IMPL", None)
     os.environ.pop("KMER_CHUNK_ROWS", None)
     base = outs[0][2]
     for backend, extra, text in outs[1:]:

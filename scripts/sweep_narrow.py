@@ -165,31 +165,69 @@ def main():
         out["kmerize64_honest"] = round(rate, 1)
         print(f"kmerize64 honest: {rate/1e6:.1f}M windows/s", flush=True)
 
-        for lanes in (32, 128):
-            stride = lanes - W
-            rows = (N_SIGS - 1) // stride + 1
-            idx = (jnp.arange(rows)[:, None] * stride
-                   + jnp.arange(lanes)[None, :])
-            t64 = flat64[idx]
+        def kmerize_pair(m, lens):
+            """hi/lo int32 halves (each < 160000 = 20^4): all-int32 VPU
+            work; the int64 value exists only as ONE combine at the end."""
+            offs = jnp.asarray(AA_OFF_LUT)[m.astype(jnp.int32)]
+            w = offs.shape[1] - K + 1
+            lo = jnp.zeros((offs.shape[0], w), dtype=jnp.int32)
+            hi = jnp.zeros((offs.shape[0], w), dtype=jnp.int32)
+            ok = jnp.ones((offs.shape[0], w), dtype=bool)
+            for k in range(K):
+                seg = offs[:, k:k + w]
+                if k < 4:
+                    lo = lo + seg * int(POW20[k])
+                else:
+                    hi = hi + seg * int(POW20[k - 4])
+                ok = ok & (seg < 20)
+            ok = ok & (jnp.arange(w) < (lens - K)[:, None])
+            return hi, lo, ok
 
-            def body_step(i, mats_all, lens, t64, s=stride, ln=lanes,
-                          nrows=rows):
-                m = jax.lax.dynamic_index_in_dim(mats_all, i % N_BATCHES, 0,
-                                                 keepdims=False)
-                v, ok = kmerize64(m, lens)
-                fv = v.reshape(-1)
-                homes = jnp.minimum(
-                    (fv % jnp.int64(N_SIGS)).astype(jnp.int32),
-                    jnp.int32((nrows - 1) * s - 1))
-                sl = probe(t64, fv, homes, s, ln)
-                return jnp.sum(sl * ok.reshape(-1))
+        def body_kmerize_pair(i, mats_all, lens):
+            m = jax.lax.dynamic_index_in_dim(mats_all, i % N_BATCHES, 0,
+                                             keepdims=False)
+            hi, lo, ok = kmerize_pair(m, lens)
+            v = hi.astype(jnp.int64) * jnp.int64(160000) + lo
+            return jnp.sum((v & 0xFF).astype(jnp.int32) * ok)
 
-            loop = rep(body_step)
-            rate = timed(lambda r: loop(r, mats_all, lens, t64),
-                         reps, 4 * reps) * nwin
-            out[f"step64_honest_lanes{lanes}"] = round(rate, 1)
-            print(f"fused step lanes={lanes}: {rate/1e6:.1f}M windows/s "
-                  f"(= {rate/(L-K+1)/1e3:.0f}k reads/s)", flush=True)
+        loop = rep(body_kmerize_pair)
+        rate = timed(lambda r: loop(r, mats_all, lens), reps, 4 * reps) * nwin
+        out["kmerize_pair_honest"] = round(rate, 1)
+        print(f"kmerize pair honest: {rate/1e6:.1f}M windows/s", flush=True)
+
+        for variant in ("k64", "pair"):
+            for lanes in (32, 128):
+                stride = lanes - W
+                rows = (N_SIGS - 1) // stride + 1
+                idx = (jnp.arange(rows)[:, None] * stride
+                       + jnp.arange(lanes)[None, :])
+                t64 = flat64[idx]
+
+                def body_step(i, mats_all, lens, t64, s=stride, ln=lanes,
+                              nrows=rows, var=variant):
+                    m = jax.lax.dynamic_index_in_dim(mats_all,
+                                                     i % N_BATCHES, 0,
+                                                     keepdims=False)
+                    if var == "k64":
+                        v, ok = kmerize64(m, lens)
+                        fv = v.reshape(-1)
+                    else:
+                        hi, lo, ok = kmerize_pair(m, lens)
+                        fv = (hi.astype(jnp.int64) * jnp.int64(160000)
+                              + lo).reshape(-1)
+                    homes = jnp.minimum(
+                        (fv % jnp.int64(N_SIGS)).astype(jnp.int32),
+                        jnp.int32((nrows - 1) * s - 1))
+                    sl = probe(t64, fv, homes, s, ln)
+                    return jnp.sum(sl * ok.reshape(-1))
+
+                loop = rep(body_step)
+                rate = timed(lambda r: loop(r, mats_all, lens, t64),
+                             reps, 4 * reps) * nwin
+                out[f"step_{variant}_lanes{lanes}"] = round(rate, 1)
+                print(f"fused step {variant} lanes={lanes}: "
+                      f"{rate/1e6:.1f}M windows/s "
+                      f"(= {rate/(L-K+1)/1e3:.0f}k reads/s)", flush=True)
     print(json.dumps(out))
 
 

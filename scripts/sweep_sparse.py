@@ -62,11 +62,13 @@ def null_roundtrip():
 # ---------------------------------------------------------------- probes
 
 def _probe_rows1(fp2d, qfp, homes, w, stride):
-    """rows1 probe body (dtype-generic: u16 or u8 plane)."""
+    """rows1 probe body (dtype-generic: u16 or u8 plane; lane width from
+    the plane's shape — 128 wide or the narrow production layout)."""
+    lanes = fp2d.shape[1]
     r = homes // jnp.int32(stride)
     o = (homes - r * jnp.int32(stride)).astype(jnp.int32)
-    win = jnp.take(fp2d, r, axis=0)  # [N, 128] one row gather
-    rel = jnp.arange(128, dtype=jnp.int32)[None, :] - o[:, None]
+    win = jnp.take(fp2d, r, axis=0)  # [N, L] one row gather
+    rel = jnp.arange(lanes, dtype=jnp.int32)[None, :] - o[:, None]
     in_w = (rel >= 0) & (rel < w)
     big = jnp.int32(w)
     empty_v = jnp.array(np.iinfo(fp2d.dtype.name).max, fp2d.dtype)
@@ -105,7 +107,7 @@ def _probe_rows1_u32p(fp2d, qfp, homes, w, stride):
 
 @partial(jax.jit, static_argnames=("w", "stride", "reps", "packed"))
 def rows1_loop(fp2d, qfp, homes, w, stride, reps, packed=False):
-    cover = 256 if packed else 128
+    cover = 2 * fp2d.shape[1] if packed else fp2d.shape[1]
     limit = jnp.int32((fp2d.shape[0] - 1) * stride + cover - w - 1)
     probe = _probe_rows1_u32p if packed else _probe_rows1
 

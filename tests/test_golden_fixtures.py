@@ -62,10 +62,10 @@ def test_dna_report_matches_golden(corpus):
 
 
 def test_forced_chunked_engine_matches_golden(corpus, monkeypatch):
-    """The chunked probe impl (auto default on HBM-large planes; forced
+    """The chunked probe impl (the wide-lane HBM escape hatch; forced
     small here) reproduces the golden corpus report byte-for-byte through
     the full engine."""
-    monkeypatch.setenv("KMER_CHUNKED_MIN_BYTES", "1024")
+    monkeypatch.setenv("KMER_PROBE_IMPL", "chunked")
     monkeypatch.setenv("KMER_CHUNK_ROWS", "64")
     d, prots, _ = corpus
     fasta = "".join(f">{p.id} {p.descr}\n{p.seq}\n" for p in prots)

@@ -300,8 +300,9 @@ def test_probe_rows1_matches_flat():
     flat = XlaLookup(table, probe_impl="flat")
     r1 = XlaLookup(table, probe_impl="rows1")
     assert r1.probe_impl == "rows1"
-    assert r1.stride == 128 - r1.w1
-    assert r1.tbl_fp.ndim == 2 and r1.tbl_fp.shape[1] == 128
+    assert r1.stride == r1.lanes - r1.w1
+    assert r1.lanes == (32 if r1.w1 <= 16 else 64 if r1.w1 <= 48 else 128)
+    assert r1.tbl_fp.ndim == 2 and r1.tbl_fp.shape[1] == r1.lanes
     values, cnt, pos = make_queries(rng, sig["kmers"], 4096)
     # force HOMES onto overlapped-row boundaries (o = 0 and o = stride-1):
     # home = value % num_sigs, so the values themselves must be built from
@@ -409,7 +410,9 @@ def test_probe_chunked_matches_rows1():
                                           jnp.asarray(homes), r1.w1,
                                           r1.stride)
     off_b, st_b = ck.resolve_probe(ck.dispatch_probe(q_fp, homes))
-    assert ck.w1 == r1.w1 and ck.stride == r1.stride
+    # the (off, state) contract is layout-independent: chunked keeps 128
+    # lanes (stride 128-w1) while rows1 defaults narrow (lanes-w1)
+    assert ck.w1 == r1.w1 and ck.stride == 128 - ck.w1
     assert np.array_equal(np.asarray(off_a), off_b)
     assert np.array_equal(np.asarray(st_a), st_b)
 
@@ -455,14 +458,20 @@ def test_probe_chunked_auto_gate():
     assert lk.probe_impl == "rows1"
     lk2 = XlaLookup(table, probe_impl="chunked")  # plane < one chunk
     assert lk2.probe_impl == "rows1"
+    # narrow-lane rows1 is the auto default at EVERY plane size now; the
+    # HBM-threshold upgrade only applies to forced-128-lane planes
     os.environ["KMER_CHUNKED_MIN_BYTES"] = "1024"
+    os.environ["KMER_PROBE_LANES"] = "128"
     os.environ["KMER_CHUNK_ROWS"] = "8"
     try:
-        lk3 = XlaLookup(table)  # auto with a tiny threshold -> chunked
+        lk3 = XlaLookup(table)  # auto, wide lanes, tiny threshold -> chunked
+        lkn = XlaLookup(table, probe_impl="rows1")
     finally:
         del os.environ["KMER_CHUNKED_MIN_BYTES"]
+        del os.environ["KMER_PROBE_LANES"]
         del os.environ["KMER_CHUNK_ROWS"]
     assert lk3.probe_impl == "chunked"
+    assert lkn.lanes == 128  # env override wins over the narrow default
     rngq = np.random.default_rng(97)
     values, cnt, pos = make_queries(rngq, sig["kmers"], 2048)
     assert canon(lk3.lookup(values, cnt, pos)) == canon(
