@@ -92,11 +92,11 @@ def bench_gather(n_slots: int, n_queries: int, reps: int, floor: float):
 def rows_loop(fp2d, qfp, homes, w, reps):
     from kmergutsjava_tpu.lookup.xla import probe_fingerprint_rows
 
-    limit = jnp.int32((fp2d.shape[0] - 1) * 128 - w)
-
     def body(i, carry):
-        h = (homes + i) % limit
-        off, state = probe_fingerprint_rows(fp2d, qfp, h, w)
+        # query-xor perturbation (see rows1_loop: the old per-rep modulo
+        # over homes cost more than a narrow probe itself)
+        off, state = probe_fingerprint_rows(
+            fp2d, qfp ^ i.astype(jnp.uint16), homes, w)
         return (carry + jnp.sum(state.astype(jnp.int32))
                 + jnp.sum(off.astype(jnp.int32)))
 
@@ -126,11 +126,14 @@ def bench_rows(n_slots: int, n_queries: int, reps: int, floor: float):
 def rows1_loop(fp2d, qfp, homes, w, stride, reps):
     from kmergutsjava_tpu.lookup.xla import probe_fingerprint_rows1
 
-    limit = jnp.int32((fp2d.shape[0] - 1) * stride - w)
-
     def body(i, carry):
-        h = (homes + i) % limit
-        off, state = probe_fingerprint_rows1(fp2d, qfp, h, w, stride)
+        # perturb the QUERY fingerprint, not the home: defeats loop
+        # hoisting for one u16 xor per query — the former per-rep
+        # (homes + i) % limit modulo cost ~2-4x the narrow probe itself
+        # (the "mod tax", /tmp isolate sweeps; production probes a fixed
+        # home distribution, so the xor form is the honest one)
+        off, state = probe_fingerprint_rows1(
+            fp2d, qfp ^ i.astype(jnp.uint16), homes, w, stride)
         return (carry + jnp.sum(state.astype(jnp.int32))
                 + jnp.sum(off.astype(jnp.int32)))
 

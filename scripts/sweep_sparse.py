@@ -107,13 +107,14 @@ def _probe_rows1_u32p(fp2d, qfp, homes, w, stride):
 
 @partial(jax.jit, static_argnames=("w", "stride", "reps", "packed"))
 def rows1_loop(fp2d, qfp, homes, w, stride, reps, packed=False):
-    cover = 2 * fp2d.shape[1] if packed else fp2d.shape[1]
-    limit = jnp.int32((fp2d.shape[0] - 1) * stride + cover - w - 1)
     probe = _probe_rows1_u32p if packed else _probe_rows1
 
     def body(i, carry):
-        h = (homes + i) % limit
-        return carry + jnp.sum(probe(fp2d, qfp, h, w, stride))
+        # query-xor perturbation: one u16 op per query to defeat loop
+        # hoisting — the former (homes + i) % limit modulo cost ~2-4x
+        # the narrow probe itself and understated every rows rate
+        return carry + jnp.sum(probe(fp2d, qfp ^ i.astype(jnp.uint16),
+                                     homes, w, stride))
 
     return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
@@ -210,8 +211,9 @@ def prod_chunked_loop(tbl3, qfp_b, row_b, off_b, w, chunk_rows, reps):
     from kmergutsjava_tpu.lookup.xla import probe_fingerprint_chunk_bins
 
     def body(i, carry):
-        rb = (row_b + i.astype(jnp.uint16)) % jnp.uint16(chunk_rows)
-        off, st = probe_fingerprint_chunk_bins(tbl3, qfp_b, rb, off_b, w)
+        # query-xor perturbation (see rows1_loop)
+        off, st = probe_fingerprint_chunk_bins(
+            tbl3, qfp_b ^ i.astype(jnp.uint16), row_b, off_b, w)
         return (carry + jnp.sum(st.astype(jnp.int32))
                 + jnp.sum(off.astype(jnp.int32)))
 
