@@ -8,7 +8,12 @@ query sequence (PROTEIN-ID/processed-seq header, CALL/OTU-COUNTS lines —
 ref :398-404, :516-522), and the grouping state machine carries no state
 across sequences. Concatenating per-batch reports therefore reproduces
 the single-run report byte-for-byte in non-debug mode (debug mode writes
-per-RUN info lines into the report, so checkpointing refuses it).
+per-RUN info lines into the report, so checkpointing refuses it) —
+PROVIDED sequence ids are unique: phase 3 walks containers grouped by
+id, so same-id sequences print at the id's FIRST occurrence (ref
+:805-818), which batches cannot reproduce across a boundary. A pre-scan
+refuses duplicate-id inputs up front (found by scripts/soak.py seed
+253355989).
 
 Mechanism:
 
@@ -111,6 +116,53 @@ def iter_groups(stream: TextIO) -> Iterator[List[str]]:
         yield group
 
 
+def _group_id(group: List[str]) -> Optional[str]:
+    """The sequence id the reference parser would assign this group: first
+    whitespace token after '>' of the group's boundary caption line (see
+    formats/fasta.py); None when the group has no usable caption (bare
+    '>' — the parser skips it while seeking)."""
+    for line in group:
+        t = _java_trim(line)
+        if t.startswith(">"):
+            toks = t[1:].split()
+            return toks[0] if toks else None
+    return None
+
+
+class _DupIdDetector:
+    """Duplicate-sequence-id detection for the batch scan.
+
+    The report is NOT emitted in input order when ids repeat: phase 3
+    iterates containers grouped BY ID, so every same-id sequence prints at
+    the id's first occurrence (reference KmerGutsJava.java:805-818, the
+    LinkedHashMap-of-containers walk; caught by scripts/soak.py seed
+    253355989). Batched execution can only reproduce that when all
+    occurrences share a batch, so checkpointing refuses duplicate ids
+    outright. Ids are kept as 8-byte blake2b digests (bounded memory at
+    ~70 B/record; a digest collision can only cause a spurious refusal,
+    never a wrong report)."""
+
+    def __init__(self) -> None:
+        import hashlib
+
+        self._h = hashlib.blake2b
+        self._seen = set()
+
+    def check(self, group: List[str]) -> None:
+        gid = _group_id(group)
+        if gid is None:
+            return
+        d = self._h(gid.encode("utf-8", "surrogateescape"),
+                    digest_size=8).digest()
+        if d in self._seen:
+            raise CheckpointError(
+                f"input contains duplicate sequence id {gid!r}: the report "
+                "groups same-id sequences at their first occurrence, which "
+                "batched execution cannot reproduce byte-identically; run "
+                "without --checkpoint")
+        self._seen.add(d)
+
+
 def _write_checkpoint(ckpt_path: str, state: dict) -> None:
     tmp = ckpt_path + ".tmp"
     with open(tmp, "w") as fh:
@@ -175,6 +227,14 @@ def run_with_checkpoint(cfg: EngineConfig, data_dir: str, query_path: str,
         raise CheckpointError("--checkpoint-every must be >= 1")
     input_id = _input_identity(query_path)
     cfg_sig = _config_signature(cfg, data_dir)
+    # duplicate-id pre-scan BEFORE any batch runs: a mid-run refusal would
+    # strand a committed-but-unfinishable prefix. One extra parse pass of
+    # the input; annotation dominates it.
+    dups = _DupIdDetector()
+    with open_text_maybe_gz(query_path) as qf:
+        for group in iter_groups(qf):
+            dups.check(group)
+    del dups
     state = _load_checkpoint(ckpt_path, input_id, cfg_sig, output_path)
     groups_done = 0
     out_offset = 0

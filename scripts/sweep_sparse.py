@@ -63,21 +63,22 @@ def null_roundtrip():
 
 def _probe_rows1(fp2d, qfp, homes, w, stride):
     """rows1 probe body (dtype-generic: u16 or u8 plane; lane width from
-    the plane's shape — 128 wide or the narrow production layout)."""
+    the plane's shape — 128 wide or the narrow production layout). Same
+    first-event single-reduction form as the production probe
+    (lookup/xla.py _first_event; the former two-reduction form measured
+    316M vs 558M/s on narrow planes)."""
     lanes = fp2d.shape[1]
     r = homes // jnp.int32(stride)
     o = (homes - r * jnp.int32(stride)).astype(jnp.int32)
     win = jnp.take(fp2d, r, axis=0)  # [N, L] one row gather
     rel = jnp.arange(lanes, dtype=jnp.int32)[None, :] - o[:, None]
     in_w = (rel >= 0) & (rel < w)
-    big = jnp.int32(w)
+    big2 = jnp.int32(2 * w)
     empty_v = jnp.array(np.iinfo(fp2d.dtype.name).max, fp2d.dtype)
-    cand = (win == qfp[:, None]) & in_w
-    empty = (win == empty_v) & in_w
-    first_cand = jnp.min(jnp.where(cand, rel, big), axis=1)
-    first_empty = jnp.min(jnp.where(empty, rel, big), axis=1)
-    has = (first_cand < big) & (first_cand < first_empty)
-    return first_cand + 2 * has.astype(jnp.int32)
+    key = jnp.where((win == qfp[:, None]) & in_w, rel * 2,
+                    jnp.where((win == empty_v) & in_w, rel * 2 + 1, big2))
+    fst = jnp.min(key, axis=1)
+    return fst + (fst < big2).astype(jnp.int32)
 
 
 def _probe_rows1_u32p(fp2d, qfp, homes, w, stride):

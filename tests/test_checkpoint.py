@@ -137,6 +137,31 @@ def test_crash_resume_with_torn_tail(tmp_path, data_dir):
     assert json.loads(ck.read_text())["complete"]
 
 
+def test_duplicate_id_refused(tmp_path, data_dir):
+    """Same-id sequences print at the id's FIRST occurrence (phase 3 walks
+    containers grouped by id, ref KmerGutsJava.java:805-818), which batches
+    cannot reproduce across a boundary — found by soak seed 253355989.
+    The pre-scan must refuse before ANY batch is committed."""
+    fasta = (">A x\n" + AA + "\n>B y\n" + AA[::-1] + AA + "\n"
+             ">A z\n" + AA + AA + "\n")
+    q = tmp_path / "q.fa"
+    q.write_text(fasta)
+    out, ck = tmp_path / "r.txt", tmp_path / "r.ckpt"
+    with pytest.raises(CheckpointError, match="duplicate sequence id 'A'"):
+        run_with_checkpoint(EngineConfig(aa=True), data_dir, str(q),
+                            str(out), str(ck), batch_groups=1,
+                            progress=False)
+    assert not ck.exists()  # refused before any commit
+    # and duplicate ids really are unreproducible across batches: in aa
+    # mode the engine keys containers by id, so the second A record's
+    # hits MERGE into the first A section (one PROTEIN-ID A line, emitted
+    # before B) — batch-split A records would emit two
+    rep = _single_run(EngineConfig(aa=True), data_dir, fasta)
+    ids = [l.split("\t")[1] for l in rep.splitlines()
+           if l.startswith("PROTEIN-ID")]
+    assert ids == ["A", "B"]
+
+
 def test_mismatch_refusals(tmp_path, data_dir):
     fasta = _mk_corpus(n=6)
     q = tmp_path / "q.fa"
