@@ -412,6 +412,11 @@ class XlaLookup:
                 # native router assume them.
                 lanes = int(os.environ.get("KMER_PROBE_LANES", 0)) or (
                     32 if self.w1 <= 16 else 64 if self.w1 <= 48 else 128)
+                # A lanes override <= w1 leaves no probe stride (the
+                # budget loop would divide by zero at lanes == w1); every
+                # window must fit one row, which needs lanes >= 2*w1.
+                while lanes < 128 and lanes < 2 * self.w1:
+                    lanes *= 2
                 while (lanes < 128 and
                        (plane_len * 2 * lanes) // (lanes - self.w1) > budget):
                     lanes *= 2

@@ -9,11 +9,15 @@ ref :398-404, :516-522), and the grouping state machine carries no state
 across sequences. Concatenating per-batch reports therefore reproduces
 the single-run report byte-for-byte in non-debug mode (debug mode writes
 per-RUN info lines into the report, so checkpointing refuses it) —
-PROVIDED sequence ids are unique: phase 3 walks containers grouped by
-id, so same-id sequences print at the id's FIRST occurrence (ref
-:805-818), which batches cannot reproduce across a boundary. A pre-scan
-refuses duplicate-id inputs up front (found by scripts/soak.py seed
-253355989).
+PROVIDED no sequence id spans a batch boundary: phase 3 walks containers
+grouped by id, so same-id sequences print at the id's FIRST occurrence
+with the LAST occurrence's length/containers (ref :805-818; LinkedHashMap
+put semantics), which batches cannot reproduce across a boundary. A
+pre-scan therefore maps every duplicated id to its last occurrence and
+the batcher defers each commit until no id seen so far recurs later —
+all occurrences of an id share a batch, inside which the ordinary Engine
+reproduces the single-run grouping exactly (found by scripts/soak.py
+seed 253355989, which now byte-verifies checkpointed duplicate runs).
 
 Mechanism:
 
@@ -27,11 +31,15 @@ Mechanism:
   batch runs through the ordinary Engine, appending to the output file.
 - after each batch: flush + fsync the output, then atomically replace
   the checkpoint sidecar (JSON: input identity, a config signature,
-  groups done, committed output byte offset).
+  groups done, committed output byte offset, and a running digest of
+  every input line consumed so far).
 - on restart with the same checkpoint path: the sidecar is validated
   against the input file and config, the output is truncated to the last
   committed offset (discarding any torn tail from the crash), the first
-  ``groups_done`` groups are skipped, and the run continues.
+  ``groups_done`` groups are skipped — re-hashing them and comparing to
+  the sidecar's prefix digest, so ANY in-place edit of the already-
+  committed region is caught exactly (the whole-file identity check is
+  sampled above _FULL_HASH_MAX bytes) — and the run continues.
 """
 from __future__ import annotations
 
@@ -43,8 +51,12 @@ from typing import Iterator, List, Optional, TextIO
 from ..config import EngineConfig
 from ..formats.fasta import _java_trim, open_text_maybe_gz
 
-CKPT_VERSION = 1
+CKPT_VERSION = 2  # v2: full-hash identity for small inputs + prefix digest
 DEFAULT_BATCH_GROUPS = 100_000
+# Inputs up to this size get a FULL content hash (a few hundred ms of IO);
+# larger ones fall back to the sampled fingerprint, where the committed
+# prefix is still covered exactly by the running prefix digest.
+_FULL_HASH_MAX = 256 << 20
 
 
 class CheckpointError(ValueError):
@@ -78,15 +90,27 @@ def _config_signature(cfg: EngineConfig, data_dir: str) -> str:
 
 
 def _input_identity(path: str) -> dict:
-    """Size + a sampled content fingerprint (head, tail, and 8 strided
-    1 MB interior blocks — <=10 MB read however large the input). mtime
-    is deliberately NOT used: restoring the same bytes from a backup or
-    re-copying the input must not strand a resumable run."""
+    """Size + content hash. Full sha256 up to _FULL_HASH_MAX; above that,
+    a sampled fingerprint (head, tail, and 8 strided 1 MB interior blocks
+    — <=10 MB read however large the input; a size-preserving edit between
+    samples is then caught by the resume-time prefix digest instead, for
+    the committed region). mtime is deliberately NOT used: restoring the
+    same bytes from a backup or re-copying the input must not strand a
+    resumable run."""
     import hashlib
 
     size = os.path.getsize(path)
     h = hashlib.sha256()
     block = 1 << 20
+    if size <= _FULL_HASH_MAX:
+        with open(path, "rb") as fh:
+            while True:
+                chunk = fh.read(block)
+                if not chunk:
+                    break
+                h.update(chunk)
+        return {"path": os.path.realpath(path), "size": size,
+                "sha256": h.hexdigest()}
     offsets = {0, max(0, size - block)}
     for i in range(1, 9):
         offsets.add((size * i // 9) // block * block)
@@ -129,38 +153,42 @@ def _group_id(group: List[str]) -> Optional[str]:
     return None
 
 
-class _DupIdDetector:
-    """Duplicate-sequence-id detection for the batch scan.
+def _id_digest(gid: str) -> bytes:
+    import hashlib
 
-    The report is NOT emitted in input order when ids repeat: phase 3
-    iterates containers grouped BY ID, so every same-id sequence prints at
-    the id's first occurrence (reference KmerGutsJava.java:805-818, the
-    LinkedHashMap-of-containers walk; caught by scripts/soak.py seed
-    253355989). Batched execution can only reproduce that when all
-    occurrences share a batch, so checkpointing refuses duplicate ids
-    outright. Ids are kept as 8-byte blake2b digests (bounded memory at
-    ~70 B/record; a digest collision can only cause a spurious refusal,
-    never a wrong report)."""
+    return hashlib.blake2b(gid.encode("utf-8", "surrogateescape"),
+                           digest_size=8).digest()
 
-    def __init__(self) -> None:
-        import hashlib
 
-        self._h = hashlib.blake2b
-        self._seen = set()
+def _scan_duplicate_spans(query_path: str) -> dict:
+    """Pre-scan: map each DUPLICATED sequence id (8-byte blake2b digest)
+    to the group index of its LAST occurrence.
 
-    def check(self, group: List[str]) -> None:
-        gid = _group_id(group)
-        if gid is None:
-            return
-        d = self._h(gid.encode("utf-8", "surrogateescape"),
-                    digest_size=8).digest()
-        if d in self._seen:
-            raise CheckpointError(
-                f"input contains duplicate sequence id {gid!r}: the report "
-                "groups same-id sequences at their first occurrence, which "
-                "batched execution cannot reproduce byte-identically; run "
-                "without --checkpoint")
-        self._seen.add(d)
+    Why: the report is NOT emitted in input order when ids repeat — phase
+    3 iterates containers grouped BY ID, so every same-id sequence prints
+    at the id's first occurrence with the LAST occurrence's length and
+    containers (reference KmerGutsJava.java:805-818: LinkedHashMap
+    ``queryIdToLen.put`` keeps first position / last value, and the
+    ``hitCnts.put`` overwrite keeps the last container per key; caught by
+    scripts/soak.py seed 253355989). Batched execution reproduces that iff
+    all occurrences of an id share one batch, so the batcher holds a batch
+    open until no id it contains recurs later. Only duplicated ids are
+    kept (unique ids impose no constraint), bounding memory to the
+    duplicate count; a digest collision can only merge two batches
+    unnecessarily, never produce a wrong report."""
+    first: dict = {}
+    dup_last: dict = {}
+    with open_text_maybe_gz(query_path) as qf:
+        for idx, group in enumerate(iter_groups(qf)):
+            gid = _group_id(group)
+            if gid is None:
+                continue
+            d = _id_digest(gid)
+            if d in first:
+                dup_last[d] = idx
+            else:
+                first[d] = idx
+    return dup_last
 
 
 def _write_checkpoint(ckpt_path: str, state: dict) -> None:
@@ -227,14 +255,10 @@ def run_with_checkpoint(cfg: EngineConfig, data_dir: str, query_path: str,
         raise CheckpointError("--checkpoint-every must be >= 1")
     input_id = _input_identity(query_path)
     cfg_sig = _config_signature(cfg, data_dir)
-    # duplicate-id pre-scan BEFORE any batch runs: a mid-run refusal would
-    # strand a committed-but-unfinishable prefix. One extra parse pass of
-    # the input; annotation dominates it.
-    dups = _DupIdDetector()
-    with open_text_maybe_gz(query_path) as qf:
-        for group in iter_groups(qf):
-            dups.check(group)
-    del dups
+    # duplicate-id pre-scan BEFORE any batch runs: one extra parse pass of
+    # the input (annotation dominates it) that tells the batcher which
+    # group spans must not be split.
+    dup_last = _scan_duplicate_spans(query_path)
     state = _load_checkpoint(ckpt_path, input_id, cfg_sig, output_path)
     groups_done = 0
     out_offset = 0
@@ -258,23 +282,59 @@ def run_with_checkpoint(cfg: EngineConfig, data_dir: str, query_path: str,
         # utf-8 to match the plain CLI's open(output, "w") byte-for-byte
         out = io.TextIOWrapper(raw, encoding="utf-8", newline="")
         engine = Engine(cfg)
+        import hashlib
+
+        # Running digest of every input line consumed (committed batches
+        # only — updated as lines are read, persisted at each commit).
+        # On resume it re-covers the skipped prefix exactly, so in-place
+        # edits of already-committed input are caught even when the
+        # whole-file identity above is only sampled (large inputs).
+        prefix_h = hashlib.blake2b(digest_size=16)
         with open_text_maybe_gz(query_path) as qf:
             groups = iter_groups(qf)
             skipped = 0
             while skipped < groups_done:
-                if next(groups, None) is None:
+                g = next(groups, None)
+                if g is None:
                     raise CheckpointError(
                         f"checkpoint says {groups_done} groups are done but "
                         f"the input has only {skipped}; was the input file "
                         "changed in place?")
+                for line in g:
+                    prefix_h.update(line.encode("utf-8", "surrogateescape"))
                 skipped += 1
+            if state is not None:
+                want = state.get("prefix_blake2b")
+                if want is not None and want != prefix_h.hexdigest():
+                    raise CheckpointError(
+                        f"the first {groups_done} sequence groups of "
+                        f"{query_path} no longer match the bytes the "
+                        "checkpoint committed (in-place edit of the input?); "
+                        "delete the checkpoint to start over")
+            next_idx = groups_done  # input index of the next group to read
+            # furthest last-occurrence index among duplicated ids seen so
+            # far; a batch may only close once the input position has
+            # passed it (all occurrences of every id share one batch —
+            # the single-run first-occurrence grouping then reproduces
+            # inside the batch; see _scan_duplicate_spans)
+            open_span = -1
             while True:
                 batch: List[str] = []
                 n_groups = 0
                 for group in groups:
                     batch.extend(group)
+                    for line in group:
+                        prefix_h.update(
+                            line.encode("utf-8", "surrogateescape"))
+                    if dup_last:
+                        gid = _group_id(group)
+                        if gid is not None:
+                            last = dup_last.get(_id_digest(gid), -1)
+                            if last > open_span:
+                                open_span = last
                     n_groups += 1
-                    if n_groups >= batch_groups:
+                    next_idx += 1
+                    if n_groups >= batch_groups and open_span < next_idx:
                         break
                 if n_groups == 0:
                     break
@@ -288,14 +348,17 @@ def run_with_checkpoint(cfg: EngineConfig, data_dir: str, query_path: str,
                 _write_checkpoint(ckpt_path, {
                     "version": CKPT_VERSION, "input": input_id,
                     "config_sig": cfg_sig, "groups_done": groups_done,
-                    "out_offset": out_offset, "complete": False})
+                    "out_offset": out_offset,
+                    "prefix_blake2b": prefix_h.hexdigest(),
+                    "complete": False})
                 if progress:
                     print(f"checkpoint: {groups_done} groups committed "
                           f"({out_offset} B)")
         _write_checkpoint(ckpt_path, {
             "version": CKPT_VERSION, "input": input_id,
             "config_sig": cfg_sig, "groups_done": groups_done,
-            "out_offset": out_offset, "complete": True})
+            "out_offset": out_offset,
+            "prefix_blake2b": prefix_h.hexdigest(), "complete": True})
     finally:
         raw.close()
     return done_this_run

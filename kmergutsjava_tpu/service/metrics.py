@@ -31,10 +31,17 @@ def _key(name: str, labels: Optional[Dict[str, str]]) -> _Key:
     return (name, tuple(sorted((labels or {}).items())))
 
 
+def _esc_label(v: str) -> str:
+    # Prometheus text format: label values escape backslash, quote, newline.
+    # Values can carry client-controlled strings (e.g. RPC method names), so
+    # unescaped output would let a request corrupt the whole exposition.
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(labels: Tuple[Tuple[str, str], ...]) -> str:
     if not labels:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in labels)
+    inner = ",".join(f'{k}="{_esc_label(str(v))}"' for k, v in labels)
     return "{" + inner + "}"
 
 

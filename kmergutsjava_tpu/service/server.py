@@ -202,6 +202,9 @@ class KmerGutsService:
             raise RpcError("_check_job expects a job id parameter")
         job_id = params[0]
         with self._jobs_lock:
+            # Reap here too: a poll-only or idle server otherwise never
+            # expires finished jobs and the async_jobs gauges go stale.
+            self._reap_jobs()
             job = self._jobs.get(job_id)
         if job is None:
             raise RpcError(f"unknown job id {job_id!r} (finished jobs are "
@@ -216,8 +219,11 @@ class KmerGutsService:
               "_annotate_submit": self.annotate_submit,
               "_check_job": self.check_job}.get(short)
         if fn is None:
+            # Fixed label: echoing the raw client string would let every
+            # distinct bogus method mint a new counter key (unbounded
+            # registry growth + metric-cardinality abuse).
             self.metrics.inc("rpc_requests_total",
-                             {"method": short, "outcome": "no_such_method"})
+                             {"method": "_unknown", "outcome": "no_such_method"})
             raise RpcError(f"Method {method} is not a valid method", -32601)
         self.metrics.add_gauge("rpc_requests_in_flight", 1)
         t0 = time.time()

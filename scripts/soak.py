@@ -180,36 +180,21 @@ def run_round(seed: int, tmp: str) -> None:
                 f"{text[:2000]}")
     if rng.random() < 0.25 and not kw["debug"]:
         # checkpointed batched execution must reproduce the single-run
-        # report byte-for-byte at any batch size (models/checkpoint.py);
-        # duplicate-id rounds must be REFUSED (same-id sequences print at
-        # the id's first occurrence — unreproducible across batches; this
-        # leg caught that with seed 253355989)
-        from kmergutsjava_tpu.models.checkpoint import (CheckpointError,
-                                                        run_with_checkpoint)
+        # report byte-for-byte at any batch size (models/checkpoint.py) —
+        # INCLUDING duplicate-id rounds (same-id sequences print at the
+        # id's first occurrence; the batcher keeps all occurrences of an
+        # id in one batch; refusal of these caught seed 253355989, the
+        # span-aware batcher replaced it in round 3)
+        from kmergutsjava_tpu.models.checkpoint import run_with_checkpoint
 
         qp = os.path.join(tmp, f"q{seed}.fa")
         op = os.path.join(tmp, f"o{seed}.txt")
         cp = os.path.join(tmp, f"c{seed}.ckpt")
         with open(qp, "w") as fh:
             fh.write(fasta)
-        ids = [rid for rid, _ in records]
-        try:
-            run_with_checkpoint(EngineConfig(**kw), d, qp, op, cp,
-                                batch_groups=rng.randint(1, 7),
-                                progress=False)
-        except CheckpointError as ex:
-            if "duplicate sequence id" not in str(ex):
-                raise
-            if len(set(ids)) == len(ids):
-                raise AssertionError(
-                    f"seed {seed}: spurious duplicate-id refusal: {ex}")
-            for p in (qp, op, cp):
-                if os.path.exists(p):
-                    os.unlink(p)
-            return
-        if len(set(ids)) != len(ids):
-            raise AssertionError(
-                f"seed {seed}: duplicate-id input was NOT refused")
+        run_with_checkpoint(EngineConfig(**kw), d, qp, op, cp,
+                            batch_groups=rng.randint(1, 7),
+                            progress=False)
         with open(op) as fh:
             text = strip(fh.read())
         # the checkpoint path writes a pure report file (stdout=False:

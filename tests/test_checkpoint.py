@@ -137,29 +137,116 @@ def test_crash_resume_with_torn_tail(tmp_path, data_dir):
     assert json.loads(ck.read_text())["complete"]
 
 
-def test_duplicate_id_refused(tmp_path, data_dir):
-    """Same-id sequences print at the id's FIRST occurrence (phase 3 walks
-    containers grouped by id, ref KmerGutsJava.java:805-818), which batches
-    cannot reproduce across a boundary — found by soak seed 253355989.
-    The pre-scan must refuse before ANY batch is committed."""
+def test_duplicate_ids_checkpointed_byte_identical(tmp_path, data_dir):
+    """Same-id sequences print at the id's FIRST occurrence with the LAST
+    occurrence's length/containers (phase 3 walks containers grouped by
+    id, ref KmerGutsJava.java:805-818), which batches cannot reproduce
+    across a boundary — found by soak seed 253355989. The batcher must
+    therefore hold a batch open until every id it contains has passed its
+    last occurrence, and the result must still match a single run
+    byte-for-byte at every batch size."""
     fasta = (">A x\n" + AA + "\n>B y\n" + AA[::-1] + AA + "\n"
-             ">A z\n" + AA + AA + "\n")
+             ">A z\n" + AA + AA + "\n"
+             ">C w\n" + AA + "\n>D v\n" + AA[5:] + AA + "\n")
+    # single run: one PROTEIN-ID A section, emitted before B, reporting
+    # the SECOND A record's hits (dup semantics the batches must keep)
+    expect = _single_run(EngineConfig(aa=True), data_dir, fasta)
+    ids = [l.split("\t")[1] for l in expect.splitlines()
+           if l.startswith("PROTEIN-ID")]
+    assert ids == ["A", "B", "C", "D"]
+    q = tmp_path / "q.fa"
+    q.write_text(fasta)
+    for bg in (1, 2, 3, 10):
+        out, ck = tmp_path / f"r{bg}.txt", tmp_path / f"r{bg}.ckpt"
+        n = run_with_checkpoint(EngineConfig(aa=True), data_dir, str(q),
+                                str(out), str(ck), batch_groups=bg,
+                                progress=False)
+        assert n == 5
+        assert out.read_text() == expect
+        st = json.loads(ck.read_text())
+        assert st["complete"] and st["groups_done"] == 5
+    # at batch_groups=1 the A..A span must have been ONE batch (commits at
+    # groups 3, 4, 5 — never between the two A records); prove it by
+    # crashing after the first commit and checking the committed prefix
+    # covers all three of A,B,A
+    out, ck = tmp_path / "crash.txt", tmp_path / "crash.ckpt"
+    orig_run = Engine.run
+    calls = []
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_run(self, *a, **kw):
+        calls.append(1)
+        if len(calls) > 1:
+            raise Boom()
+        return orig_run(self, *a, **kw)
+
+    Engine.run = crashing_run
+    try:
+        with pytest.raises(Boom):
+            run_with_checkpoint(EngineConfig(aa=True), data_dir, str(q),
+                                str(out), str(ck), batch_groups=1,
+                                progress=False)
+    finally:
+        Engine.run = orig_run
+    st = json.loads(ck.read_text())
+    assert st["groups_done"] == 3 and not st["complete"]
+    # resume completes to the same bytes
+    n = run_with_checkpoint(EngineConfig(aa=True), data_dir, str(q),
+                            str(out), str(ck), batch_groups=1,
+                            progress=False)
+    assert n == 2
+    assert out.read_text() == expect
+
+
+def test_prefix_digest_catches_inplace_edit_of_committed_region(
+        tmp_path, data_dir, monkeypatch):
+    """A size-preserving edit inside the already-committed input prefix
+    must be caught on resume even when the whole-file identity check is
+    only SAMPLED (large-input mode) — the running prefix digest re-covers
+    the skipped groups exactly."""
+    from kmergutsjava_tpu.models import checkpoint as ck_mod
+
+    monkeypatch.setattr(ck_mod, "_FULL_HASH_MAX", 0)  # force sampled mode
+    fasta = _mk_corpus(n=9)
     q = tmp_path / "q.fa"
     q.write_text(fasta)
     out, ck = tmp_path / "r.txt", tmp_path / "r.ckpt"
-    with pytest.raises(CheckpointError, match="duplicate sequence id 'A'"):
+    orig_run = Engine.run
+    calls = []
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_run(self, *a, **kw):
+        calls.append(1)
+        if len(calls) > 1:
+            raise Boom()
+        return orig_run(self, *a, **kw)
+
+    Engine.run = crashing_run
+    try:
+        with pytest.raises(Boom):
+            run_with_checkpoint(EngineConfig(aa=True), data_dir, str(q),
+                                str(out), str(ck), batch_groups=4,
+                                progress=False)
+    finally:
+        Engine.run = orig_run
+    # size-preserving flip of one committed sequence byte, positioned
+    # between the sampler's head block boundaries for huge files; with
+    # _FULL_HASH_MAX=0 the sampled hash DOES still cover this tiny file,
+    # so also bypass the identity check to isolate the prefix-digest leg
+    data = q.read_bytes()
+    idx = data.index(b">P1") + 10
+    q.write_bytes(data[:idx] + (b"W" if data[idx:idx + 1] != b"W"
+                                else b"Y") + data[idx + 1:])
+    ident = json.loads(ck.read_text())["input"]
+    monkeypatch.setattr(ck_mod, "_input_identity", lambda p: ident)
+    with pytest.raises(CheckpointError, match="no longer match"):
         run_with_checkpoint(EngineConfig(aa=True), data_dir, str(q),
-                            str(out), str(ck), batch_groups=1,
+                            str(out), str(ck), batch_groups=4,
                             progress=False)
-    assert not ck.exists()  # refused before any commit
-    # and duplicate ids really are unreproducible across batches: in aa
-    # mode the engine keys containers by id, so the second A record's
-    # hits MERGE into the first A section (one PROTEIN-ID A line, emitted
-    # before B) — batch-split A records would emit two
-    rep = _single_run(EngineConfig(aa=True), data_dir, fasta)
-    ids = [l.split("\t")[1] for l in rep.splitlines()
-           if l.startswith("PROTEIN-ID")]
-    assert ids == ["A", "B"]
 
 
 def test_mismatch_refusals(tmp_path, data_dir):

@@ -41,6 +41,37 @@ def test_unknown_method(server):
         client._call("nope", [])
 
 
+def test_metrics_label_escaping_and_bounded_cardinality(server):
+    """Client-controlled method names must not reach /metrics: a quote or
+    newline in a label value corrupts the Prometheus exposition (format
+    injection) and echoing every bogus method would grow the registry
+    without bound — unknown methods collapse onto method="_unknown"."""
+    import urllib.request
+
+    client = KmerGutsClient(server)
+    for m in ('evil"method', 'x\nfake_metric 99', 'a\\b', 'plainbogus'):
+        with pytest.raises(ServerError, match="not a valid method"):
+            client._call(m, [])
+    text = urllib.request.urlopen(server + "/metrics").read().decode()
+    assert 'method="_unknown",outcome="no_such_method"} 4' in text
+    assert "evil" not in text and "fake_metric" not in text
+    # and the exposition stays line-parseable: every sample line is
+    # `name{labels} value` with no stray injected lines
+    for line in text.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        name = line.split("{", 1)[0].split(" ", 1)[0]
+        assert name.replace("_", "").isalnum(), line
+
+
+def test_metrics_registry_escapes_label_values():
+    from kmergutsjava_tpu.service.metrics import MetricsRegistry
+
+    m = MetricsRegistry()
+    m.inc("c_total", {"k": 'a"b\\c\nd'})
+    assert 'c_total{k="a\\"b\\\\c\\nd"} 1' in m.render()
+
+
 def test_annotate_bad_params(server):
     with pytest.raises(ServerError, match="fasta"):
         KmerGutsClient(server)._call("annotate", [{}])
