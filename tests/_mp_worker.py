@@ -94,8 +94,11 @@ assert got == want_canon, "stream-shards: hit mismatch"
 print("MP-OK stream-shards", flush=True)
 
 # 4. engine multihost contract: each host runs the engine over its
-#    round-robin record share (jax.distributed up, host-local grouping,
-#    ref-identical per-record blocks merged by the driver)
+#    round-robin record share (jax.distributed up, host-local grouping),
+#    writes its report SHARD to disk; the parent test merges the shards
+#    with merge_report_shards and byte-compares against a single-process
+#    run of the whole corpus (ref output grammar KmerGutsJava.java:398-404,
+#    :516-522; phase-3 ordering :805-818)
 from kmergutsjava_tpu.config import EngineConfig  # noqa: E402
 from kmergutsjava_tpu.formats.fasta import FastaRecord  # noqa: E402
 from kmergutsjava_tpu.formats.table_tools import (  # noqa: E402
@@ -107,8 +110,8 @@ AA = "ACDEFGHIKLMNPQRSTVWY"
 prng = np.random.default_rng(9)
 prots = ["".join(AA[i] for i in prng.integers(0, 20, int(n)))
          for n in prng.integers(12, 90, 30)]
-d = os.path.join(sys.argv[4] if len(sys.argv) > 4 else "/tmp",
-                 f"mp_data_{pid}")
+tmp_root = sys.argv[4] if len(sys.argv) > 4 else "/tmp"
+d = os.path.join(tmp_root, f"mp_data_{pid}")
 write_data_dir(d, signatures_from_proteins(
     [(p, i % 5, i % 7) for i, p in enumerate(prots)]),
     [f"fn{i}" for i in range(5)])
@@ -120,5 +123,10 @@ Engine(EngineConfig(aa=True, min_hits=2)).run(
     query_stream=io.StringIO("".join(f">{r.id}\n{r.seq}\n" for r in mine)))
 text = out.getvalue()
 assert text.count("PROTEIN-ID") == len(mine)
+with open(os.path.join(tmp_root, f"mp_report_{pid}.txt"), "w") as fh:
+    fh.write(text)
+if pid == 0:  # the parent needs the full corpus for its single-run leg
+    with open(os.path.join(tmp_root, "mp_corpus.fa"), "w") as fh:
+        fh.write("".join(f">{r.id}\n{r.seq}\n" for r in records))
 print(f"MP-OK engine-shard n={len(mine)}", flush=True)
 print("MP-WORKER-DONE", flush=True)

@@ -10,7 +10,9 @@ from kmergutsjava_tpu.formats.fasta import FastaRecord
 from kmergutsjava_tpu.formats.table_tools import (signatures_from_proteins,
                                                   write_data_dir)
 from kmergutsjava_tpu.models.pipeline import Engine
-from kmergutsjava_tpu.parallel.multihost import shard_records
+from kmergutsjava_tpu.parallel.multihost import (merge_report_shards,
+                                                 shard_records,
+                                                 split_report_blocks)
 
 AA = "ACDEFGHIKLMNPQRSTVWY"
 
@@ -58,3 +60,62 @@ def test_round_robin_hosts_match_single_host(tmp_path):
         merged.update(_record_blocks(run(shard), aa=True))
     assert merged == single
     assert len(single) == len(prots)
+
+
+CODON = {  # one codon per aa, for building DNA that translates cleanly
+    "A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT",
+    "G": "GGT", "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTT",
+    "M": "ATG", "N": "AAT", "P": "CCT", "Q": "CAA", "R": "CGT",
+    "S": "TCT", "T": "ACT", "V": "GTT", "W": "TGG", "Y": "TAT"}
+
+
+def _run_engine(data_dir, recs, aa):
+    out = io.StringIO()
+    Engine(EngineConfig(aa=aa, min_hits=2)).run(
+        data_dir, None, out, stdout=True,
+        query_stream=io.StringIO(
+            "".join(f">{r.id}\n{r.seq}\n" for r in recs)))
+    return out.getvalue()
+
+
+def test_merge_report_shards_byte_identical(tmp_path):
+    """merge_report_shards must reassemble per-host report shards into the
+    EXACT single-run bytes, in both aa and DNA modes (the reference's
+    deliverable is the report text, ref KmerGutsJava.java:398-404,
+    :516-522; ordering :805-818)."""
+    rng = random.Random(29)
+    prots = ["".join(rng.choice(AA) for _ in range(rng.randint(15, 80)))
+             for _ in range(25)]
+    d = str(tmp_path / "d")
+    write_data_dir(d, signatures_from_proteins(
+        [(p, i % 6, i % 4) for i, p in enumerate(prots)]),
+        [f"f{i}" for i in range(6)])
+    for aa in (True, False):
+        if aa:
+            records = [FastaRecord(f"p{i}", p, "")
+                       for i, p in enumerate(prots)]
+        else:
+            records = [FastaRecord(
+                f"c{i}", "".join(CODON[c] for c in p), "")
+                for i, p in enumerate(prots)]
+        single = _run_engine(d, records, aa)
+        for nproc in (2, 3, 5):
+            shards = [_run_engine(d, list(shard_records(records, p, nproc)),
+                                  aa) for p in range(nproc)]
+            assert merge_report_shards(shards) == single, (aa, nproc)
+    # block splitting sanity: one block per record, heads preserved
+    blocks = split_report_blocks(single)
+    assert len(blocks) == len(prots)
+    assert all(b.startswith("processing ") for b in blocks)
+    assert "".join(blocks) == single
+
+
+def test_merge_report_shards_rejects_bad_input():
+    import pytest
+
+    with pytest.raises(ValueError, match="before the first record block"):
+        split_report_blocks("Lookup time: 3 ms.\nPROTEIN-ID\tA\t20\n")
+    # a non-round-robin partition (shard sizes impossible for one corpus)
+    ok = "PROTEIN-ID\tA\t20\n"
+    with pytest.raises(ValueError, match="round-robin"):
+        merge_report_shards([ok, ok * 3])

@@ -47,3 +47,22 @@ def test_two_process_distributed(tmp_path):
                      "MP-OK stream-shards", "MP-OK engine-shard",
                      "MP-WORKER-DONE"):
             assert mark in out, f"rank {pid} missing {mark}:\n{out[-4000:]}"
+    # merge the two ranks' report shards back into record order and
+    # byte-compare against a single-process run of the same corpus — the
+    # reference's whole deliverable is the report text, so the multi-host
+    # story must end in those exact bytes (ref KmerGutsJava.java:398-404,
+    # :516-522)
+    import io
+
+    from kmergutsjava_tpu.config import EngineConfig
+    from kmergutsjava_tpu.models.pipeline import Engine
+    from kmergutsjava_tpu.parallel.multihost import merge_report_shards
+
+    shards = [(tmp_path / f"mp_report_{pid}.txt").read_text()
+              for pid in range(2)]
+    merged = merge_report_shards(shards)
+    single = io.StringIO()
+    Engine(EngineConfig(aa=True, min_hits=2)).run(
+        str(tmp_path / "mp_data_0"), str(tmp_path / "mp_corpus.fa"),
+        single, stdout=True)
+    assert merged == single.getvalue(), "merged multi-host report != single-run bytes"
