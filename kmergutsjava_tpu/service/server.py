@@ -247,10 +247,16 @@ class KmerGutsService:
 
 def make_handler(service: KmerGutsService, token: Optional[str] = None,
                  access_log: Optional[str] = None,
-                 max_body_bytes: int = 1 << 30):
+                 max_body_bytes: int = 1 << 30,
+                 auth=None):
     """``token``: shared bearer token; when set, requests must carry
     ``Authorization: <token>`` (the role of the reference's authclient.py —
     its KBase token cache — reduced to a static credential).
+    ``auth``: an ``auth.AuthClient`` (or anything with ``get_user(token)
+    -> user`` raising ``auth.AuthError``); when set it supersedes the
+    static token and every request's Authorization header is resolved to
+    a user through the external auth service, cached per the reference's
+    TokenCache semantics (authclient.py:24-91).
     ``access_log``: path for an NCSA common-log-format request log (the
     reference's Jetty NCSARequestLog, jetty.xml:75-87).
     ``max_body_bytes``: reject larger uploads before buffering them (one
@@ -316,7 +322,18 @@ def make_handler(service: KmerGutsService, token: Optional[str] = None,
             try:
                 req = json.loads(body)
                 rpc_id = req.get("id")
-                if token is not None and \
+                if auth is not None:
+                    from .auth import AuthError
+
+                    try:
+                        auth.get_user(self.headers.get("Authorization") or "")
+                    except AuthError as ex:
+                        service.metrics.inc("rpc_requests_total",
+                                            {"method": "_http",
+                                             "outcome": "unauthorized"})
+                        raise RpcError(f"Authorization required: {ex}",
+                                       -32001)
+                elif token is not None and \
                         self.headers.get("Authorization") != token:
                     service.metrics.inc("rpc_requests_total",
                                         {"method": "_http",
@@ -387,11 +404,12 @@ class PooledHTTPServer(ThreadingHTTPServer):
 
 def serve(data_dir: Optional[str], port: int = 5000,
           token: Optional[str] = None, access_log: Optional[str] = None,
-          max_workers: int = 32, max_body_bytes: int = 1 << 30):
+          max_workers: int = 32, max_body_bytes: int = 1 << 30,
+          auth=None):
     service = KmerGutsService(data_dir)
     server = PooledHTTPServer(
         ("0.0.0.0", port),
-        make_handler(service, token, access_log, max_body_bytes),
+        make_handler(service, token, access_log, max_body_bytes, auth),
         max_workers=max_workers)
     server.service = service
     return server
@@ -406,6 +424,11 @@ def main(argv=None) -> int:
     ap.add_argument("-p", "--port", type=int, default=5000)
     ap.add_argument("--token", default=os.environ.get("KMER_SERVICE_TOKEN"),
                     help="require this Authorization header on all requests")
+    ap.add_argument("--auth-url", default=os.environ.get("KMER_AUTH_URL"),
+                    help="validate Authorization tokens against this auth "
+                         "service (user_id lookup, 5-min token cache — the "
+                         "reference authclient.py contract); supersedes "
+                         "--token")
     ap.add_argument("--access-log", default=None,
                     help="append NCSA-format request log to this file")
     ap.add_argument("--max-workers", type=int, default=32,
@@ -417,8 +440,13 @@ def main(argv=None) -> int:
     ap.add_argument("--warm", action="store_true",
                     help="preload table + device planes before serving")
     args = ap.parse_args(argv)
+    auth = None
+    if args.auth_url:
+        from .auth import AuthClient
+
+        auth = AuthClient(args.auth_url)
     server = serve(args.data_dir, args.port, args.token, args.access_log,
-                   args.max_workers, args.max_body_bytes)
+                   args.max_workers, args.max_body_bytes, auth)
     if args.warm:
         st = server.service.warm([])[0]
         print(f"warm: num_sigs={st['num_sigs']} max_probe={st['max_probe']} "
