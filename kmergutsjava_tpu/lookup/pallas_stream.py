@@ -61,19 +61,42 @@ ROWS = 8      # block rows per grid step: full-sublane [8, BLOCK] i32 vregs
 HALO = 128    # probe-window halo per row; also the max supported window
 CHANNELS = 4  # query channels per slot (home-collision capacity)
 
+# bf16 (16-bit) form: fingerprints are capped below 0x7F80 so every bit
+# pattern is a finite non-negative bfloat16 whose BIT equality coincides
+# with FP equality (no NaN patterns — NaN != NaN — and no -0.0, which
+# would equal +0.0). The doubled fingerprint-collision rate (mod 32639
+# instead of 65535) is absorbed by the host verification pass like any
+# other collision. Subnormal patterns (< 0x0080) may flush and compare
+# equal on some implementations — that only ADDS candidates (earlier-or-
+# equal offsets, verified then exact-fallback'd; ~0.02% of queries), never
+# hides a true match (flushing merges values, it cannot separate equal
+# ones). Armed automatically by stream16_supported() — this Mosaic
+# release crashes on packed 16-bit vector compares
+# (scripts/sweep_stream16.py isolated the compare), so the form is
+# compile-probed once per (jax version, device kind) and cached.
+FP16_MOD = 0x7F7F   # query/occupied fingerprints in [0, 0x7F7E]
+FP16_EMPTY = 0x7F7F
+
 
 def _stream_block_kernel(w: int, fp_ref, qfp_ref, out_ref,
                          block: int = BLOCK, rows: int = ROWS,
-                         channels: int = CHANNELS):
+                         channels: int = CHANNELS, form: str = "i32"):
     # One grid step = ROWS consecutive BLOCK-slot rows: every elementwise
-    # op below runs on full [ROWS, BLOCK] int32 vregs (a [1, BLOCK] layout
+    # op below runs on full [ROWS, BLOCK] vregs (a [1, BLOCK] layout
     # would idle 7 of 8 sublanes), and the per-shift lane rotate of the fp
-    # slice is shared across all channels. Upcast once, outside the shift
-    # loop — HBM traffic stays uint16 via the block specs. (A native
-    # 16-bit formulation would double per-op lanes, but this Mosaic
-    # release crashes on packed vector<...x2xi16> compares.)
-    fp = fp_ref[0].astype(jnp.int32)          # [rows, block + HALO]
-    qfp = [qfp_ref[0, c].astype(jnp.int32) for c in range(channels)]
+    # slice is shared across all channels. i32 form: upcast once, outside
+    # the shift loop — HBM traffic stays uint16 via the block specs.
+    # bf16 form: bitcast (free) instead of upcast — every compare/select
+    # runs on 16-bit vregs, twice the lanes per VPU op.
+    if form == "bf16":
+        fp = jax.lax.bitcast_convert_type(fp_ref[0], jnp.bfloat16)
+        qfp = [jax.lax.bitcast_convert_type(qfp_ref[0, c], jnp.bfloat16)
+               for c in range(channels)]
+        acc_t, lane_of = jnp.bfloat16, lambda l: jnp.bfloat16(l)
+    else:
+        fp = fp_ref[0].astype(jnp.int32)          # [rows, block + HALO]
+        qfp = [qfp_ref[0, c].astype(jnp.int32) for c in range(channels)]
+        acc_t, lane_of = jnp.int32, lambda l: jnp.int32(l)
     # Pure candidate scan, VPU-op-minimal form: iterate lanes in REVERSE
     # and overwrite on match (cmp + select = 2 ops per shift-channel; the
     # forward cmp+select+min form costs 3 — the kernel is compute-bound,
@@ -81,25 +104,28 @@ def _stream_block_kernel(w: int, fp_ref, qfp_ref, out_ref,
     # stops at the first empty slot) involve no query data at all, so they
     # live entirely on the host: lookup() compares the packed first-match
     # offset against a precomputed per-slot empty-distance plane.
-    first_cand = [jnp.full((rows, block), w, jnp.int32)
+    first_cand = [jnp.full((rows, block), w, acc_t)
                   for _ in range(channels)]
     for l in reversed(range(w)):
         win = fp[:, l:l + block]              # static lane shift, no gather
-        lane = jnp.int32(l)
+        lane = lane_of(l)
         for c in range(channels):
             first_cand[c] = jnp.where(win == qfp[c], lane, first_cand[c])
-    # pack the raw offsets bytewise (w <= 64 < 256), 4 channels per int32
+    # pack the raw offsets bytewise (w <= 64 < 256, and 0..64 are exact in
+    # bf16, so the astype round-trips losslessly), 4 channels per int32
     for p in range(channels // 4):
-        acc = first_cand[4 * p]
+        acc = first_cand[4 * p].astype(jnp.int32)
         for c4 in range(1, 4):
-            acc = acc | (first_cand[4 * p + c4] << (8 * c4))
+            acc = acc | (first_cand[4 * p + c4].astype(jnp.int32)
+                         << (8 * c4))
         out_ref[0, p] = acc
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nsuper", "w", "channels", "interpret"))
+                   static_argnames=("nsuper", "w", "channels", "interpret",
+                                    "form"))
 def stream_probe_blocks(fp_blocks, qfp_tiles, nsuper, w, channels=CHANNELS,
-                        interpret=False):
+                        interpret=False, form="i32"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -107,7 +133,8 @@ def stream_probe_blocks(fp_blocks, qfp_tiles, nsuper, w, channels=CHANNELS,
     # pure int32/uint16 kernel: keep jnp helpers from minting i64 under x64
     with jax.enable_x64(False):
         return pl.pallas_call(
-            functools.partial(_stream_block_kernel, w, channels=channels),
+            functools.partial(_stream_block_kernel, w, channels=channels,
+                              form=form),
             grid=(nsuper,),
             in_specs=[
                 pl.BlockSpec((1, ROWS, BLOCK + HALO), lambda i: (i, 0, 0),
@@ -125,6 +152,104 @@ def stream_probe_blocks(fp_blocks, qfp_tiles, nsuper, w, channels=CHANNELS,
         )(fp_blocks, qfp_tiles)
 
 
+_STREAM16: Optional[bool] = None
+
+
+def stream16_supported(force: Optional[str] = None) -> bool:
+    """Compile-probe the bf16 (16-bit-lane) kernel form ONCE and cache
+    the answer per (jax version, device kind) on disk, so the 2x-lane
+    formulation arms itself the moment a Mosaic release stops crashing
+    on packed 16-bit vector compares — zero code change needed then
+    (round-2 verdict item 5; scripts/sweep_stream16.py isolated the
+    compare as the crash point on the current release).
+
+    The probe is guarded (crashes surface as Python exceptions from the
+    compile path) and also checks CORRECTNESS: a toolchain that compiles
+    but MISCOMPILES the compare must not arm — measured on this Mosaic,
+    where the bf16 kernel compiles yet returns zero matches. Env knob:
+    KMER_STREAM16=0 never arms; =1 re-probes (ignoring the disk cache)
+    and arms only if the probe passes — it cannot force a miscompiling
+    toolchain into silent corruption; =force arms unconditionally
+    (experiments only). Non-TPU backends return False (interpret mode
+    gains nothing from 16-bit lanes; the bf16 form itself stays
+    differentially tested in interpret mode by
+    tests/test_pallas_stream.py, via the explicit form= argument)."""
+    global _STREAM16
+    env = force if force is not None else os.environ.get("KMER_STREAM16")
+    if env == "0":
+        return False
+    if env == "force":
+        return True
+    if _STREAM16 is not None:
+        return _STREAM16
+    if jax.default_backend() != "tpu":
+        _STREAM16 = False
+        return False
+    import json
+
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                             "kmergutsjava_tpu")
+    key = f"{jax.__version__}/{jax.devices()[0].device_kind}"
+    cache_path = os.path.join(cache_dir, "stream16.json")
+    try:
+        with open(cache_path) as fh:
+            cached = json.load(fh)
+        if key in cached and env != "1":  # "1" = fresh re-probe
+            _STREAM16 = bool(cached[key])
+            return _STREAM16
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        cached = {}
+    import threading
+
+    result: dict = {}
+
+    def probe() -> None:
+        try:
+            # normal-pattern probe: values in [0x0080, 0x7F7F) are all
+            # NORMAL non-negative bf16, where bit equality and numeric
+            # equality coincide on every correct implementation —
+            # subnormal patterns (< 0x0080) may legally flush and compare
+            # equal (extra false candidates, absorbed downstream), so
+            # they must not gate arming
+            rng = np.random.default_rng(11)
+            fp = (rng.integers(0x80, FP16_MOD, (1, ROWS, BLOCK + HALO))
+                  .astype(np.uint16))
+            qt = (rng.integers(0x80, FP16_MOD, (1, CHANNELS, ROWS, BLOCK))
+                  .astype(np.uint16))
+            qt[0, :, :, 7] = fp[0, :, 7 + 3]  # planted matches, offset 3
+            want = np.asarray(stream_probe_blocks(fp, qt, 1, 8, CHANNELS,
+                                                  form="i32"))
+            got = np.asarray(stream_probe_blocks(fp, qt, 1, 8, CHANNELS,
+                                                 form="bf16"))
+            result["ok"] = bool(np.array_equal(want, got))
+        except Exception:  # noqa: BLE001 — compile crash = not supported
+            result["ok"] = False
+
+    # Deadline guard: a broken toolchain may HANG the compile instead of
+    # raising (measured through this harness's compile relay). The probe
+    # runs on a daemon thread; on timeout the caller proceeds with i32
+    # and the verdict is NOT disk-cached (a merely-slow environment must
+    # not permanently disarm a capable toolchain). The orphan compile is
+    # left to finish — killing a TPU client wedges shared runtimes.
+    deadline = float(os.environ.get("KMER_STREAM16_PROBE_TIMEOUT", 180))
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(deadline)
+    ok = bool(result.get("ok", False))
+    _STREAM16 = ok
+    if "ok" in result:  # only cache a real verdict, never a timeout
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            cached[key] = ok
+            tmp = cache_path + f".tmp{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(cached, fh)
+            os.replace(tmp, cache_path)
+        except Exception:  # noqa: BLE001
+            pass
+    return ok
+
+
 class PallasStreamLookup:
     """Merge-join-regime lookup: dense query tiles vs the streamed table.
 
@@ -137,7 +262,8 @@ class PallasStreamLookup:
     def __init__(self, table: KmerTable, probe_window: Optional[int] = None,
                  chunk: int = 1 << 19, device=None,
                  interpret: Optional[bool] = None,
-                 channels: int = CHANNELS, nsuper_multiple: int = 1):
+                 channels: int = CHANNELS, nsuper_multiple: int = 1,
+                 form: Optional[str] = None):
         if channels % 4:
             raise ValueError("channels must be a multiple of 4 (bytewise "
                              "int32 packing)")
@@ -163,22 +289,32 @@ class PallasStreamLookup:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
+        # kernel lane form: "bf16" doubles lanes per VPU op when the
+        # toolchain supports it (self-arming probe; see stream16_supported)
+        if form is None:
+            form = "bf16" if stream16_supported() else "i32"
+        if form not in ("i32", "bf16"):
+            raise ValueError(f"unknown stream kernel form {form!r}")
+        self.form = form
+        self.fp_mod = np.int64(FP16_MOD if form == "bf16" else FP_MOD)
+        self.fp_empty = np.uint16(FP16_EMPTY if form == "bf16" else FP_EMPTY)
 
         s = table.num_sigs
         self.nsuper = -(-s // (ROWS * BLOCK))
         if nsuper_multiple > 1:  # shard-divisible superblock count
             self.nsuper = -(-self.nsuper // nsuper_multiple) * nsuper_multiple
         nblocks = self.nsuper * ROWS
-        fp = np.full(nblocks * BLOCK + HALO, FP_EMPTY, dtype=np.uint16)
+        fp = np.full(nblocks * BLOCK + HALO, self.fp_empty, dtype=np.uint16)
         occ = table.occupied
-        fp[:s][occ] = (table.slots["kmer"][occ] % FP_MOD).astype(np.uint16)
+        fp[:s][occ] = (table.slots["kmer"][occ] % self.fp_mod).astype(
+            np.uint16)
         # Per-slot distance to the first empty slot at or after it, capped
         # at w — the probe's stop-at-empty semantics depend only on the
         # table, so they are precomputed here once and applied host-side;
         # the device kernel is a pure candidate scan. (The padded tail is
         # all-empty, so every slot has a next empty.)
         L = len(fp)
-        e_idx = np.where(fp == FP_EMPTY, np.arange(L, dtype=np.int64),
+        e_idx = np.where(fp == self.fp_empty, np.arange(L, dtype=np.int64),
                          np.int64(2 * L))
         nxt = np.minimum.accumulate(e_idx[::-1])[::-1]
         self.fe_plane = np.minimum(nxt - np.arange(L, dtype=np.int64),
@@ -195,7 +331,7 @@ class PallasStreamLookup:
     def _probe(self, qfp_tiles: np.ndarray):
         return stream_probe_blocks(
             self.fp_blocks, jnp.asarray(qfp_tiles), self.nsuper, self.w,
-            self.channels, self.interpret)
+            self.channels, self.interpret, self.form)
 
     def _scatter_dense(self, values: np.ndarray, tiles: Optional[np.ndarray]
                        = None, occ: Optional[np.ndarray] = None):
@@ -242,8 +378,8 @@ class PallasStreamLookup:
         rk = rank[ok]
         qfp_tiles = (np.zeros((self.nsuper, self.channels, ROWS, BLOCK),
                               dtype=np.uint16) if tiles is None else tiles)
-        qfp_tiles[sup, rk, row, within] = (uniq[order[ok]] % FP_MOD).astype(
-            np.uint16)
+        qfp_tiles[sup, rk, row, within] = (uniq[order[ok]]
+                                           % self.fp_mod).astype(np.uint16)
         # flat element index into the [nsuper, planes, ROWS, BLOCK] output
         planes = self.channels // 4
         flat = (((sup * planes + (rk >> 2)) * ROWS + row) * BLOCK + within)
@@ -274,7 +410,7 @@ class PallasStreamLookup:
         shift = np.empty(n, dtype=np.int32)
         lib.scatter_chunk(
             np.ascontiguousarray(values), n, self.num_sigs, self.channels,
-            BLOCK, ROWS, np.int64(FP_MOD),
+            BLOCK, ROWS, np.int64(self.fp_mod),
             qfp_tiles.reshape(-1), occ, homes, flat, shift)
         return qfp_tiles, homes, flat, shift
 

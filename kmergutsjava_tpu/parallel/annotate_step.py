@@ -26,7 +26,8 @@ from .sharded_lookup import _local_probe, shard_table_planes
 
 
 def _encode_and_probe(tk, ascii_u8, lengths,
-                      *, s_loc, probe_window, num_sigs, stride=0):
+                      *, s_loc, probe_window, num_sigs, stride=0,
+                      lanes=128):
     """Per-device body (runs inside shard_map)."""
     offs = jnp.asarray(AA_OFF_LUT)[ascii_u8.astype(jnp.int32)]
     b, n = offs.shape
@@ -36,7 +37,8 @@ def _encode_and_probe(tk, ascii_u8, lengths,
     flat_v = values.reshape(-1)
     homes = (flat_v % num_sigs).astype(jnp.int32)
     slotp = _local_probe(tk, flat_v, homes, s_loc=s_loc,
-                         probe_window=probe_window, stride=stride)
+                         probe_window=probe_window, stride=stride,
+                         lanes=lanes)
     return (slotp * ok.reshape(-1).astype(jnp.int32)).reshape(b, w)
 
 
@@ -49,7 +51,7 @@ def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_encode_and_probe, s_loc=planes["s_loc"],
                  probe_window=probe_window, num_sigs=table.num_sigs,
-                 stride=planes["stride"])
+                 stride=planes["stride"], lanes=planes["lanes"])
     table_spec = P(TABLE_AXIS, None, None)
     step = jax.jit(
         jax.shard_map(
@@ -66,7 +68,8 @@ def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
 
 
 def _dna_encode_and_probe(tk, ascii_u8, lengths,
-                          *, s_loc, probe_window, num_sigs, stride=0):
+                          *, s_loc, probe_window, num_sigs, stride=0,
+                          lanes=128):
     """DNA per-device body: 6-frame translate -> kmerize -> probe -> psum.
 
     ascii_u8: [B_loc, Lpad] contigs; lengths [B_loc]. Lpad need not be a
@@ -88,7 +91,8 @@ def _dna_encode_and_probe(tk, ascii_u8, lengths,
     flat_v = values.reshape(-1)
     homes = (flat_v % num_sigs).astype(jnp.int32)
     slotp = _local_probe(tk, flat_v, homes, s_loc=s_loc,
-                         probe_window=probe_window, stride=stride)
+                         probe_window=probe_window, stride=stride,
+                         lanes=lanes)
     return (slotp * ok.reshape(-1).astype(jnp.int32)).reshape(b, 6, w)
 
 
@@ -101,7 +105,7 @@ def make_sharded_dna_step(mesh, table: KmerTable, probe_window: int
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_dna_encode_and_probe, s_loc=planes["s_loc"],
                  probe_window=probe_window, num_sigs=table.num_sigs,
-                 stride=planes["stride"])
+                 stride=planes["stride"], lanes=planes["lanes"])
     table_spec = P(TABLE_AXIS, None, None)
     step = jax.jit(
         jax.shard_map(

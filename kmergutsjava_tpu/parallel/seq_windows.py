@@ -97,7 +97,7 @@ def plan_windows(length: int, win_nt: int) -> dict:
 
 def _window_probe(tk, ascii_u8, len_w, row_map,
                   own_start, own_end, *, s_loc, probe_window, num_sigs,
-                  tbl_stride):
+                  tbl_stride, tbl_lanes=128):
     """Per-device body: translate windows, reorder rows into global
     container order, kmerize, mask to owned intervals, probe. Returns
     per-(window, container, local-window) slot+1 (0 = miss)."""
@@ -117,7 +117,8 @@ def _window_probe(tk, ascii_u8, len_w, row_map,
     flat_v = values.reshape(-1)
     homes = (flat_v % num_sigs).astype(jnp.int32)
     slotp = _local_probe(tk, flat_v, homes, s_loc=s_loc,
-                         probe_window=probe_window, stride=tbl_stride)
+                         probe_window=probe_window, stride=tbl_stride,
+                         lanes=tbl_lanes)
     return (slotp * ok.reshape(-1).astype(jnp.int32)).reshape(b, 6, w)
 
 
@@ -133,7 +134,7 @@ def make_windowed_dna_step(mesh, table: KmerTable, probe_window: int,
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_window_probe, s_loc=planes["s_loc"],
                  probe_window=probe_window, num_sigs=table.num_sigs,
-                 tbl_stride=planes["stride"])
+                 tbl_stride=planes["stride"], tbl_lanes=planes["lanes"])
     table_spec = P(TABLE_AXIS, None, None)
     d1 = P(DATA_AXIS)
     d2 = P(DATA_AXIS, None)

@@ -37,18 +37,21 @@ from .mesh import DATA_AXIS, TABLE_AXIS
 
 def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
     """Host-side prep: per-shard slot-range slices of the K-MER plane
-    (+ probe halo) laid out in 128-lane rows — TPU XLA vectorizes
-    whole-row gathers but runs 1-D-operand gathers scalar
-    (docs/performance.md), so the plane is [n_shards, rows_loc, 128].
-    Only the int64 k-mer column ships to the device: the probe answers
-    with the matched slot, and metadata is gathered host-side.
+    (+ probe halo) laid out in NARROW lane rows — TPU XLA vectorizes
+    whole-row gathers but runs 1-D-operand gathers scalar, and the row
+    gather is operand-size/ISSUE bound, so fetching only ~2x probe_window
+    lanes per query runs 2.7x faster than 128 lanes (int64 narrow-32:
+    469M vs 171M probes/s, scripts/sweep_spmd.py — the round-3 lift of
+    the fused SPMD step). Only the int64 k-mer column ships to the
+    device: the probe answers with the matched slot, and metadata is
+    gathered host-side; the compare stays exact int64 (no fingerprint
+    verification pass needed).
 
-    probe_window <= 64 (every standard-load-factor table): OVERLAPPED rows
-    (row r = local slots [r*stride, r*stride + 128), stride = 128 -
-    probe_window), so any window lies in ONE row — one gather per query
-    instead of two, for a 128/stride storage factor (<= 2x). Larger
-    windows fall back to plain rows + two-row gathers; returned "stride"
-    is 0 in that case.
+    Overlapped layout (row r = local slots [r*stride, r*stride + lanes),
+    stride = lanes - probe_window) so any window lies in ONE row; lanes
+    = 32/64/128 by window size (storage factor lanes/stride <= 2x).
+    probe_window > 64 or an overlap past the byte budget falls back to
+    plain 128-lane rows + two-row gathers ("stride" 0, "lanes" 128).
     """
     if probe_window > 128:
         raise ValueError("sharded lookup requires probe_window <= 128 "
@@ -65,21 +68,32 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
     s = table.num_sigs
     s_loc = -(-s // n_shards)
     slice_len = s_loc + probe_window
-    stride = 128 - probe_window if probe_window <= 64 else 0
+    # narrow lanes, same policy as XlaLookup rows1 (scripts/sweep_narrow.py
+    # on uint16, re-measured for this int64 plane by scripts/sweep_spmd.py)
+    lanes = int(os.environ.get("KMER_SHARD_LANES", 0)) or (
+        32 if probe_window <= 16 else 64 if probe_window <= 48 else 128)
+    while lanes < 128 and lanes < 2 * probe_window:
+        lanes *= 2
+    stride = lanes - probe_window if probe_window <= 64 else 0
     if stride:
-        # same storage gate as XlaLookup's rows1: the overlap factor
-        # (128/stride, up to 2x at probe_window 64) applies to the int64
-        # k-mer plane (8 B/slot — the only plane shipped to the device);
-        # a big table in these barely-fits modes must not be inflated
-        # past the budget
+        # storage gate: the overlap factor (lanes/stride, up to 2x)
+        # applies to the int64 k-mer plane (8 B/slot — the only plane
+        # shipped to the device); a big table in these barely-fits modes
+        # must not be inflated past the budget. Widening lanes first
+        # cheapens the overlap (128/112 = 1.14x) before giving up.
         budget = int(os.environ.get("KMER_ROWS1_MAX_BYTES", 4 << 30))
-        per_shard = ((s_loc - 1) // stride + 1) * 128 * 8
-        if per_shard > budget:
+        while (lanes < 128
+               and ((s_loc - 1) // stride + 1) * lanes * 8 > budget):
+            lanes *= 2
+            stride = lanes - probe_window
+        if ((s_loc - 1) // stride + 1) * lanes * 8 > budget:
             stride = 0
+            lanes = 128
     if stride:
         rows_loc = (s_loc - 1) // stride + 1
-        ext = (rows_loc - 1) * stride + 128
+        ext = (rows_loc - 1) * stride + lanes
     else:
+        lanes = 128
         rows_loc = -(-slice_len // 128) + 1
         ext = rows_loc * 128
     total = n_shards * s_loc + slice_len
@@ -91,26 +105,28 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
         for i in range(n_shards):
             flat[i, :slice_len] = a[i * s_loc: i * s_loc + slice_len]
         if not stride:
-            return flat.reshape(n_shards, rows_loc, 128)
+            return flat.reshape(n_shards, rows_loc, lanes)
         it = a.dtype.itemsize
         rows = np.lib.stride_tricks.as_strided(
-            flat, shape=(n_shards, rows_loc, 128),
+            flat, shape=(n_shards, rows_loc, lanes),
             strides=(flat.strides[0], stride * it, it))
         return np.ascontiguousarray(rows)
 
     return {"kmer": window(kmer, EMPTY_KMER), "s_loc": s_loc,
-            "stride": stride}
+            "stride": stride, "lanes": lanes}
 
 
-def _local_probe(tk, values, homes, s_loc, probe_window, stride=0):
+def _local_probe(tk, values, homes, s_loc, probe_window, stride=0,
+                 lanes=128):
     """Probe queries whose home falls in this shard's slice. Runs inside
     shard_map; the k-mer plane's leading shard dim is squeezed to 1.
     Row-gather formulation (no scalar gathers): with an overlapped layout
     (stride > 0, see shard_table_planes) the whole window lies in one
-    128-lane row — one gather per query; the plain layout needs two
-    consecutive rows. Returns matched GLOBAL slot + 1 per query (0 =
-    miss), psum'ed over the table axis (each query has exactly one owner
-    shard; the rest contribute 0)."""
+    `lanes`-wide row — one NARROW gather per query (the issue-bound
+    regime's 2.7x lever); the plain layout needs two consecutive 128-lane
+    rows. Returns matched GLOBAL slot + 1 per query (0 = miss), psum'ed
+    over the table axis (each query has exactly one owner shard; the
+    rest contribute 0)."""
     tk = tk[0]
     shard = jax.lax.axis_index(TABLE_AXIS)
     local = homes.astype(jnp.int32) - shard * s_loc
@@ -120,8 +136,8 @@ def _local_probe(tk, values, homes, s_loc, probe_window, stride=0):
     if stride:
         r = base // jnp.int32(stride)
         o = base - r * jnp.int32(stride)
-        win = jnp.take(tk, r, axis=0)  # [N, 128] single row gather
-        rel = jnp.arange(128, dtype=jnp.int32)[None, :] - o[:, None]
+        win = jnp.take(tk, r, axis=0)  # [N, lanes] single row gather
+        rel = jnp.arange(lanes, dtype=jnp.int32)[None, :] - o[:, None]
     else:
         r = jax.lax.shift_right_logical(base, jnp.int32(7))
         o = base & jnp.int32(127)
@@ -155,7 +171,7 @@ def make_sharded_lookup(mesh, table: KmerTable, probe_window: int
     query_spec = P(DATA_AXIS)
 
     fn = partial(_local_probe, s_loc=s_loc, probe_window=probe_window,
-                 stride=planes["stride"])
+                 stride=planes["stride"], lanes=planes["lanes"])
     step = jax.jit(
         jax.shard_map(
             fn, mesh=mesh,

@@ -161,7 +161,7 @@ def bench_rows1(n_slots: int, n_queries: int, reps: int, floor: float):
 
 
 def stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps, channels=None,
-                interpret=None):
+                interpret=None, form="i32"):
     """stream_probe_blocks with a leading rep grid dim (one dispatch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -176,7 +176,7 @@ def stream_reps(fp_blocks, qfp_tiles, nsuper, w, reps, channels=None,
         interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
         return pl.pallas_call(
-            partial(_stream_block_kernel, w, channels=channels),
+            partial(_stream_block_kernel, w, channels=channels, form=form),
             grid=(reps, nsuper),
             interpret=interpret,
             in_specs=[

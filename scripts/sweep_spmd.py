@@ -38,9 +38,10 @@ import jax.numpy as jnp
 
 from kmergutsjava_tpu.constants import AA_OFF_LUT, K, POW20
 
-B, L = 2048, 256           # bench.py's aa shape
+B, L = (int(os.environ.get("SWEEP_B", 2048)),
+        int(os.environ.get("SWEEP_L", 256)))   # bench.py's aa shape
 W = 16                     # probe window
-N_SIGS = 3_335_021         # bench fixture slot count (2M sigs @ 0.6)
+N_SIGS = int(os.environ.get("SWEEP_SLOTS", 3_335_021))  # bench fixture @0.6
 
 
 def sync(x):
@@ -64,11 +65,26 @@ def timed(fn, r1, r2):
 
 # ---------------------------------------------------------------- fixtures
 
+NB = 4  # distinct batches cycled inside the rep loop: bodies must be
+#         data-dependent per iteration or XLA hoists the whole pipeline
+#         out of the fori_loop (round-3 first run measured exactly that:
+#         "fused" rates of 1e16; only the probe bodies with per-iteration
+#         value perturbation were honest)
+
+
 def make_batch(key):
-    sym = jax.random.randint(key, (B, L), 0, 20, dtype=jnp.int32)
+    sym = jax.random.randint(key, (NB, B, L), 0, 20, dtype=jnp.int32)
     lut = jnp.asarray(np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", np.uint8))
     mats = jnp.take(lut, sym, axis=0)
     lens = jnp.full((B,), L, jnp.int32)
+    return mats, lens
+
+
+def make_dna_batch(key, b=512, l=512):
+    sym = jax.random.randint(key, (NB, b, l), 0, 4, dtype=jnp.int32)
+    lut = jnp.asarray(np.frombuffer(b"ACGT", np.uint8))
+    mats = jnp.take(lut, sym, axis=0)
+    lens = jnp.full((b,), l, jnp.int32)
     return mats, lens
 
 
@@ -175,23 +191,35 @@ def main():
                 return jax.lax.fori_loop(0, r, f, jnp.int32(0))
             return loop
 
-        # --- A. stages of the current design ---
+        # --- A. stages of the current design (batch i % NB per
+        # iteration: loop-variant input, nothing hoistable) ---
         def body_kmerize64(i, mats, lens):
-            v, ok = kmerize64(mats, lens)
+            m = jax.lax.dynamic_index_in_dim(mats, i % NB, 0, keepdims=False)
+            v, ok = kmerize64(m, lens)
             return jnp.sum((v & 0xFF).astype(jnp.int32) * ok) + i
 
         def body_step64(i, mats, lens, tk):
-            v, ok = kmerize64(mats, lens)
+            m = jax.lax.dynamic_index_in_dim(mats, i % NB, 0, keepdims=False)
+            v, ok = kmerize64(m, lens)
             flat = v.reshape(-1)
             homes = (flat % jnp.int64(N_SIGS)).astype(jnp.int32)
             s = probe64(tk, flat, homes, stride)
+            return jnp.sum(s * ok.reshape(-1)) + i
+
+        def body_step64n(i, mats, lens, tk):
+            m = jax.lax.dynamic_index_in_dim(mats, i % NB, 0, keepdims=False)
+            v, ok = kmerize64(m, lens)
+            flat = v.reshape(-1)
+            homes = ((flat % jnp.int64(N_SIGS)).astype(jnp.int32)
+                     % jnp.int32((tk.shape[0] - 1) * stride32))
+            s = probe64(tk, flat, homes, stride32, lanes=32)
             return jnp.sum(s * ok.reshape(-1)) + i
 
         def body_probe64(i, tk, values, homes):
             return jnp.sum(probe64(tk, values + i.astype(jnp.int64),
                                    homes, stride)) + i
 
-        v0, _ = kmerize64(mats, lens)
+        v0, _ = kmerize64(mats[0], lens)
         flat0 = v0.reshape(-1)
         homes0 = (flat0 % jnp.int64(N_SIGS)).astype(jnp.int32)
         qfp0 = (flat0 % jnp.int64(65535)).astype(jnp.uint16)
@@ -202,6 +230,7 @@ def main():
         cases = {
             "kmerize64": (rep(body_kmerize64), (mats, lens)),
             "step64_fused": (rep(body_step64), (mats, lens, tk64)),
+            "step64n_fused": (rep(body_step64n), (mats, lens, tk64n)),
             "probe64_rows128": (rep(body_probe64), (tk64, flat0, homes0)),
             "probe64_rows32": (rep(lambda i, tk, v, h: jnp.sum(
                 probe64(tk, v + i.astype(jnp.int64), h, stride32,
@@ -213,12 +242,55 @@ def main():
                 probe_pair(th, tl, hh + i, ll, h, stride)) + i),
                 (thi, tlo, hi0, lo0, homes0)),
             "kmerize32": (rep(lambda i, m, ln: (lambda hl: jnp.sum(
-                (hl[0] & 0xFF) * hl[2]) + i)(kmerize32(m, ln))),
+                (hl[0] & 0xFF) * hl[2]) + i)(kmerize32(
+                    jax.lax.dynamic_index_in_dim(m, i % NB, 0,
+                                                 keepdims=False), ln))),
                 (mats, lens)),
         }
+        # --- DNA fused step (6-frame translate + kmerize + probe) ---
+        from kmergutsjava_tpu.ops.translate import translate_6frames
+
+        kd1, kd2 = jax.random.split(jax.random.key(9))
+        dmats, dlens = make_dna_batch(kd1)
+        DB, DL = dmats.shape[1], dmats.shape[2]
+        dwin = DL // 3 - K + 1
+
+        def dna_body(i, mats, lens, tk, strd, lns):
+            m = jax.lax.dynamic_index_in_dim(mats, i % NB, 0, keepdims=False)
+            frames = jax.vmap(translate_6frames)(m, lens)
+            bq = frames.shape[0]
+            offs = frames.reshape(bq * 6, frames.shape[2])
+            num_starts = jnp.maximum(lens // 3 - K + 1, 0)
+            w = offs.shape[1] - K + 1
+            values = jnp.zeros((offs.shape[0], w), dtype=jnp.int64)
+            ok = jnp.ones((offs.shape[0], w), dtype=bool)
+            for k in range(K):
+                seg = offs[:, k:k + w].astype(jnp.int64)
+                values = values + seg * int(POW20[k])
+                ok = ok & (seg < 20)
+            ok = ok & (jnp.arange(w) < jnp.repeat(num_starts, 6)[:, None])
+            flat = values.reshape(-1)
+            homes = (flat % jnp.int64(N_SIGS)).astype(jnp.int32)
+            if lns < 128:
+                homes = homes % jnp.int32((tk.shape[0] - 1) * strd)
+            s = probe64(tk, flat, homes, strd, lanes=lns)
+            return jnp.sum(s * ok.reshape(-1)) + i
+
+        def dna_translate_only(i, mats, lens):
+            m = jax.lax.dynamic_index_in_dim(mats, i % NB, 0, keepdims=False)
+            frames = jax.vmap(translate_6frames)(m, lens)
+            return jnp.sum(frames.astype(jnp.int32)) + i
+
+        cases["dna_translate"] = (rep(dna_translate_only), (dmats, dlens))
+        cases["dna_step64_fused"] = (rep(partial(
+            dna_body, strd=stride, lns=128)), (dmats, dlens, tk64))
+        cases["dna_step64n_fused"] = (rep(partial(
+            dna_body, strd=stride32, lns=32)), (dmats, dlens, tk64n))
+
         # step variant: int32 pair end-to-end (kmerize32 + pair probe)
         def body_step_pair(i, mats, lens, th, tl):
-            hi, lo, ok = kmerize32(mats, lens)
+            m = jax.lax.dynamic_index_in_dim(mats, i % NB, 0, keepdims=False)
+            hi, lo, ok = kmerize32(m, lens)
             hf, lf = hi.reshape(-1), lo.reshape(-1)
             homes = ((hf.astype(jnp.int64) * 160000 + lf)
                      % jnp.int64(N_SIGS)).astype(jnp.int32)
@@ -227,10 +299,14 @@ def main():
         cases["step_pair_i32"] = (rep(body_step_pair), (mats, lens, thi, tlo))
 
         reps = int(os.environ.get("SWEEP_REPS", 30))
+        dna_nwin = DB * 6 * ((DL // 3) - K + 1)
         for name, (loop, args) in cases.items():
             fn = lambda r: loop(r, *args)  # noqa: B023
             execs = timed(fn, reps, 4 * reps)
-            out[name] = round(execs * nwin, 1)
+            per_exec = dna_nwin if name.startswith("dna_") else nwin
+            out[name] = round(execs * per_exec, 1)
+            if name.startswith("dna_"):
+                out[name + "_reads_per_sec"] = round(execs * DB, 1)
             print(f"{name}: {out[name] / 1e6:.1f}M windows/s", flush=True)
     print(json.dumps(out))
 

@@ -179,3 +179,42 @@ def test_streaming_multipass_end_to_end(tmp_path):
     a = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
     b = run_engine(tmp_path / "d", fasta, backend="stream", **kw)
     assert a == b
+
+
+@pytest.mark.parametrize("seed,load,channels", [(3, 0.6, 4), (4, 0.9, 8)])
+def test_stream_bf16_form_vs_parity(seed, load, channels):
+    """The 16-bit (bf16-compare) kernel form must be byte-equivalent to
+    the i32 form: fingerprints mod 0x7F7F are finite non-negative bf16
+    patterns whose bit equality IS value equality, and the doubled
+    collision rate is absorbed by host verification. Differentially
+    pinned here in interpret mode so the form stays correct while
+    stream16_supported() waits for a Mosaic release that compiles it
+    (scripts/sweep_stream16.py isolated the packed compare crash)."""
+    rng = np.random.default_rng(seed)
+    sig = random_signatures(rng, 2500)
+    table = build_table(**sig, load_factor=load)
+    values, cnt, pos = make_queries(rng, sig["kmers"], 5000)
+    a = lookup_stream(table, values, cnt, pos)
+    b = PallasStreamLookup(table, channels=channels,
+                           form="bf16").lookup(values, cnt, pos)
+    assert canon(a) == canon(b)
+    assert a.kmers_found == b.kmers_found
+
+
+def test_stream16_env_force(monkeypatch):
+    from kmergutsjava_tpu.lookup import pallas_stream as ps
+
+    monkeypatch.setenv("KMER_STREAM16", "0")
+    assert ps.stream16_supported() is False
+    # "force" arms unconditionally (experiments only); "1" re-probes and
+    # arms only if the probe passes — on this CPU backend the probe path
+    # is skipped (non-TPU), so "1" stays False
+    monkeypatch.setenv("KMER_STREAM16", "force")
+    assert ps.stream16_supported() is True
+    monkeypatch.setenv("KMER_STREAM16", "1")
+    monkeypatch.setattr(ps, "_STREAM16", None)
+    assert ps.stream16_supported() is False
+    monkeypatch.delenv("KMER_STREAM16")
+    monkeypatch.setattr(ps, "_STREAM16", None)
+    # non-TPU backends never auto-arm (interpret mode gains nothing)
+    assert ps.stream16_supported() is False

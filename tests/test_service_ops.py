@@ -87,7 +87,9 @@ def test_metrics_error_outcomes(server):
         except Exception:
             pass
     _, text = _get(url + "/metrics")
-    assert 'rpc_requests_total{method="nope",outcome="no_such_method"} 1' \
+    # unknown methods collapse onto a fixed label: echoing the raw client
+    # string would let bogus methods mint unbounded counter keys
+    assert 'rpc_requests_total{method="_unknown",outcome="no_such_method"} 1' \
         in text
     assert 'rpc_requests_total{method="annotate",outcome="rpc_error"} 1' \
         in text
