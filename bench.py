@@ -465,6 +465,55 @@ def bench_tpu_spmd_device(table, reps: int):
         rate = b * (r2 - r1) / max(t2 - t1, 1e-9)
         out[f"spmd_device_reads_per_sec_{name}"] = round(rate, 1)
         out[f"spmd_device_{name}_shape"] = [b, length]
+
+    # windowed sequence-parallel long-contig step (round-2 verdict item 2:
+    # a device reads/s figure for the LONG-record path): one synthetic
+    # contig split into 12288-nt overlapping windows, the windowed DNA
+    # step rep-looped over n_batches distinct window batches
+    from kmergutsjava_tpu.parallel.seq_windows import (make_windowed_dna_step,
+                                                       plan_windows)
+
+    win_nt = 12288
+    contig_nt = int(os.environ.get("BENCH_WINDOWED_NT", 1_500_000))
+    wstep, wplanes = make_windowed_dna_step(mesh, table, pw, win_nt)
+    plan = plan_windows(contig_nt, win_nt)
+    n_win = len(plan["s"])
+    with jax.enable_x64(False):
+        sym = jax.random.randint(jax.random.key(7),
+                                 (n_batches, n_win, win_nt), 0, 4,
+                                 dtype=jnp.int32)
+        wmats = jnp.take(lut_dna, sym, axis=0)
+        len_w = jnp.asarray(plan["len_w"].astype(np.int32))
+        row_map = jnp.asarray(plan["row_map"].astype(np.int32))
+        own_s = jnp.asarray(plan["own_start"].astype(np.int32))
+        own_e = jnp.asarray(plan["own_end"].astype(np.int32))
+        kmer_plane = wplanes["kmer"]
+
+        @partial(jax.jit, static_argnames=("r",))
+        def wloop(kmer, mats, r):
+            def body(i, c):
+                m = jax.lax.dynamic_index_in_dim(mats, i % n_batches, 0,
+                                                 keepdims=False)
+                o = wstep(kmer, m, len_w, row_map, own_s, own_e)
+                return c + jnp.sum(o, dtype=jnp.int32)
+
+            return jax.lax.fori_loop(0, r, body, jnp.int32(0))
+
+        def wtimed(r):
+            _sync(wloop(kmer_plane, wmats, r))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _sync(wloop(kmer_plane, wmats, r))
+                best = min(best, time.time() - t0)
+            return best
+
+        r1, r2 = reps, 4 * reps
+        t1, t2 = wtimed(r1), wtimed(r2)
+    nt_rate = contig_nt * (r2 - r1) / max(t2 - t1, 1e-9)
+    out["spmd_device_windowed_nt_per_sec"] = round(nt_rate, 1)
+    out["spmd_device_windowed_shape"] = [n_win, win_nt]
+    out["spmd_device_windowed_contig_nt"] = contig_nt
     return out
 
 
