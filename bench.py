@@ -146,9 +146,9 @@ def roofline_fields(peaks: dict, stream: dict, rows: dict,
             out["rows_gather_hbm_bytes_per_lookup"] = lanes * 2
             out["rows_gather_hbm_utilization"] = round(
                 rows["rows_lookups_per_sec"] * lanes * 2 / hbm, 4)
-    if sparse_big.get("sparse_big_narrow32_lookups_per_sec") and hbm:
-        out["sparse_narrow32_hbm_utilization"] = round(
-            sparse_big["sparse_big_narrow32_lookups_per_sec"] * 64 / hbm, 4)
+    if sparse_big.get("sparse_big_rows1_lookups_per_sec") and hbm:
+        out["sparse_rows1_hbm_utilization"] = round(
+            sparse_big["sparse_big_rows1_lookups_per_sec"] * 256 / hbm, 4)
     return out
 
 
@@ -332,41 +332,49 @@ def bench_sparse_e2e(reps: int):
 
 
 def bench_tpu_sparse_big(reps: int):
-    """Sparse-regime probe on an HBM-bound plane (round-1 verdict, weak
-    item 1): device-GENERATED 512MB fingerprint plane (the relay's ~MB/s
-    host link cannot upload one, and probe throughput is content-
-    independent — correctness is pinned separately by tests/test_lookup.py
-    differential tests), random sparse queries, marginal two-point fit.
-    Measures the NARROW-lane rows1 layout (lanes=32, stride=16 — the
-    production default since the round-2 narrow-row discovery,
-    scripts/sweep_narrow.py), the chunked probe it retired from the auto
-    path (sort + bins + chunk-local gathers), and the wide 128-lane rows1
-    both replaced on planes this size."""
+    """Sparse-regime probe on an HBM-bound plane: device-GENERATED 512MB
+    fingerprint plane (the relay's ~MB/s host link cannot upload one, and
+    probe throughput is content-independent — correctness is pinned
+    separately by tests/test_lookup.py differential tests), marginal
+    two-point fit.
+
+    HONEST form (round-3 correction): every rep probes a DIFFERENT
+    precomputed (query, home/bin) variant via dynamic indexing. The
+    round-2 harness perturbed only the query fingerprints and held homes
+    loop-invariant, which let XLA hoist small gathers out of the rep
+    loop and inflated the narrow-lane rates ~7x (543M/s fiction vs 74M
+    honest at 512MB; scripts/sweep_fuse3.py). Measured here: the wide
+    128-lane rows1 gather (the corrected production layout), the
+    chunked 4MB-operand scan (auto default for HBM-large planes), and
+    the retired narrow-32 layout for the record."""
     import jax
     import jax.numpy as jnp
+    from functools import partial as _partial
 
-    from scripts.sweep_sparse import STRIDE, W, prod_chunked_loop, rows1_loop
+    from kmergutsjava_tpu.lookup.xla import (probe_fingerprint_chunk_bins,
+                                             probe_fingerprint_rows1)
 
+    W = 16
+    NB = 4
     plane_mb = float(os.environ.get("BENCH_SPARSE_PLANE_MB", 512))
     n = int(os.environ.get("BENCH_SPARSE_QUERIES", 4_000_000))
-    chunk_rows = 16384  # 4MB chunks (sweep optimum, scripts/sweep_sparse.py)
+    chunk_rows = 16384  # 4MB chunks
     nchunks = max(1, int(plane_mb * 2**20) // (chunk_rows * 256))
     cap = -(-(n // nchunks) // 8) * 8
     n_cells = nchunks * cap
-    k1, k2, k3, k4 = jax.random.split(jax.random.key(17), 4)
     out = {}
     with jax.enable_x64(False):
-        tbl3 = jax.random.bits(k1, (nchunks, chunk_rows, 128),
-                               dtype=jnp.uint16)
-        qfp_b = jax.random.bits(k2, (nchunks, cap), dtype=jnp.uint16)
-        row_b = (jax.random.bits(k3, (nchunks, cap), dtype=jnp.uint16)
-                 % jnp.uint16(chunk_rows))
-        off_b = (jax.random.bits(k4, (nchunks, cap), dtype=jnp.uint8)
-                 % jnp.uint8(STRIDE))
-        qfp = jnp.reshape(qfp_b, (-1,))
-        grow = (jnp.arange(nchunks, dtype=jnp.int32)[:, None] * chunk_rows
-                + row_b.astype(jnp.int32))  # global row
-        homes = (grow * STRIDE + off_b.astype(jnp.int32)).reshape(-1)
+        def rep_loop(body):
+            @partial(jax.jit, static_argnames=("r",))
+            def loop(r, *args):
+                def f(i, c):
+                    return c + body(i, *args).astype(jnp.int32)
+                return jax.lax.fori_loop(0, r, f, jnp.int32(0))
+            return loop
+
+        def pick(i, a):
+            return jax.lax.dynamic_index_in_dim(a, i % NB, 0,
+                                                keepdims=False)
 
         def timed(fn, r):
             _sync(fn(r))  # warm: same static reps = same executable
@@ -377,28 +385,65 @@ def bench_tpu_sparse_big(reps: int):
                 best = min(best, time.time() - t0)
             return best
 
-        # the production narrow plane: same 512MB byte budget, 32 lanes,
-        # stride 16 (storage factor 2 -> half the slots per byte)
-        k5, k6 = jax.random.split(jax.random.key(23))
-        nstride = 32 - W
-        nrows = int(plane_mb * 2**20) // 64
-        tnar = jax.random.bits(k5, (nrows, 32), dtype=jnp.uint16)
-        hnar = (jax.random.bits(k6, (n,), dtype=jnp.uint32)
-                % jnp.uint32((nrows - 2) * nstride)).astype(jnp.int32)
-        for name, nn, fn in (
-            ("narrow32", n, lambda r: rows1_loop(
-                tnar, qfp[:n], hnar, W, nstride, r)),
-            ("chunked", n_cells, lambda r: prod_chunked_loop(
-                tbl3, qfp_b, row_b, off_b, W, chunk_rows, r)),
-            ("rows1", n_cells, lambda r: rows1_loop(
-                jnp.reshape(tbl3, (-1, 128)), qfp, homes, W, STRIDE, r)),
-        ):
+        def measure(name, nn, loop, args):
             r1, r2 = reps, 4 * reps
-            t1, t2 = timed(fn, r1), timed(fn, r2)
+            t1 = timed(lambda r: loop(r, *args), r1)
+            t2 = timed(lambda r: loop(r, *args), r2)
             out[f"sparse_big_{name}_lookups_per_sec"] = round(
                 nn * (r2 - r1) / max(t2 - t1, 1e-9), 1)
+
+        # wide 128-lane rows1 (production layout)
+        stride = 128 - W
+        nrows = int(plane_mb * 2**20) // 256
+        k1, k2, k3 = jax.random.split(jax.random.key(23), 3)
+        t128 = jax.random.bits(k1, (nrows, 128), dtype=jnp.uint16)
+        q_nb = jax.random.bits(k2, (NB, n), dtype=jnp.uint16)
+        h_nb = jax.random.randint(k3, (NB, n), 0, (nrows - 2) * stride,
+                                  dtype=jnp.int32)
+
+        def rows1_body(i, t, q, h, stride=stride):
+            off, st = probe_fingerprint_rows1(t, pick(i, q), pick(i, h),
+                                              W, stride)
+            return (jnp.sum(st.astype(jnp.int32))
+                    + jnp.sum(off.astype(jnp.int32)))
+
+        measure("rows1", n, rep_loop(rows1_body), (t128, q_nb, h_nb))
+
+        # chunked 4MB-operand scan (auto default for HBM-large planes)
+        k4, k5, k6, k7 = jax.random.split(jax.random.key(17), 4)
+        tbl3 = jax.random.bits(k4, (nchunks, chunk_rows, 128),
+                               dtype=jnp.uint16)
+        qb_nb = jax.random.bits(k5, (NB, nchunks, cap), dtype=jnp.uint16)
+        rb_nb = (jax.random.bits(k6, (NB, nchunks, cap), dtype=jnp.uint16)
+                 % jnp.uint16(chunk_rows))
+        ob_nb = (jax.random.bits(k7, (NB, nchunks, cap), dtype=jnp.uint8)
+                 % jnp.uint8(stride))
+
+        def chunk_body(i, t, q, rr, oo):
+            off, st = probe_fingerprint_chunk_bins(
+                t, pick(i, q), pick(i, rr), pick(i, oo), W)
+            return (jnp.sum(st.astype(jnp.int32))
+                    + jnp.sum(off.astype(jnp.int32)))
+
+        measure("chunked", n_cells, rep_loop(chunk_body),
+                (tbl3, qb_nb, rb_nb, ob_nb))
+
+        # retired narrow-32 layout, for the record
+        k8, k9 = jax.random.split(jax.random.key(29))
+        nstride = 32 - W
+        nrows32 = int(plane_mb * 2**20) // 64
+        t32 = jax.random.bits(k8, (nrows32, 32), dtype=jnp.uint16)
+        h32_nb = jax.random.randint(k9, (NB, n), 0,
+                                    (nrows32 - 2) * nstride,
+                                    dtype=jnp.int32)
+        measure("narrow32", n,
+                rep_loop(_partial(rows1_body, stride=nstride)),
+                (t32, q_nb, h32_nb))
     out["sparse_big_plane_mb"] = plane_mb
-    out["sparse_big_queries"] = n_cells
+    out["sparse_big_queries"] = n
+    out["sparse_big_methodology"] = (
+        "honest per-rep (query, home) variation via NB precomputed "
+        "variants; round-2 fixed-home rates were hoisting-inflated")
     return out
 
 

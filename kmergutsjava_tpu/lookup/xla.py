@@ -400,18 +400,19 @@ class XlaLookup:
         if probe_impl in ("rows1", "chunked"):
             budget = int(os.environ.get("KMER_ROWS1_MAX_BYTES", 4 << 30))
             if probe_impl == "rows1":
-                # NARROW lane width (scripts/sweep_narrow.py): the row
-                # gather is operand-size/issue bound, so fetching only
-                # ~2*w1 lanes per query runs 2-4x faster than 128 lanes
-                # at EVERY plane size (537-546M/s vs 272M small / 131M at
-                # 512MB) — which also retires the chunked scan from the
-                # auto path. Storage factor = lanes/stride (2x at 32/16);
-                # widen lanes (cheaper overlap, slower probe) if the
-                # overlapped plane would blow the byte budget. The
-                # chunked impl keeps 128 lanes: its bin wire format and
-                # native router assume them.
-                lanes = int(os.environ.get("KMER_PROBE_LANES", 0)) or (
-                    32 if self.w1 <= 16 else 64 if self.w1 <= 48 else 128)
+                # Lane width: 128 (round-3 correction). Round 2 believed
+                # narrow ~2*w1 lanes ran 2-4x faster at every plane size
+                # (537-546M/s), but those sweeps held HOMES loop-invariant
+                # across reps, letting XLA hoist the (small) narrow
+                # gather out of the timing loop — only the compare was
+                # timed. With per-iteration home variation
+                # (scripts/sweep_fuse3.py) the honest u16 ladder is:
+                # 13MB plane 270M/s (32 lanes) vs 268M (128); 512MB plane
+                # 74M (32) vs 129M (128) — narrow is never better and
+                # clearly worse HBM-large, so 128 is the default and the
+                # chunked scan returns to the auto path for large planes.
+                # KMER_PROBE_LANES still overrides for experiments.
+                lanes = int(os.environ.get("KMER_PROBE_LANES", 0)) or 128
                 # A lanes override <= w1 leaves no probe stride (the
                 # budget loop would divide by zero at lanes == w1); every
                 # window must fit one row, which needs lanes >= 2*w1.
@@ -435,9 +436,11 @@ class XlaLookup:
                     [fp, np.full(ext - plane_len, FP_EMPTY, np.uint16)])
             fp2d = np.ascontiguousarray(np.lib.stride_tricks.as_strided(
                 fp, shape=(nrows, lanes), strides=(2 * self.stride, 2)))
-            # chunk the plane when forced, or when a 128-lane plane is
-            # HBM-large (auto; only reachable with wide lanes — narrow
-            # rows1 measured plane-size independent, so auto stays rows1)
+            # chunk the plane when forced, or when the 128-lane plane is
+            # HBM-large (auto): the row gather slows ~2x once the operand
+            # passes ~the 64-256MB cliff, and the chunked scan keeps each
+            # gather operand at 4MB (honest numbers, round 3:
+            # scripts/sweep_fuse4.py)
             # (<= 32768 rows: the bin wire format carries local rows as u16)
             self.chunk_rows = min(
                 int(os.environ.get("KMER_CHUNK_ROWS", 16384)), 32768)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import CODON_AA_OFF, INVALID_AA, INVALID_DNA, TERMINATOR_AA
-from .encode import dna_codes, revcomp_codes
+from .encode import byte_lut, dna_codes, revcomp_codes
 
 # numpy (not jnp) at module scope: the first import can happen inside a
 # traced function (consumers import lazily), and a device constant minted
@@ -42,8 +42,12 @@ def _frames_from_codes(codes: jax.Array, length: jax.Array) -> jax.Array:
         c3 = jnp.take(codes, pos + 2, mode="fill", fill_value=INVALID_DNA)
         codon_ok = (c1 < 4) & (c2 < 4) & (c3 < 4)
         idx = (c1.astype(jnp.int32) * 16 + c2.astype(jnp.int32) * 4 + c3.astype(jnp.int32))
+        # 64-entry codon LUT via encode.byte_lut: one-hot MXU matmul on
+        # TPU (the gather form near-capped the whole DNA translate at
+        # ~109M windows/s; scripts/sweep_fuse3.py), plain gather elsewhere
         aa = jnp.where(codon_ok,
-                       jnp.asarray(_CODON_AA)[jnp.where(codon_ok, idx, 0)],
+                       byte_lut(_CODON_AA, jnp.where(codon_ok, idx, 0),
+                                width=64),
                        INVALID_AA)
         # p = number of codons in this frame: floor((length - f) / 3), >= 0
         p = jnp.maximum(length - f, 0) // 3

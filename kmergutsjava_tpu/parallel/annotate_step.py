@@ -16,10 +16,12 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..constants import AA_OFF_LUT, K
 from ..formats.kmer_table import KmerTable
+from ..ops.encode import byte_lut
 from ..ops.kmerize import kmer_windows
 from .mesh import DATA_AXIS, TABLE_AXIS
 from .sharded_lookup import _local_probe, shard_table_planes
@@ -29,7 +31,10 @@ def _encode_and_probe(tk, ascii_u8, lengths,
                       *, s_loc, probe_window, num_sigs, stride=0,
                       lanes=128):
     """Per-device body (runs inside shard_map)."""
-    offs = jnp.asarray(AA_OFF_LUT)[ascii_u8.astype(jnp.int32)]
+    # encode via byte_lut: on TPU the one-hot MXU form lifted the fused
+    # step from 69.5M to 145M windows/s (the 256-LUT gather alone was the
+    # 124M/s prepare ceiling; scripts/sweep_fuse2.py, round 3)
+    offs = byte_lut(np.asarray(AA_OFF_LUT), ascii_u8.astype(jnp.int32))
     b, n = offs.shape
     w = n - K + 1
     # reference window bound: i < len - K (ref KmerGutsJava.java:912)

@@ -37,21 +37,23 @@ from .mesh import DATA_AXIS, TABLE_AXIS
 
 def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
     """Host-side prep: per-shard slot-range slices of the K-MER plane
-    (+ probe halo) laid out in NARROW lane rows — TPU XLA vectorizes
-    whole-row gathers but runs 1-D-operand gathers scalar, and the row
-    gather is operand-size/ISSUE bound, so fetching only ~2x probe_window
-    lanes per query runs 2.7x faster than 128 lanes (int64 narrow-32:
-    469M vs 171M probes/s, scripts/sweep_spmd.py — the round-3 lift of
-    the fused SPMD step). Only the int64 k-mer column ships to the
-    device: the probe answers with the matched slot, and metadata is
-    gathered host-side; the compare stays exact int64 (no fingerprint
-    verification pass needed).
+    (+ probe halo) laid out in 128-lane overlapped rows — TPU XLA
+    vectorizes whole-row gathers but runs 1-D-operand gathers scalar.
+    Only the int64 k-mer column ships to the device: the probe answers
+    with the matched slot, and metadata is gathered host-side; the
+    compare stays exact int64 (no fingerprint verification pass needed).
+
+    Lane width: 128 is the HONEST optimum for this int64 plane — with
+    per-iteration home variation (scripts/sweep_fuse2.py, round 3) the
+    128-lane row gather measures 170M probes/s vs 70M at 32/64 lanes;
+    earlier sweeps that suggested narrow rows held homes loop-invariant,
+    letting XLA hoist the (small) narrow gather out of the timing loop.
+    KMER_SHARD_LANES overrides for experiments.
 
     Overlapped layout (row r = local slots [r*stride, r*stride + lanes),
-    stride = lanes - probe_window) so any window lies in ONE row; lanes
-    = 32/64/128 by window size (storage factor lanes/stride <= 2x).
+    stride = lanes - probe_window) so any window lies in ONE row.
     probe_window > 64 or an overlap past the byte budget falls back to
-    plain 128-lane rows + two-row gathers ("stride" 0, "lanes" 128).
+    plain 128-lane rows + two-row gathers ("stride" 0).
     """
     if probe_window > 128:
         raise ValueError("sharded lookup requires probe_window <= 128 "
@@ -68,10 +70,7 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
     s = table.num_sigs
     s_loc = -(-s // n_shards)
     slice_len = s_loc + probe_window
-    # narrow lanes, same policy as XlaLookup rows1 (scripts/sweep_narrow.py
-    # on uint16, re-measured for this int64 plane by scripts/sweep_spmd.py)
-    lanes = int(os.environ.get("KMER_SHARD_LANES", 0)) or (
-        32 if probe_window <= 16 else 64 if probe_window <= 48 else 128)
+    lanes = int(os.environ.get("KMER_SHARD_LANES", 0)) or 128
     while lanes < 128 and lanes < 2 * probe_window:
         lanes *= 2
     stride = lanes - probe_window if probe_window <= 64 else 0

@@ -127,11 +127,13 @@ def rows1_loop(fp2d, qfp, homes, w, stride, reps):
     from kmergutsjava_tpu.lookup.xla import probe_fingerprint_rows1
 
     def body(i, carry):
-        # perturb the QUERY fingerprint, not the home: defeats loop
-        # hoisting for one u16 xor per query — the former per-rep
-        # (homes + i) % limit modulo cost ~2-4x the narrow probe itself
-        # (the "mod tax", /tmp isolate sweeps; production probes a fixed
-        # home distribution, so the xor form is the honest one)
+        # ROUND-3 WARNING: perturbing only the QUERY fingerprint does
+        # NOT defeat loop hoisting of the gather itself — homes are
+        # loop-invariant, so XLA materializes the gathered rows once
+        # whenever they fit, and only the compare is timed (inflated
+        # narrow-lane rates up to ~7x). Honest harnesses cycle NB
+        # precomputed (query, home) variants per iteration
+        # (scripts/sweep_fuse3.py, bench.bench_tpu_sparse_big).
         off, state = probe_fingerprint_rows1(
             fp2d, qfp ^ i.astype(jnp.uint16), homes, w, stride)
         return (carry + jnp.sum(state.astype(jnp.int32))

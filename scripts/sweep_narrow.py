@@ -20,6 +20,15 @@ Storage cost of lanes L with window W: L/(L-W) bytes per slot unit —
 in docs/performance.md once measured.
 
 Usage: python scripts/sweep_narrow.py   (TPU; solo)
+
+ROUND-3 METHODOLOGY WARNING: the rep loops in this script perturb only
+the QUERY fingerprints and hold HOMES loop-invariant. XLA hoists the
+(loop-invariant) gather out of the fori_loop whenever the gathered
+result is small enough to materialize, so narrow-lane rates measured
+here are inflated up to ~7x (543M/s vs the honest 74M at 512MB/32
+lanes). Honest harnesses index one of NB precomputed (query, home)
+variants per iteration — see scripts/sweep_fuse2.py / sweep_fuse3.py /
+sweep_fuse4.py and the corrected bench_tpu_sparse_big in bench.py.
 """
 import json
 import os

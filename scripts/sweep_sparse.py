@@ -23,6 +23,15 @@ device program, warm call with the same static shapes first, timed call
 ends with jax.device_get of a data-dependent scalar.
 
 Usage: nohup python scripts/sweep_sparse.py > /tmp/sweep_sparse.log 2>&1 &
+
+ROUND-3 METHODOLOGY WARNING: the rep loops in this script perturb only
+the QUERY fingerprints and hold HOMES loop-invariant. XLA hoists the
+(loop-invariant) gather out of the fori_loop whenever the gathered
+result is small enough to materialize, so narrow-lane rates measured
+here are inflated up to ~7x (543M/s vs the honest 74M at 512MB/32
+lanes). Honest harnesses index one of NB precomputed (query, home)
+variants per iteration — see scripts/sweep_fuse2.py / sweep_fuse3.py /
+sweep_fuse4.py and the corrected bench_tpu_sparse_big in bench.py.
 """
 from __future__ import annotations
 
