@@ -60,10 +60,11 @@ def _first_event(win, q_fp, rel, in_window, probe_window):
     stops — definitive miss if no candidate came first) decides the query.
 
     ONE masked min over key = rel*2 + (0 candidate | 1 empty) replaces the
-    former two-reduction has_cand/empty_any form — measured 1.8x on narrow
-    planes (558M vs 316M lookups/s, scripts/sweep_narrow.py + the isolate
-    follow-up; the 512MB plane matches). A slot cannot be both (q_fp <
-    FP_MOD = FP_EMPTY), so the parity tie never happens.
+    former two-reduction has_cand/empty_any form — fewer reduction passes
+    per probe (round-2 sweeps measured 1.8x, though their absolute rates
+    were later found hoisting-inflated; the single-reduction form stands
+    on op count). A slot cannot be both (q_fp < FP_MOD = FP_EMPTY), so
+    the parity tie never happens.
 
     Returns (off_u8, state_u8): state 1 = candidate at ``off`` (bit 2 is
     NO LONGER set when an empty follows the candidate — every consumer
@@ -149,14 +150,14 @@ def probe_fingerprint_rows1(
     < stride, so o + probe_window <= L): one gather per query, for a
     storage factor of L/stride.
 
-    Lane width L comes from the plane's shape. NARROW rows win big: the
-    TPU row gather is operand-size and issue bound, not byte bound, and a
-    W=16 window needs nowhere near 128 lanes — L=32 measured 537-546
-    M lookups/s vs 272 M/s (small plane) and 131 M/s (512 MB plane) at
-    L=128 (scripts/sweep_narrow.py), plane-size INDEPENDENT, at a 2x
-    storage factor. L=32 is the production default for w1 <= 16
-    (XlaLookup picks L; narrow planes are not lane-padded in HBM —
-    pinned by the full-plane reduce probe in the same sweep).
+    Lane width L comes from the plane's shape; 128 is the production
+    default at every window size. (Round-3 correction: the round-2
+    "narrow rows win" measurements held homes loop-invariant and XLA
+    hoisted the small narrow gather out of the timing loop; honest
+    per-rep home variation measures 128 lanes AHEAD of 32/64 at every
+    plane size — 270M vs 270M at 13MB, 129M vs 74M at 512MB,
+    scripts/sweep_fuse3.py. KMER_PROBE_LANES still overrides; narrow
+    planes are not lane-padded in HBM.)
     Same (off, state) contract as probe_fingerprint_pass.
     """
     lanes = tbl_fp2d.shape[1]
