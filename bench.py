@@ -223,33 +223,63 @@ def bench_tpu_stream(table, values, reps: int):
 
 def bench_tpu_rows(table, values, reps: int, chunk: int = 1 << 19):
     """Secondary: the vectorized row-gather probe (sparse-regime path),
-    on-chip rate via an in-program fori_loop rep chain, plus the full
-    host-level lookup (transfers + verification + pass 2 + compaction)."""
+    on-chip rate via an in-program fori_loop rep chain — HONEST form:
+    each rep probes a different precomputed (query, home) variant
+    (methodology rule 4, docs/performance.md) — plus the full host-level
+    lookup (transfers + verification + pass 2 + compaction)."""
     import jax
     import jax.numpy as jnp
 
-    from kmergutsjava_tpu.lookup.xla import FP_MOD, XlaLookup
-    from scripts.microbench_probe import rows1_loop, rows_loop
+    from kmergutsjava_tpu.lookup.xla import (FP_MOD, XlaLookup,
+                                             probe_fingerprint_rows,
+                                             probe_fingerprint_rows1)
 
     lk = XlaLookup(table, chunk=chunk)  # default row-gather impl
     if lk.probe_impl == "flat":  # e.g. KMER_PROBE_IMPL=flat: the rep loops
         lk = XlaLookup(table, chunk=chunk, probe_impl="rows")  # need 2-D
-    if lk.probe_impl == "rows1":
-        loop = lambda qf, h, r: rows1_loop(lk.tbl_fp, qf, h, lk.w1,
-                                           lk.stride, r)
-    else:
-        loop = lambda qf, h, r: rows_loop(lk.tbl_fp, qf, h, lk.w1, r)
+    if lk.probe_impl == "chunked":  # huge BENCH_SIGS: time the row form
+        lk = XlaLookup(table, chunk=chunk, probe_impl="rows1")
     n = len(values)
+    NB = 4
+    rng = np.random.default_rng(41)
     with jax.enable_x64(False):  # the rep chain is pure int32/uint16
-        homes = jnp.asarray((values % np.int64(table.num_sigs)).astype(np.int32))
-        qf = jnp.asarray((values % FP_MOD).astype(np.uint16))
+        vv = np.stack([values] + [
+            rng.permutation(values) for _ in range(NB - 1)])
+        homes_nb = jnp.asarray((vv % np.int64(table.num_sigs))
+                               .astype(np.int32))
+        qf_nb = jnp.asarray((vv % FP_MOD).astype(np.uint16))
+
+        if lk.probe_impl == "rows1":
+            def body(i, t, q_nb, h_nb):
+                q = jax.lax.dynamic_index_in_dim(q_nb, i % NB, 0,
+                                                 keepdims=False)
+                h = jax.lax.dynamic_index_in_dim(h_nb, i % NB, 0,
+                                                 keepdims=False)
+                off, st = probe_fingerprint_rows1(t, q, h, lk.w1, lk.stride)
+                return (jnp.sum(st.astype(jnp.int32))
+                        + jnp.sum(off.astype(jnp.int32)))
+        else:
+            def body(i, t, q_nb, h_nb):
+                q = jax.lax.dynamic_index_in_dim(q_nb, i % NB, 0,
+                                                 keepdims=False)
+                h = jax.lax.dynamic_index_in_dim(h_nb, i % NB, 0,
+                                                 keepdims=False)
+                off, st = probe_fingerprint_rows(t, q, h, lk.w1)
+                return (jnp.sum(st.astype(jnp.int32))
+                        + jnp.sum(off.astype(jnp.int32)))
+
+        @partial(jax.jit, static_argnames=("r",))
+        def loop(r, t, q_nb, h_nb):
+            def f(i, c):
+                return c + body(i, t, q_nb, h_nb).astype(jnp.int32)
+            return jax.lax.fori_loop(0, r, f, jnp.int32(0))
 
         def timed(r):
-            _sync(loop(qf, homes, r))  # warm with the same static reps
+            _sync(loop(r, lk.tbl_fp, qf_nb, homes_nb))  # warm, same reps
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                _sync(loop(qf, homes, r))
+                _sync(loop(r, lk.tbl_fp, qf_nb, homes_nb))
                 best = min(best, time.time() - t0)
             return best
 
