@@ -422,6 +422,10 @@ def bench_tpu_sparse_big(reps: int):
             out[f"sparse_big_{name}_lookups_per_sec"] = round(
                 nn * (r2 - r1) / max(t2 - t1, 1e-9), 1)
 
+        # Section order matters under the bench watchdog: measure the
+        # production rows1 first and the big chunked compile LAST, so a
+        # pathologically slow remote compile can only cost the last
+        # number (PARTIAL carries everything committed before it).
         # wide 128-lane rows1 (production layout)
         stride = 128 - W
         nrows = int(plane_mb * 2**20) // 256
@@ -439,7 +443,21 @@ def bench_tpu_sparse_big(reps: int):
 
         measure("rows1", n, rep_loop(rows1_body), (t128, q_nb, h_nb))
 
-        # chunked 4MB-operand scan (auto default for HBM-large planes)
+        # retired narrow-32 layout, for the record
+        k8, k9 = jax.random.split(jax.random.key(29))
+        nstride = 32 - W
+        nrows32 = int(plane_mb * 2**20) // 64
+        t32 = jax.random.bits(k8, (nrows32, 32), dtype=jnp.uint16)
+        h32_nb = jax.random.randint(k9, (NB, n), 0,
+                                    (nrows32 - 2) * nstride,
+                                    dtype=jnp.int32)
+        measure("narrow32", n,
+                rep_loop(_partial(rows1_body, stride=nstride)),
+                (t32, q_nb, h32_nb))
+        del t32, h32_nb
+
+        # chunked 4MB-operand scan (auto default for HBM-large planes);
+        # LAST: its compile is the slowest through a remote-compile relay
         k4, k5, k6, k7 = jax.random.split(jax.random.key(17), 4)
         tbl3 = jax.random.bits(k4, (nchunks, chunk_rows, 128),
                                dtype=jnp.uint16)
@@ -457,18 +475,6 @@ def bench_tpu_sparse_big(reps: int):
 
         measure("chunked", n_cells, rep_loop(chunk_body),
                 (tbl3, qb_nb, rb_nb, ob_nb))
-
-        # retired narrow-32 layout, for the record
-        k8, k9 = jax.random.split(jax.random.key(29))
-        nstride = 32 - W
-        nrows32 = int(plane_mb * 2**20) // 64
-        t32 = jax.random.bits(k8, (nrows32, 32), dtype=jnp.uint16)
-        h32_nb = jax.random.randint(k9, (NB, n), 0,
-                                    (nrows32 - 2) * nstride,
-                                    dtype=jnp.int32)
-        measure("narrow32", n,
-                rep_loop(_partial(rows1_body, stride=nstride)),
-                (t32, q_nb, h32_nb))
     out["sparse_big_plane_mb"] = plane_mb
     out["sparse_big_queries"] = n
     out["sparse_big_methodology"] = (
@@ -695,12 +701,16 @@ def main():
     stream = bench_tpu_stream(table, dense, reps)
     PARTIAL["aa_8mer_lookups_per_sec_per_chip"] = round(
         stream["stream_lookups_per_sec"], 1)
+    # Section order = value order under the watchdog: the fused SPMD
+    # steps and the host-fed sparse e2e come before the sparse plane
+    # sweep, whose chunked compile is the slowest through a remote
+    # relay (PARTIAL is updated after every section).
     try:
-        sparse_big = bench_tpu_sparse_big(max(4, reps // 8))
+        spmd_dev = bench_tpu_spmd_device(table, max(4, reps // 8))
     except Exception as ex:
-        print(f"WARNING: sparse_big bench failed: {ex!r}", file=sys.stderr)
-        sparse_big = {}
-    PARTIAL.update(sparse_big)
+        print(f"WARNING: spmd device bench failed: {ex!r}", file=sys.stderr)
+        spmd_dev = {}
+    PARTIAL.update(spmd_dev)
     try:
         sparse_e2e = bench_sparse_e2e(max(2, reps // 16))
     except Exception as ex:
@@ -708,11 +718,11 @@ def main():
         sparse_e2e = {}
     PARTIAL.update(sparse_e2e)
     try:
-        spmd_dev = bench_tpu_spmd_device(table, max(4, reps // 8))
+        sparse_big = bench_tpu_sparse_big(max(4, reps // 8))
     except Exception as ex:
-        print(f"WARNING: spmd device bench failed: {ex!r}", file=sys.stderr)
-        spmd_dev = {}
-    PARTIAL.update(spmd_dev)
+        print(f"WARNING: sparse_big bench failed: {ex!r}", file=sys.stderr)
+        sparse_big = {}
+    PARTIAL.update(sparse_big)
 
     occupied = int(table.occupied.sum())
     if base["hits"] >= 0 and base["hits"] < occupied:
