@@ -638,7 +638,11 @@ def _arm_watchdog():
     best-known partial result and exit rather than dying silently."""
     import threading
 
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", 1500))
+    # default raised round 3: the honest sparse forms, the windowed
+    # step, and the sparse-e2e table add ~10 fresh executables; through
+    # a remote-compile relay the first (uncached) run needs the slack.
+    # The persistent compilation cache makes later runs fast.
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", 2700))
 
     def fire():
         print(json.dumps(PARTIAL), flush=True)
