@@ -357,8 +357,8 @@ def bench_sparse_e2e(reps: int):
             "sparse_e2e_plane_mb": None if plane is None
             else round(plane.nbytes / 2**20, 1),
             "sparse_e2e_note": ("full host pipeline incl. this harness's "
-                                "~MB/s relay host link; device-only rate "
-                                "= sparse_big_narrow32_lookups_per_sec")}
+                                "~MB/s relay host link; device-only rates "
+                                "= sparse_big_rows1/chunked_lookups_per_sec")}
 
 
 def bench_tpu_sparse_big(reps: int):
@@ -416,11 +416,17 @@ def bench_tpu_sparse_big(reps: int):
             return best
 
         def measure(name, nn, loop, args):
-            r1, r2 = reps, 4 * reps
-            t1 = timed(lambda r: loop(r, *args), r1)
-            t2 = timed(lambda r: loop(r, *args), r2)
-            out[f"sparse_big_{name}_lookups_per_sec"] = round(
-                nn * (r2 - r1) / max(t2 - t1, 1e-9), 1)
+            # fault-isolated: an OOM or compile failure in one layout
+            # must not discard the layouts already measured
+            try:
+                r1, r2 = reps, 4 * reps
+                t1 = timed(lambda r: loop(r, *args), r1)
+                t2 = timed(lambda r: loop(r, *args), r2)
+                out[f"sparse_big_{name}_lookups_per_sec"] = round(
+                    nn * (r2 - r1) / max(t2 - t1, 1e-9), 1)
+            except Exception as ex:  # noqa: BLE001
+                print(f"WARNING: sparse_big {name} failed: {ex!r}",
+                      file=sys.stderr)
 
         # Section order matters under the bench watchdog: measure the
         # production rows1 first and the big chunked compile LAST, so a
@@ -442,6 +448,9 @@ def bench_tpu_sparse_big(reps: int):
                     + jnp.sum(off.astype(jnp.int32)))
 
         measure("rows1", n, rep_loop(rows1_body), (t128, q_nb, h_nb))
+        t128.delete()
+        h_nb.delete()
+        del t128, h_nb
 
         # retired narrow-32 layout, for the record
         k8, k9 = jax.random.split(jax.random.key(29))
@@ -454,7 +463,9 @@ def bench_tpu_sparse_big(reps: int):
         measure("narrow32", n,
                 rep_loop(_partial(rows1_body, stride=nstride)),
                 (t32, q_nb, h32_nb))
-        del t32, h32_nb
+        for a in (t32, h32_nb, q_nb):
+            a.delete()
+        del t32, h32_nb, q_nb
 
         # chunked 4MB-operand scan (auto default for HBM-large planes);
         # LAST: its compile is the slowest through a remote-compile relay
