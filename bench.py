@@ -531,7 +531,7 @@ def bench_tpu_spmd_device(table, reps: int):
                                      0, nsym, dtype=jnp.int32)
             mats = jnp.take(lut, sym, axis=0)
             lens = jnp.full((b,), length, jnp.int32)
-            kmer_plane = planes["kmer"]
+            kmer_plane = planes["fp"]
 
             @partial(jax.jit, static_argnames=("r",))
             def loop(kmer, mats, lens, r):
@@ -579,7 +579,7 @@ def bench_tpu_spmd_device(table, reps: int):
         row_map = jnp.asarray(plan["row_map"].astype(np.int32))
         own_s = jnp.asarray(plan["own_start"].astype(np.int32))
         own_e = jnp.asarray(plan["own_end"].astype(np.int32))
-        kmer_plane = wplanes["kmer"]
+        kmer_plane = wplanes["fp"]
 
         @partial(jax.jit, static_argnames=("r",))
         def wloop(kmer, mats, r):

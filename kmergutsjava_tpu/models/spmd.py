@@ -184,45 +184,42 @@ class SpmdAnnotator:
             lens[r] = len(a)
             bases[r] = base
         out = self.step(
-            self.planes["kmer"],
+            self.planes["fp"],
             jax.device_put(mat, NamedSharding(self.mesh, P(DATA_AXIS, None))),
             jax.device_put(lens, NamedSharding(self.mesh, P(DATA_AXIS))))
-        self._inflight.append((bases, lens,
-                               mat if self.debug_values else None, out))
+        self._inflight.append((bases, lens, mat, out))
         while len(self._inflight) >= MAX_IN_FLIGHT:
             self._decode(self._inflight.pop(0))
 
     def _decode(self, item) -> None:
+        from ..ops.hostvalues import aa_values_at, dna_values_at
         from ..parallel.multihost import fetch_global
         from ..parallel.sharded_lookup import gather_hit_metadata
 
         bases, lens, mat, out = item
         slotp = np.asarray(fetch_global(out))
+        # the device answers are fingerprint CANDIDATES: recompute the
+        # query values at the candidate coordinates (O(hits x K) gathers,
+        # no host re-translation — ops/hostvalues.py), verify against the
+        # table's kmer column, and resolve the rare collisions exactly
+        # (parallel/sharded_lookup.verify_candidates)
         if self.cfg.aa:
             rr, cc = np.nonzero(slotp)
             cnt = bases[rr]
             idx = (rr, cc)
+            vals = aa_values_at(mat, rr, cc)
         else:
             rr, gg, cc = np.nonzero(slotp)
             cnt = bases[rr] + gg
             idx = (rr, gg, cc)
-        _, otu, avg, fi, wt = gather_hit_metadata(self.table, slotp[idx])
+            vals = dna_values_at(mat, lens, rr, gg, cc)
+        found, otu, avg, fi, wt = gather_hit_metadata(
+            self.table, slotp[idx], values=vals, probe_window=self.prog.pw)
+        if not found.all():
+            cnt, cc, vals = cnt[found], cc[found], vals[found]
+            otu, avg, fi, wt = otu[found], avg[found], fi[found], wt[found]
         self._pieces.append((cnt, cc.astype(np.int64), otu, avg, fi, wt))
         if self.debug_values and len(cc):
-            # per-(sequence, frame) groups: O(hits x K) work, no dense
-            # [n_hits, frame_width] staging matrix (advisor round-1)
-            vals = np.zeros(len(cc), np.int64)
-            if self.cfg.aa:
-                for r in np.unique(rr):
-                    m = rr == r
-                    vals[m] = _values_in_row(AA_OFF_LUT[mat[r]], cc[m])
-            else:
-                for r in np.unique(rr):
-                    fr = _host_frames(mat[r][: lens[r]])
-                    mr = rr == r
-                    for g in np.unique(gg[mr]):
-                        m = mr & (gg == g)
-                        vals[m] = _values_in_row(fr[g], cc[m])
             self._val_pieces.append(vals)
 
     def _dispatch_long(self, base: int, a: np.ndarray) -> None:

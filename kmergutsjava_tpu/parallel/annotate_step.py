@@ -4,10 +4,14 @@ One jitted SPMD program over a (data, table) mesh — the framework's
 "training step" analog. Protein batches are sharded over the data axis,
 the signature k-mer plane over the table axis; each device encodes its
 local sequences, packs 8-mers, probes the slot range it owns, and a psum
-over the table axis assembles the per-window answer — matched slot + 1
-(0 = miss) — on every data shard. Hit metadata is gathered host-side at
-the returned slots (sharded_lookup.gather_hit_metadata), so only the
-int64 k-mer plane occupies device HBM and 4 bytes per window travel back.
+over the table axis assembles the per-window answer — the first
+FINGERPRINT-match slot + 1 (0 = no candidate) — on every data shard. The
+host verifies each candidate against the recomputed query value and
+gathers hit metadata (sharded_lookup.verify_candidates /
+gather_hit_metadata, ops/hostvalues.py), so only the 2-byte-per-slot
+uint16 fingerprint plane occupies device HBM (4x the table per chip vs
+the round-3 int64 plane, ~1.6x the probe rate) and 4 bytes per window
+travel back.
 """
 from __future__ import annotations
 
@@ -49,9 +53,10 @@ def _encode_and_probe(tk, ascii_u8, lengths,
 
 def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
                                ) -> Tuple[Callable, dict]:
-    """Returns (step, device_planes). step(kmer, ascii_u8[B, L],
-    lengths[B]) -> per-window slot+1 (0 = miss), with B sharded over the
-    data axis; metadata via sharded_lookup.gather_hit_metadata."""
+    """Returns (step, device_planes). step(fp, ascii_u8[B, L],
+    lengths[B]) -> per-window candidate slot+1 (0 = miss), with B sharded
+    over the data axis; host verification + metadata via
+    sharded_lookup.gather_hit_metadata(values=...)."""
     n_shards = mesh.shape[TABLE_AXIS]
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_encode_and_probe, s_loc=planes["s_loc"],
@@ -66,8 +71,8 @@ def make_sharded_annotate_step(mesh, table: KmerTable, probe_window: int
         )
     )
     device_planes = {
-        "kmer": jax.device_put(planes["kmer"],
-                               NamedSharding(mesh, table_spec))
+        "fp": jax.device_put(planes["fp"],
+                             NamedSharding(mesh, table_spec))
     }
     return step, device_planes
 
@@ -104,8 +109,8 @@ def _dna_encode_and_probe(tk, ascii_u8, lengths,
 def make_sharded_dna_step(mesh, table: KmerTable, probe_window: int
                           ) -> Tuple[Callable, dict]:
     """Full DNA SPMD step: contigs sharded over data, table over table.
-    step(kmer, ascii_u8[B, Lpad], lengths[B]) -> per-(contig, frame,
-    window) slot+1 (0 = miss)."""
+    step(fp, ascii_u8[B, Lpad], lengths[B]) -> per-(contig, frame,
+    window) candidate slot+1 (0 = miss)."""
     n_shards = mesh.shape[TABLE_AXIS]
     planes = shard_table_planes(table, n_shards, probe_window)
     fn = partial(_dna_encode_and_probe, s_loc=planes["s_loc"],
@@ -120,7 +125,7 @@ def make_sharded_dna_step(mesh, table: KmerTable, probe_window: int
         )
     )
     device_planes = {
-        "kmer": jax.device_put(planes["kmer"],
-                               NamedSharding(mesh, table_spec))
+        "fp": jax.device_put(planes["fp"],
+                             NamedSharding(mesh, table_spec))
     }
     return step, device_planes

@@ -42,6 +42,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..constants import K
 from ..formats.kmer_table import KmerTable
+from ..ops.hostvalues import aa_values_at, dna_values_at
 from ..ops.kmerize import kmer_windows
 from .mesh import DATA_AXIS, TABLE_AXIS
 from .sharded_lookup import _local_probe, shard_table_planes
@@ -146,8 +147,8 @@ def make_windowed_dna_step(mesh, table: KmerTable, probe_window: int,
         )
     )
     device_planes = {
-        "kmer": jax.device_put(planes["kmer"],
-                               NamedSharding(mesh, table_spec))
+        "fp": jax.device_put(planes["fp"],
+                             NamedSharding(mesh, table_spec))
     }
     return step, device_planes
 
@@ -201,16 +202,23 @@ def windowed_protein_hits(mesh, step, device_planes, table: KmerTable,
     lengths = np.zeros(n_pad, np.int64)
     lengths[:n_win] = plan["num_starts"] + K
     slotp = step(
-        device_planes["kmer"],
+        device_planes["fp"],
         jax.device_put(a, NamedSharding(mesh, P(DATA_AXIS, None))),
         jax.device_put(lengths, NamedSharding(mesh, P(DATA_AXIS))))
     from .multihost import fetch_global
 
     slotp = np.asarray(fetch_global(slotp))[:n_win]
     wi, ji = np.nonzero(slotp)
-    _, otu, avg, fi, wt = gather_hit_metadata(table, slotp[wi, ji])
     pos = plan["s"][wi] + ji
-    return (pos.astype(np.int64), otu, avg, fi, wt)
+    # fingerprint-candidate protocol: recompute the query values at the
+    # global positions, verify, drop resolved misses
+    vals = aa_values_at(seq_ascii[None, :], np.zeros(len(pos), np.int64),
+                        pos)
+    found, otu, avg, fi, wt = gather_hit_metadata(table, slotp[wi, ji],
+                                                  values=vals)
+    pos = pos[found]
+    return (pos.astype(np.int64), otu[found], avg[found], fi[found],
+            wt[found])
 
 
 def windowed_contig_hits(mesh, step, device_planes, table: KmerTable,
@@ -244,7 +252,7 @@ def windowed_contig_hits(mesh, step, device_planes, table: KmerTable,
     ds1 = NamedSharding(mesh, P(DATA_AXIS))
     ds2 = NamedSharding(mesh, P(DATA_AXIS, None))
     slotp = step(
-        device_planes["kmer"],
+        device_planes["fp"],
         jax.device_put(a, ds2), jax.device_put(len_w, ds1),
         jax.device_put(row_map, ds2), jax.device_put(own_start, ds2),
         jax.device_put(own_end, ds2))
@@ -252,6 +260,13 @@ def windowed_contig_hits(mesh, step, device_planes, table: KmerTable,
 
     slotp = np.asarray(fetch_global(slotp))[:n_win]
     wi, gi, ji = np.nonzero(slotp)
-    _, otu, avg, fi, wt = gather_hit_metadata(table, slotp[wi, gi, ji])
     pos = plan["j0"][wi, gi] + ji
-    return (gi.astype(np.int64), pos.astype(np.int64), otu, avg, fi, wt)
+    # fingerprint-candidate protocol: global container + protein position
+    # map straight to nucleotide coordinates of the one contig
+    vals = dna_values_at(seq_ascii[None, :], np.array([L], np.int64),
+                         np.zeros(len(pos), np.int64), gi, pos)
+    found, otu, avg, fi, wt = gather_hit_metadata(table, slotp[wi, gi, ji],
+                                                  values=vals)
+    gi, pos = gi[found], pos[found]
+    return (gi.astype(np.int64), pos.astype(np.int64), otu[found],
+            avg[found], fi[found], wt[found])

@@ -167,9 +167,19 @@ def test_sharded_dna_step_matches_oracle():
     shard_b = NamedSharding(mesh, P(DATA_AXIS, None))
     shard_l = NamedSharding(mesh, P(DATA_AXIS))
     slotp = jax.device_get(step(
-        planes["kmer"], jax.device_put(jnp.asarray(ascii_u8), shard_b),
+        planes["fp"], jax.device_put(jnp.asarray(ascii_u8), shard_b),
         jax.device_put(jnp.asarray(lengths), shard_l)))
-    found = slotp > 0
+    # fingerprint-candidate protocol: verify candidates host-side the way
+    # the production decode does (models/spmd.py _decode)
+    from kmergutsjava_tpu.ops.hostvalues import dna_values_at
+    from kmergutsjava_tpu.parallel.sharded_lookup import gather_hit_metadata
+
+    rr, gg, cc = np.nonzero(slotp)
+    vals = dna_values_at(ascii_u8, lengths, rr, gg, cc)
+    ok, _, _, _, _ = gather_hit_metadata(table, slotp[rr, gg, cc],
+                                         values=vals)
+    found = np.zeros(slotp.shape, dtype=bool)
+    found[rr[ok], gg[ok], cc[ok]] = True
     # compare against oracle prepare + parity lookup per frame row
     from kmergutsjava_tpu.lookup.parity import lookup_stream
 
