@@ -50,3 +50,57 @@ def kmer_windows(aa_off: jax.Array, num_starts: jax.Array):
     starts = jnp.arange(w)
     in_range = starts < jnp.expand_dims(num_starts, -1)
     return values, ok & in_range
+
+
+# Largest modulus for which the int32 modular accumulation below cannot
+# overflow: partial sums are bounded by 8 * max_offset * (mod - 1) with
+# max_offset <= 21 (19 valid + invalid/terminator codes 20/21).
+MAX_MOD32 = (2**31 - 1) // (K * 21)
+
+
+def kmer_window_mods(aa_off: jax.Array, num_starts: jax.Array,
+                     mods: tuple):
+    """Residues of every window's packed value, in PURE int32.
+
+    TPU has no native int64 lanes — XLA emulates each 64-bit multiply as a
+    multi-op 32-bit sequence, which measures 2.5x slower than this form on
+    the fused-step prepare (scripts/sweep_fuse5.py: 607M -> 1.53G
+    windows/s). The fingerprint-candidate probe protocol (round 3) only
+    ever needs value % num_sigs (the home slot) and value % 65535 (the
+    fingerprint), never the value itself, and each residue is computable
+    without i64:
+
+        value % m = (sum_k off[i+k] * (20^(K-1-k) mod m)) mod m
+
+    with every partial sum < 2^31 for m <= MAX_MOD32 (~12.8M; callers
+    fall back to `kmer_windows` + i64 mods for larger tables).
+
+    Args:
+      aa_off: [..., N] uint8 offsets (0..19 valid; >=20 invalid).
+      num_starts: [...] int — number of window start positions per row.
+      mods: static tuple of int moduli, each <= MAX_MOD32.
+
+    Returns:
+      (residues, valid): residues is a tuple of [..., N-K+1] int32 arrays
+      aligned with ``mods`` (garbage where invalid); valid as in
+      `kmer_windows`. Exactness vs the int64 path is pinned by
+      tests/test_ops.py.
+    """
+    for m in mods:
+        if m > MAX_MOD32:
+            raise ValueError(f"modulus {m} exceeds MAX_MOD32 ={MAX_MOD32}")
+    n = aa_off.shape[-1]
+    w = n - K + 1
+    a32 = aa_off.astype(jnp.int32)
+    accs = [jnp.zeros(aa_off.shape[:-1] + (w,), dtype=jnp.int32)
+            for _ in mods]
+    ok = jnp.ones(aa_off.shape[:-1] + (w,), dtype=bool)
+    for k in range(K):
+        seg = a32[..., k: k + w]
+        for j, m in enumerate(mods):
+            accs[j] = accs[j] + seg * jnp.int32(pow(20, K - 1 - k, m))
+        ok = ok & (seg < 20)
+    starts = jnp.arange(w, dtype=jnp.int32)
+    in_range = starts < jnp.expand_dims(num_starts, -1).astype(jnp.int32)
+    return (tuple(a % jnp.int32(m) for a, m in zip(accs, mods)),
+            ok & in_range)

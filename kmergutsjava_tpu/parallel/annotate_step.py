@@ -25,10 +25,26 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..constants import AA_OFF_LUT, K
 from ..formats.kmer_table import KmerTable
+from ..lookup.xla import FP_MOD
 from ..ops.encode import byte_lut
-from ..ops.kmerize import kmer_windows
+from ..ops.kmerize import MAX_MOD32, kmer_window_mods, kmer_windows
 from .mesh import DATA_AXIS, TABLE_AXIS
 from .sharded_lookup import _local_probe, shard_table_planes
+
+
+def _window_homes_qfp(offs, num_starts, num_sigs):
+    """(homes, qfp, ok) per window — int32-only when the table allows it
+    (num_sigs <= MAX_MOD32 ~ 12.8M slots): int64 lanes are XLA-emulated
+    on TPU and measured 2.5x slower on the fused prepare
+    (ops/kmerize.kmer_window_mods, scripts/sweep_fuse5.py)."""
+    if num_sigs <= MAX_MOD32:
+        (homes, qfp), ok = kmer_window_mods(offs, num_starts,
+                                            (num_sigs, FP_MOD))
+        return homes, qfp, ok
+    values, ok = kmer_windows(offs, num_starts)
+    homes = (values % num_sigs).astype(jnp.int32)
+    qfp = (values % jnp.asarray(FP_MOD, values.dtype)).astype(jnp.int32)
+    return homes, qfp, ok
 
 
 def _encode_and_probe(tk, ascii_u8, lengths,
@@ -42,12 +58,10 @@ def _encode_and_probe(tk, ascii_u8, lengths,
     b, n = offs.shape
     w = n - K + 1
     # reference window bound: i < len - K (ref KmerGutsJava.java:912)
-    values, ok = kmer_windows(offs, lengths - K)
-    flat_v = values.reshape(-1)
-    homes = (flat_v % num_sigs).astype(jnp.int32)
-    slotp = _local_probe(tk, flat_v, homes, s_loc=s_loc,
-                         probe_window=probe_window, stride=stride,
-                         lanes=lanes)
+    homes, qfp, ok = _window_homes_qfp(offs, lengths - K, num_sigs)
+    slotp = _local_probe(tk, qfp.reshape(-1), homes.reshape(-1),
+                         s_loc=s_loc, probe_window=probe_window,
+                         stride=stride, lanes=lanes)
     return (slotp * ok.reshape(-1).astype(jnp.int32)).reshape(b, w)
 
 
@@ -97,12 +111,11 @@ def _dna_encode_and_probe(tk, ascii_u8, lengths,
     w = m - K + 1
     offs = frames.reshape(b * 6, m)
     num_starts = jnp.maximum(lengths // 3 - K + 1, 0)  # ref :912 over len/3+1
-    values, ok = kmer_windows(offs, jnp.repeat(num_starts, 6))
-    flat_v = values.reshape(-1)
-    homes = (flat_v % num_sigs).astype(jnp.int32)
-    slotp = _local_probe(tk, flat_v, homes, s_loc=s_loc,
-                         probe_window=probe_window, stride=stride,
-                         lanes=lanes)
+    homes, qfp, ok = _window_homes_qfp(offs, jnp.repeat(num_starts, 6),
+                                       num_sigs)
+    slotp = _local_probe(tk, qfp.reshape(-1), homes.reshape(-1),
+                         s_loc=s_loc, probe_window=probe_window,
+                         stride=stride, lanes=lanes)
     return (slotp * ok.reshape(-1).astype(jnp.int32)).reshape(b, 6, w)
 
 

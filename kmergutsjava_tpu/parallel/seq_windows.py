@@ -43,7 +43,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..constants import K
 from ..formats.kmer_table import KmerTable
 from ..ops.hostvalues import aa_values_at, dna_values_at
-from ..ops.kmerize import kmer_windows
 from .mesh import DATA_AXIS, TABLE_AXIS
 from .sharded_lookup import _local_probe, shard_table_planes
 
@@ -111,15 +110,16 @@ def _window_probe(tk, ascii_u8, len_w, row_map,
     offs = sel.reshape(b * 6, m)
     # every full window is a valid start here (DNA semantics); ownership
     # intervals below do the global bounding
-    values, ok = kmer_windows(offs, jnp.full((b * 6,), w, jnp.int32))
+    from .annotate_step import _window_homes_qfp
+
+    homes, qfp, ok = _window_homes_qfp(
+        offs, jnp.full((b * 6,), w, jnp.int32), num_sigs)
     jj = jnp.arange(w, dtype=jnp.int32)[None, None, :]
     ok = (ok.reshape(b, 6, w) & (jj >= own_start[:, :, None])
           & (jj < own_end[:, :, None]))
-    flat_v = values.reshape(-1)
-    homes = (flat_v % num_sigs).astype(jnp.int32)
-    slotp = _local_probe(tk, flat_v, homes, s_loc=s_loc,
-                         probe_window=probe_window, stride=tbl_stride,
-                         lanes=tbl_lanes)
+    slotp = _local_probe(tk, qfp.reshape(-1), homes.reshape(-1),
+                         s_loc=s_loc, probe_window=probe_window,
+                         stride=tbl_stride, lanes=tbl_lanes)
     return (slotp * ok.reshape(-1).astype(jnp.int32)).reshape(b, 6, w)
 
 

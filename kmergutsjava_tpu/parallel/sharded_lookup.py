@@ -126,10 +126,14 @@ def shard_table_planes(table: KmerTable, n_shards: int, probe_window: int):
             "stride": stride, "lanes": lanes}
 
 
-def _local_probe(tk, values, homes, s_loc, probe_window, stride=0,
+def _local_probe(tk, qfp, homes, s_loc, probe_window, stride=0,
                  lanes=128):
     """Probe queries whose home falls in this shard's slice. Runs inside
     shard_map; the fingerprint plane's leading shard dim is squeezed to 1.
+    ``qfp`` is the queries' uint16 fingerprint (value % 65535, any int
+    dtype accepted) — the device never touches the int64 value at all
+    (int64 lanes are XLA-emulated on TPU and measured 2.5x slower on the
+    fused prepare; see ops/kmerize.kmer_window_mods).
     Row-gather formulation (no scalar gathers): with an overlapped layout
     (stride > 0, see shard_table_planes) the whole window lies in one
     `lanes`-wide row — one u16 row gather (256 B) per query; the plain
@@ -145,7 +149,7 @@ def _local_probe(tk, values, homes, s_loc, probe_window, stride=0,
     local = homes.astype(jnp.int32) - shard * s_loc
     mine = (local >= 0) & (local < s_loc)
     base = jnp.where(mine, local, 0)
-    qfp = (values % jnp.asarray(FP_MOD, values.dtype)).astype(jnp.uint16)
+    qfp = qfp.astype(jnp.uint16)
     big = jnp.int32(probe_window)
     if stride:
         r = base // jnp.int32(stride)
@@ -172,10 +176,11 @@ def make_sharded_lookup(mesh, table: KmerTable, probe_window: int
                         ) -> Tuple[Callable, dict]:
     """Build a jitted sharded lookup step and its device-ready fp plane.
 
-    Returns (step, planes): step(fp, values, homes) -> candidate slot+1
-    (0 = miss) with values/homes sharded over the data axis and the
-    fingerprint plane sharded over the table axis. The host verifies
-    candidates and gathers metadata (`verify_candidates` /
+    Returns (step, planes): step(fp, qfp, homes) -> candidate slot+1
+    (0 = miss) with qfp/homes sharded over the data axis and the
+    fingerprint plane sharded over the table axis — 6 B per query travel
+    H2D (2 B fingerprint + 4 B home), no int64 on the device. The host
+    verifies candidates and gathers metadata (`verify_candidates` /
     `gather_hit_metadata`).
     """
     n_shards = mesh.shape[TABLE_AXIS]
@@ -291,12 +296,13 @@ def sharded_lookup_queries(mesh, step, device_planes, values: np.ndarray,
     v = np.zeros(n_pad, dtype=np.int64)
     v[:n] = values
     homes = (v % np.int64(table.num_sigs)).astype(np.int32)
+    qfp = (v % np.int64(FP_MOD)).astype(np.uint16)
     # padding rows have value 0 / home 0; they may return a candidate for
     # kmer 0 but are sliced off below
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    v_dev = jax.device_put(v, sharding)
+    q_dev = jax.device_put(qfp, sharding)
     h_dev = jax.device_put(homes, sharding)
-    slotp = step(device_planes["fp"], v_dev, h_dev)
+    slotp = step(device_planes["fp"], q_dev, h_dev)
     from .multihost import fetch_global
 
     slotp = fetch_global(slotp)[:n]

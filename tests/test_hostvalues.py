@@ -122,3 +122,68 @@ def test_sharded_device_path_resolves_collision():
     assert sorted(zip(ref.otu.tolist(), ref.wt.tolist())) == sorted(
         zip(otu[:2].tolist(), wt[:2].tolist()))
     assert (otu[0], fi[0]) == (1, 3) and (otu[1], fi[1]) == (2, 4)
+
+
+def test_kmer_window_mods_matches_int64():
+    """int32 modular residues == int64 pack + mod, for every window."""
+    import jax.numpy as jnp
+
+    from kmergutsjava_tpu.ops.kmerize import (MAX_MOD32, kmer_window_mods,
+                                              kmer_windows)
+
+    rng = np.random.default_rng(7)
+    offs = rng.integers(0, 22, (40, 60)).astype(np.uint8)
+    ns = rng.integers(0, 55, 40)
+    v64, ok64 = kmer_windows(jnp.asarray(offs), jnp.asarray(ns))
+    for mods in [(65535,), (4999, 65535), (3335021, 65535), (MAX_MOD32,)]:
+        res, ok32 = kmer_window_mods(jnp.asarray(offs), jnp.asarray(ns),
+                                     mods)
+        assert np.array_equal(np.asarray(ok64), np.asarray(ok32))
+        m = np.asarray(ok64)
+        for r, mod in zip(res, mods):
+            assert np.array_equal((np.asarray(v64) % mod)[m],
+                                  np.asarray(r)[m]), mod
+    with pytest.raises(ValueError):
+        kmer_window_mods(jnp.asarray(offs), jnp.asarray(ns),
+                         (MAX_MOD32 + 1,))
+
+
+def test_fused_step_int64_fallback(monkeypatch):
+    """Tables beyond MAX_MOD32 route through the int64 prepare; answers
+    are identical."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kmergutsjava_tpu.parallel import annotate_step
+    from kmergutsjava_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    rng = np.random.default_rng(21)
+    sig = random_signatures(rng, 1200)
+    table = build_table(**sig)
+    mesh = make_mesh(2, 4)
+    pw = max(8, table.max_probe)
+    aa = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", np.uint8)
+    ascii_u8 = rng.choice(aa, size=(8, 64)).astype(np.uint8)
+    # splice real signature 8-mers in so the hit path is exercised
+    for row in range(8):
+        v = int(sig["kmers"][rng.integers(len(sig["kmers"]))])
+        digits = [(v // 20 ** (7 - i)) % 20 for i in range(8)]
+        col = int(rng.integers(0, 64 - 16))
+        ascii_u8[row, col: col + 8] = aa[digits]
+    lengths = np.full(8, 64, np.int64)
+    outs = {}
+    for name, cap in (("i32", None), ("i64", 0)):
+        if cap is not None:
+            monkeypatch.setattr(annotate_step, "MAX_MOD32", cap)
+        step, planes = annotate_step.make_sharded_annotate_step(
+            mesh, table, pw)
+        outs[name] = np.asarray(step(
+            planes["fp"],
+            jax.device_put(jnp.asarray(ascii_u8),
+                           NamedSharding(mesh, P(DATA_AXIS, None))),
+            jax.device_put(jnp.asarray(lengths),
+                           NamedSharding(mesh, P(DATA_AXIS)))))
+        monkeypatch.undo()
+    assert np.array_equal(outs["i32"], outs["i64"])
+    assert (outs["i32"] > 0).any()  # hit path exercised
