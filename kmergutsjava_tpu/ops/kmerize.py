@@ -52,10 +52,15 @@ def kmer_windows(aa_off: jax.Array, num_starts: jax.Array):
     return values, ok & in_range
 
 
-# Largest modulus for which the int32 modular accumulation below cannot
-# overflow: partial sums are bounded by 8 * max_offset * (mod - 1) with
-# max_offset <= 21 (19 valid + invalid/terminator codes 20/21).
-MAX_MOD32 = (2**31 - 1) // (K * 21)
+# Largest modulus the int32 modular accumulation handles with NO
+# mid-accumulation reduction: partial sums are bounded by
+# 8 * max_offset * (mod - 1), max_offset <= 21 (19 valid +
+# invalid/terminator codes 20/21). Larger moduli insert a `% m` every
+# few terms instead — still int32-only (see kmer_window_mods).
+_MAX_OFF = 21
+MAX_MOD32 = (2**31 - 1) // (K * _MAX_OFF)
+# hard cap with per-run reduction (see kmer_window_mods)
+MOD32_LIMIT = (2**31 - 1) // (_MAX_OFF + 1)
 
 
 def kmer_window_mods(aa_off: jax.Array, num_starts: jax.Array,
@@ -72,13 +77,17 @@ def kmer_window_mods(aa_off: jax.Array, num_starts: jax.Array,
 
         value % m = (sum_k off[i+k] * (20^(K-1-k) mod m)) mod m
 
-    with every partial sum < 2^31 for m <= MAX_MOD32 (~12.8M; callers
-    fall back to `kmer_windows` + i64 mods for larger tables).
+    For m <= MAX_MOD32 (~12.8M) every partial sum provably fits int32
+    with no intermediate reduction; larger moduli reduce the accumulator
+    (`% m`) after every safe run of terms, keeping the invariant
+    acc < m + run * 21 * (m - 1) < 2^31 at every step — exact for any
+    m up to (2^31 - 1) // 22 (~97.6M slots, beyond every production
+    table; the engine's int32 slot encoding itself caps num_sigs first).
 
     Args:
       aa_off: [..., N] uint8 offsets (0..19 valid; >=20 invalid).
       num_starts: [...] int — number of window start positions per row.
-      mods: static tuple of int moduli, each <= MAX_MOD32.
+      mods: static tuple of int moduli.
 
     Returns:
       (residues, valid): residues is a tuple of [..., N-K+1] int32 arrays
@@ -87,18 +96,29 @@ def kmer_window_mods(aa_off: jax.Array, num_starts: jax.Array,
       tests/test_ops.py.
     """
     for m in mods:
-        if m > MAX_MOD32:
-            raise ValueError(f"modulus {m} exceeds MAX_MOD32 ={MAX_MOD32}")
+        # after a reduction acc < m; one more term adds < 21 * m
+        if m > MOD32_LIMIT:
+            raise ValueError(f"modulus {m} too large for int32 modular "
+                             "accumulation")
     n = aa_off.shape[-1]
     w = n - K + 1
     a32 = aa_off.astype(jnp.int32)
     accs = [jnp.zeros(aa_off.shape[:-1] + (w,), dtype=jnp.int32)
             for _ in mods]
     ok = jnp.ones(aa_off.shape[:-1] + (w,), dtype=bool)
+    # max terms addable onto a reduced accumulator before the next
+    # reduction: acc < m + run * 21 * (m-1) must stay < 2^31
+    runs = [max((2**31 - 1 - m) // (_MAX_OFF * (m - 1) + 1), 1)
+            if m > 1 else K for m in mods]
+    since = [0] * len(mods)
     for k in range(K):
         seg = a32[..., k: k + w]
         for j, m in enumerate(mods):
             accs[j] = accs[j] + seg * jnp.int32(pow(20, K - 1 - k, m))
+            since[j] += 1
+            if k < K - 1 and since[j] >= runs[j]:
+                accs[j] = accs[j] % jnp.int32(m)
+                since[j] = 0
         ok = ok & (seg < 20)
     starts = jnp.arange(w, dtype=jnp.int32)
     in_range = starts < jnp.expand_dims(num_starts, -1).astype(jnp.int32)

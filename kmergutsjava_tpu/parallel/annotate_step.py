@@ -27,17 +27,19 @@ from ..constants import AA_OFF_LUT, K
 from ..formats.kmer_table import KmerTable
 from ..lookup.xla import FP_MOD
 from ..ops.encode import byte_lut
-from ..ops.kmerize import MAX_MOD32, kmer_window_mods, kmer_windows
+from ..ops.kmerize import MOD32_LIMIT, kmer_window_mods, kmer_windows
 from .mesh import DATA_AXIS, TABLE_AXIS
 from .sharded_lookup import _local_probe, shard_table_planes
 
 
 def _window_homes_qfp(offs, num_starts, num_sigs):
-    """(homes, qfp, ok) per window — int32-only when the table allows it
-    (num_sigs <= MAX_MOD32 ~ 12.8M slots): int64 lanes are XLA-emulated
-    on TPU and measured 2.5x slower on the fused prepare
-    (ops/kmerize.kmer_window_mods, scripts/sweep_fuse5.py)."""
-    if num_sigs <= MAX_MOD32:
+    """(homes, qfp, ok) per window — int32-only whenever the table
+    allows it (num_sigs <= MOD32_LIMIT ~ 97.6M slots, i.e. every
+    production table): int64 lanes are XLA-emulated on TPU and measured
+    2.5x slower on the fused prepare (ops/kmerize.kmer_window_mods,
+    scripts/sweep_fuse5.py). Beyond the limit the int64 path remains,
+    pinned identical by tests/test_hostvalues.py."""
+    if num_sigs <= MOD32_LIMIT:
         (homes, qfp), ok = kmer_window_mods(offs, num_starts,
                                             (num_sigs, FP_MOD))
         return homes, qfp, ok

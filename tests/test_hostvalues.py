@@ -128,14 +128,19 @@ def test_kmer_window_mods_matches_int64():
     """int32 modular residues == int64 pack + mod, for every window."""
     import jax.numpy as jnp
 
-    from kmergutsjava_tpu.ops.kmerize import (MAX_MOD32, kmer_window_mods,
+    from kmergutsjava_tpu.ops.kmerize import (MAX_MOD32, MOD32_LIMIT,
+                                              kmer_window_mods,
                                               kmer_windows)
 
     rng = np.random.default_rng(7)
     offs = rng.integers(0, 22, (40, 60)).astype(np.uint8)
     ns = rng.integers(0, 55, 40)
     v64, ok64 = kmer_windows(jnp.asarray(offs), jnp.asarray(ns))
-    for mods in [(65535,), (4999, 65535), (3335021, 65535), (MAX_MOD32,)]:
+    # spans the no-reduction regime (<= MAX_MOD32) and the per-run
+    # reduction regime above it, up to the hard cap
+    for mods in [(65535,), (4999, 65535), (3335021, 65535), (MAX_MOD32,),
+                 (MAX_MOD32 + 1,), (25_000_017, 65535), (60_000_011,),
+                 (MOD32_LIMIT,)]:
         res, ok32 = kmer_window_mods(jnp.asarray(offs), jnp.asarray(ns),
                                      mods)
         assert np.array_equal(np.asarray(ok64), np.asarray(ok32))
@@ -145,7 +150,7 @@ def test_kmer_window_mods_matches_int64():
                                   np.asarray(r)[m]), mod
     with pytest.raises(ValueError):
         kmer_window_mods(jnp.asarray(offs), jnp.asarray(ns),
-                         (MAX_MOD32 + 1,))
+                         (MOD32_LIMIT + 1,))
 
 
 def test_fused_step_int64_fallback(monkeypatch):
@@ -175,7 +180,7 @@ def test_fused_step_int64_fallback(monkeypatch):
     outs = {}
     for name, cap in (("i32", None), ("i64", 0)):
         if cap is not None:
-            monkeypatch.setattr(annotate_step, "MAX_MOD32", cap)
+            monkeypatch.setattr(annotate_step, "MOD32_LIMIT", cap)
         step, planes = annotate_step.make_sharded_annotate_step(
             mesh, table, pw)
         outs[name] = np.asarray(step(
