@@ -117,6 +117,11 @@ def run_round(seed: int, tmp: str) -> None:
     variants = [("parity", {}), ("xla", {}), ("stream", {}), ("auto", {})]
     if rng.random() < 0.2 and kw["min_hits"] >= 2 and not kw["debug"]:
         variants.append(("xla", {"grouping_impl": "scan"}))
+    if rng.random() < 0.25:
+        # slot-range-sharded mesh lookup (fingerprint-candidate protocol,
+        # host verification + collision fallback)
+        variants.append(("sharded", {"mesh_shape": rng.choice(
+            [(4, 2), (2, 4), (1, 8)])}))
     # forced-chunked probe (the HBM-large auto default, round 2): tiny
     # thresholds make these small random tables exercise it, incl. the
     # bin-overflow fallback under the corpus' natural home clustering
