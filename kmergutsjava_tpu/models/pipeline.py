@@ -638,7 +638,8 @@ class Engine:
         mesh, step, planes = cached
         values = np.asarray(rec["value"], dtype=np.int64)
         found, otu, avg, fi, wt = sharded_lookup_queries(
-            mesh, step, planes, values, table, pad_multiple=256)
+            mesh, step, planes, values, table, pad_multiple=256,
+            probe_window=probe_window)
         mask = found.astype(bool)
         return LookupHits(
             cnt_id=np.asarray(rec["cnt"])[mask].astype(np.int64),

@@ -230,7 +230,8 @@ class SpmdAnnotator:
 
         if self.cfg.aa:
             pos, otu, avg, fi, wt = windowed_protein_hits(
-                self.mesh, self.step, self.planes, self.table, a, WIN_AA)
+                self.mesh, self.step, self.planes, self.table, a, WIN_AA,
+                probe_window=self.prog.pw)
             cnt = np.full(len(pos), base, np.int64)
             if self.debug_values and len(pos):
                 offs = AA_OFF_LUT[a]
@@ -239,7 +240,8 @@ class SpmdAnnotator:
         else:
             wstep, wplanes = self.prog.windowed_dna(WIN_NT)
             g, pos, otu, avg, fi, wt = windowed_contig_hits(
-                self.mesh, wstep, wplanes, self.table, a, WIN_NT)
+                self.mesh, wstep, wplanes, self.table, a, WIN_NT,
+                probe_window=self.prog.pw)
             cnt = base + g
             if self.debug_values and len(pos):
                 frames = _host_frames(a)

@@ -177,7 +177,8 @@ def plan_aa_windows(length: int, win_aa: int) -> dict:
 
 
 def windowed_protein_hits(mesh, step, device_planes, table: KmerTable,
-                          seq_ascii: np.ndarray, win_aa: int):
+                          seq_ascii: np.ndarray, win_aa: int,
+                          probe_window: int = None):
     """Host driver: one long protein through the aa annotate step, windowed.
 
     ``step``/``device_planes`` come from annotate_step.
@@ -215,14 +216,16 @@ def windowed_protein_hits(mesh, step, device_planes, table: KmerTable,
     vals = aa_values_at(seq_ascii[None, :], np.zeros(len(pos), np.int64),
                         pos)
     found, otu, avg, fi, wt = gather_hit_metadata(table, slotp[wi, ji],
-                                                  values=vals)
+                                                  values=vals,
+                                                  probe_window=probe_window)
     pos = pos[found]
     return (pos.astype(np.int64), otu[found], avg[found], fi[found],
             wt[found])
 
 
 def windowed_contig_hits(mesh, step, device_planes, table: KmerTable,
-                         seq_ascii: np.ndarray, win_nt: int):
+                         seq_ascii: np.ndarray, win_nt: int,
+                         probe_window: int = None):
     """Host driver: run one contig through the windowed step.
 
     seq_ascii: uint8 ASCII bases. Returns hit columns in global frame
@@ -266,7 +269,8 @@ def windowed_contig_hits(mesh, step, device_planes, table: KmerTable,
     vals = dna_values_at(seq_ascii[None, :], np.array([L], np.int64),
                          np.zeros(len(pos), np.int64), gi, pos)
     found, otu, avg, fi, wt = gather_hit_metadata(table, slotp[wi, gi, ji],
-                                                  values=vals)
+                                                  values=vals,
+                                                  probe_window=probe_window)
     gi, pos = gi[found], pos[found]
     return (gi.astype(np.int64), pos.astype(np.int64), otu[found],
             avg[found], fi[found], wt[found])
