@@ -388,17 +388,23 @@ class XlaLookup:
         # to their home chunk on device and gathered chunk-locally — the
         # vectorized row gather runs ~2x faster when the gathered-from
         # operand stays <= ~64MB (measured, scripts/sweep_sparse.py; see
-        # docs/performance.md). "rows": two-row gather of a plain [R, 128]
-        # plane (windows may straddle rows) — the fallback when w1 or the
-        # overlap storage factor is too big. "flat": classic [N, W] 1-D
-        # gather (TPU XLA runs 1-D-operand gathers scalar — CPU/debug only).
+        # docs/performance.md). "tilejoin" (default for HBM-large planes
+        # on TPUs whose Mosaic compiles it, round-4): the same overlapped
+        # plane viewed as [T, 128, 128] tiles, queries host-binned by
+        # tile, a Pallas kernel DMAs only the used tiles and resolves
+        # in-VMEM via an exact MXU one-hot row extract — no XLA dynamic
+        # gather on the critical path (lookup/pallas_tilejoin.py).
+        # "rows": two-row gather of a plain [R, 128] plane (windows may
+        # straddle rows) — the fallback when w1 or the overlap storage
+        # factor is too big. "flat": classic [N, W] 1-D gather (TPU XLA
+        # runs 1-D-operand gathers scalar — CPU/debug only).
         if probe_impl is None:
             probe_impl = os.environ.get("KMER_PROBE_IMPL", "auto")
         auto_impl = probe_impl == "auto"
         if auto_impl:
             probe_impl = "rows1"
         lanes = 128
-        if probe_impl in ("rows1", "chunked"):
+        if probe_impl in ("rows1", "chunked", "tilejoin"):
             budget = int(os.environ.get("KMER_ROWS1_MAX_BYTES", 4 << 30))
             if probe_impl == "rows1":
                 # Lane width: 128 (round-3 correction). Round 2 believed
@@ -427,7 +433,7 @@ class XlaLookup:
                 probe_impl = "rows"  # w1 > 64 or overlap too costly
         if self.w1 > 128 and probe_impl == "rows":
             probe_impl = "flat"
-        if probe_impl in ("rows1", "chunked"):
+        if probe_impl in ("rows1", "chunked", "tilejoin"):
             self.stride = lanes - self.w1
             self.lanes = lanes
             nrows = -(-(plane_len - lanes) // self.stride) + 1
@@ -437,6 +443,25 @@ class XlaLookup:
                     [fp, np.full(ext - plane_len, FP_EMPTY, np.uint16)])
             fp2d = np.ascontiguousarray(np.lib.stride_tricks.as_strided(
                 fp, shape=(nrows, lanes), strides=(2 * self.stride, 2)))
+            if probe_impl == "tilejoin":
+                # Pallas tile-join (lookup/pallas_tilejoin.py): the same
+                # overlapped plane viewed as [T, 128, 128] tiles; queries
+                # are host-binned by home tile, the kernel DMAs only the
+                # used tiles. Trim the pow2 padding to the rows homes can
+                # land in (untouched tiles are simply never in the grid).
+                from .pallas_tilejoin import TILE_ROWS, plane_tiles
+
+                occ_rows = (s - 1) // self.stride + 1
+                self._occ_tiles = -(-occ_rows // TILE_ROWS)
+                tiles = plane_tiles(fp2d[:occ_rows])
+                self.n_tiles = len(tiles)
+                self._tj_interpret = jax.default_backend() != "tpu"
+                self.tbl_fp = put(tiles)
+                self.probe_impl = probe_impl
+                self.tbl_kmer = put(self.host_kmer) if not use_fingerprint \
+                    else None
+                self.chunk = chunk
+                return
             # chunk the plane when forced, or when the 128-lane plane is
             # HBM-large (auto): the row gather slows ~2x once the operand
             # passes ~the 64-256MB cliff, and the chunked scan keeps each
@@ -507,6 +532,14 @@ class XlaLookup:
             w *= 2
         return w
 
+    def _tile_cap(self, n: int) -> int:
+        """Per-tile bin capacity for the tile-join kernel: mean + 8 sigma
+        (Poisson-ish for hash-uniform homes) + slack, rounded to 8 (the
+        kernel's sublane granularity). Static per (bucketed n, table)."""
+        mean = n / self._occ_tiles
+        cap = int(mean + 8 * mean ** 0.5 + 72)
+        return min(-(-cap // 8) * 8, max(8, -(-n // 8) * 8))
+
     def _chunk_cap(self, n: int) -> int:
         """Per-chunk bin capacity for the chunked probe: mean + 8 sigma
         (Poisson-ish for hash-uniform homes) + slack, rounded to sublanes.
@@ -571,6 +604,18 @@ class XlaLookup:
         (power-of-two buckets so distinct sizes reuse executables) and,
         for the chunked impl, the host-side bin routing."""
         n = len(homes)
+        if self.probe_impl == "tilejoin":
+            from .pallas_tilejoin import bin_queries_tiles, tilejoin_probe
+
+            nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
+            cap = self._tile_cap(nb)
+            ids, qfp_b, rr_b, off_b, block_of, rank_of = bin_queries_tiles(
+                q_fp, homes, self.stride, cap, pad_blocks_to=256)
+            out = tilejoin_probe(
+                self.tbl_fp, jnp.asarray(ids), jnp.asarray(qfp_b),
+                jnp.asarray(rr_b), jnp.asarray(off_b), self.w1, cap,
+                interpret=self._tj_interpret)
+            return ("tiles", out, block_of, rank_of, cap, n)
         if self.probe_impl == "chunked":
             nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
             cap = self._chunk_cap(nb)
@@ -593,6 +638,18 @@ class XlaLookup:
         """Fetch one dispatch_probe result -> (off, state) numpy arrays in
         the caller's query order (state 0 = unresolved -> exact host
         pass)."""
+        if pending[0] == "tiles":
+            _, out, block_of, rank_of, cap, n = pending
+            off_bh, st_bh = jax.device_get(out)
+            off_bh, st_bh = off_bh[..., 0], st_bh[..., 0]
+            ok = rank_of < cap
+            if ok.all():
+                return (off_bh[block_of, rank_of].astype(np.uint8),
+                        st_bh[block_of, rank_of].astype(np.uint8))
+            rc = np.minimum(rank_of, cap - 1)
+            off = np.where(ok, off_bh[block_of, rc], 0).astype(np.uint8)
+            state = np.where(ok, st_bh[block_of, rc], 0).astype(np.uint8)
+            return off, state
         if pending[0] == "bins":
             _, out, chunk_of, rank_of, cap, n = pending
             off_bh, st_bh = jax.device_get(out)
@@ -773,7 +830,8 @@ class StreamingLookup:
                 # measured locality-independent (sorted == random at a
                 # 122MB plane, docs/performance.md), so sorting is wasted
                 # feeder CPU there; the chunked probe sorts on device
-                sort_chunks = (lk.probe_impl not in ("rows1", "chunked")
+                sort_chunks = (lk.probe_impl not in ("rows1", "chunked",
+                                                     "tilejoin")
                                and lk.num_sigs * 2 > 32 * 1024 * 1024)
         self.sort_chunks = sort_chunks
         if device_sort is None:

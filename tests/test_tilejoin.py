@@ -1,0 +1,119 @@
+"""Differential tests for the Pallas tile-join sparse probe
+(lookup/pallas_tilejoin.py) against the parity oracle, in interpret mode
+on CPU — the TPU compile/correctness probe (tilejoin_supported) plants the
+same contract on real hardware."""
+import numpy as np
+import pytest
+
+from kmergutsjava_tpu.constants import MAX_ENCODED
+from kmergutsjava_tpu.formats.kmer_table import build_table
+from kmergutsjava_tpu.lookup.parity import lookup_stream
+from kmergutsjava_tpu.lookup.xla import XlaLookup
+
+
+def _fixture(n_sigs=4000, seed=3, load_factor=0.6):
+    rng = np.random.default_rng(seed)
+    kmers = np.unique(rng.integers(0, MAX_ENCODED, size=int(n_sigs * 1.2),
+                                   dtype=np.int64))[:n_sigs]
+    return build_table(
+        kmers,
+        rng.integers(0, 100, len(kmers)).astype(np.int32),
+        rng.integers(0, 500, len(kmers)).astype(np.int32),
+        rng.integers(0, 50, len(kmers)).astype(np.int32),
+        rng.random(len(kmers)).astype(np.float32),
+        load_factor=load_factor,
+    ), kmers
+
+
+def _mixed_queries(kmers, n, seed=11):
+    rng = np.random.default_rng(seed)
+    hit = rng.choice(kmers, size=n // 2)
+    miss = rng.integers(0, MAX_ENCODED, size=n - n // 2, dtype=np.int64)
+    v = np.concatenate([hit, miss])
+    rng.shuffle(v)
+    return v
+
+
+def _sorted_cols(hits):
+    order = np.lexsort((hits.pos, hits.cnt_id))
+    return [np.asarray(c)[order] for c in
+            (hits.cnt_id, hits.pos, hits.otu, hits.avg_from_end,
+             hits.fi, hits.wt)]
+
+
+@pytest.mark.parametrize("load_factor", [0.5, 0.8])
+def test_tilejoin_matches_parity(load_factor):
+    table, kmers = _fixture(load_factor=load_factor)
+    values = _mixed_queries(kmers, 3000)
+    cnt = np.zeros(len(values), np.int64)
+    pos = np.arange(len(values), dtype=np.int64)
+    want = lookup_stream(table, values, cnt, pos)
+    got = XlaLookup(table, probe_impl="tilejoin").lookup(values, cnt, pos)
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_tilejoin_streaming_front_end():
+    """The tile-join impl behind the chunked streaming front end
+    (lookup/xla.py StreamingLookup) must agree with the one-shot path."""
+    from kmergutsjava_tpu.lookup.xla import StreamingLookup
+
+    table, kmers = _fixture(n_sigs=2500, seed=5)
+    values = _mixed_queries(kmers, 4000, seed=6)
+    lk = XlaLookup(table, probe_impl="tilejoin", chunk=1024)
+    want = lk.lookup(values, np.zeros(len(values), np.int64),
+                     np.arange(len(values), dtype=np.int64))
+    st = StreamingLookup(lk, compute_kmers_found=True)
+    for s in range(0, len(values), 700):
+        e = min(s + 700, len(values))
+        st.add_batch(values[s:e], 0, np.arange(s, e, dtype=np.int64))
+    got = st.finish()
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_tilejoin_overflow_fallback():
+    """Queries past a tile's bin capacity must resolve via the exact host
+    pass — adversarial skew: thousands of queries homing to one tile
+    (table big enough to span many tiles, so _tile_cap's hash-uniform
+    sizing is far below the skewed load and ranks genuinely overflow)."""
+    table, kmers = _fixture(n_sigs=200_000, seed=9)
+    lk = XlaLookup(table, probe_impl="tilejoin")
+    assert lk._occ_tiles > 4
+    assert lk._tile_cap(4096) < 1500  # the skew below must overflow
+    rng = np.random.default_rng(10)
+    # every query lands in the first tile's slot range
+    span = lk.stride * 128
+    skew = rng.integers(0, min(span, table.num_sigs), size=2000,
+                        dtype=np.int64)
+    # half of them actual signatures from that range
+    in_range = kmers[(kmers % table.num_sigs) < span]
+    if len(in_range):
+        skew[: len(in_range)] = in_range[:2000]
+    cnt = np.zeros(len(skew), np.int64)
+    pos = np.arange(len(skew), dtype=np.int64)
+    want = lookup_stream(table, skew, cnt, pos)
+    got = lk.lookup(skew, cnt, pos)
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_bin_queries_tiles_roundtrip():
+    from kmergutsjava_tpu.lookup.pallas_tilejoin import bin_queries_tiles
+
+    rng = np.random.default_rng(2)
+    stride = 112
+    homes = rng.integers(0, stride * 128 * 7, size=500).astype(np.int64)
+    qfp = rng.integers(0, 65535, size=500).astype(np.uint16)
+    ids, qfp_b, rr_b, off_b, bo, rk = bin_queries_tiles(
+        qfp, homes, stride, cap=512, pad_blocks_to=4)
+    assert len(ids) % 4 == 0
+    ok = rk < 512
+    assert ok.all()
+    # every query's cell carries its fingerprint and reconstructs its home
+    r = ids[bo] * 128 + rr_b[bo, rk, 0]
+    np.testing.assert_array_equal(qfp_b[bo, rk, 0], qfp.astype(np.int32))
+    np.testing.assert_array_equal(r * stride + off_b[bo, rk, 0], homes)
