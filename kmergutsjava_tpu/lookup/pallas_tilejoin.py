@@ -14,38 +14,46 @@ sorts queries by home slot and streams the table forward past them):
 
 - the fingerprint plane uses the SAME overlapped rows1 geometry as
   lookup/xla.py (row r = slots [r*stride, r*stride+128), stride =
-  128 - w), viewed as tiles of TILE_ROWS=128 consecutive rows — a probe
-  window never leaves its row, hence never its tile;
-- queries are binned by home TILE on the host (sorted merge-join order);
-  the grid walks only the tiles that received queries, their ids scalar-
-  prefetched so the plane BlockSpec's index_map DMAs exactly those 32KB
-  tiles HBM->VMEM, double-buffered by the Pallas pipeline — sequential
-  HBM traffic at DMA (not gather-issue) rates;
+  128 - w), grouped into tiles of TILE_ROWS=128 consecutive rows — a
+  probe window never leaves its row, hence never its tile. Tiles are
+  stored TRANSPOSED in HBM ([offset-within-row, row], built once at
+  table load), so the kernel's contraction needs no in-kernel transpose;
+- queries are binned by home TILE on the host (sorted merge-join order)
+  with (qfp, row, offset) PACKED into one int32 per query
+  (qfp<<14 | rr<<7 | off) and shaped [nblocks, cap/128, 128] — exactly
+  the TPU's native (8,128) tiling, zero layout padding (the first cut of
+  this kernel shipped [cap, 1] columns and XLA's 128x trailing-dim pad
+  made it HBM-bound on padding garbage at 126M cells/s);
+- the grid walks only the tiles that received queries, their ids
+  scalar-prefetched so the plane BlockSpec's index_map DMAs exactly
+  those 32KB tiles HBM->VMEM, double-buffered by the Pallas pipeline —
+  sequential HBM traffic at DMA (not gather-issue) rates;
 - inside VMEM the per-query row extract is a one-hot matmul on the MXU:
-  win[q, lane] = onehot(rr_q)[q, :] @ tile[:, lane]. Mosaic cannot
+  winT[off_lane, q] = tileT[off_lane, :] @ onehot(rr_q). Mosaic cannot
   compile a wide dynamic VMEM gather ("multiple source vregs along the
-  gather dimension", lookup/pallas_kernel.py), but the MXU contraction is
-  exact here: the uint16 fingerprints split into hi/lo bytes, each <= 255
-  and exactly representable in bfloat16, so two bf16 matmuls against a
-  0/1 one-hot reconstruct the row bit-exactly in f32 (win = hi*256+lo
-  <= 65535 < 2^24);
+  gather dimension", lookup/pallas_kernel.py), but the MXU contraction
+  is exact here: the uint16 fingerprints split into hi/lo bytes, each
+  <= 255 and exactly representable in bfloat16, so two bf16 matmuls
+  against a 0/1 one-hot reconstruct the row bit-exactly in f32
+  (win = hi*256+lo <= 65535 < 2^24);
 - the first-event reduction (earliest fingerprint CANDIDATE or EMPTY in
-  the window) then runs on the VPU in the lane domain, exactly
-  lookup/xla.py's ``_first_event`` contract: per query it emits
-  (off, state) with state 1 = candidate at off (host verifies against
-  the full k-mer values), 2 = empty first (definitive miss), 0 =
-  unresolved (host exact pass).
+  the window, lookup/xla.py ``_first_event`` semantics) then runs on the
+  VPU over the sublane (offset) axis and one packed int32 ``fst`` per
+  query returns to the host: fst even < 2w = candidate at fst>>1 (host
+  verifies against the full k-mer values), odd < 2w = empty first
+  (definitive miss), 2w = unresolved (host exact pass).
 
-HBM traffic per visited tile: 32KB of plane + ~9 bytes per query cell —
-per query at metagenome densities (~hundreds of queries/tile) this is
-~tens of bytes, an order of magnitude under the gather paths' 256.
+HBM traffic per visited tile: 32KB of plane + 4 bytes per query cell in
++ 4 out — per query at metagenome densities (~hundreds of queries per
+tile) that is tens of bytes, an order of magnitude under the gather
+paths' 256.
 
 The host side (binning, verification, exact fallback, compaction) is
-shared with XlaLookup via the same (off, state) bins contract, so the
-kernel plugs into dispatch_probe/resolve_probe and the streaming front
-end unchanged; differential tests against lookup/parity.py pin the
-semantics end-to-end.
-"""
+shared with XlaLookup via the (off, state) dispatch/resolve contract, so
+the kernel plugs into dispatch_probe/resolve_probe and the streaming
+front end unchanged; differential tests against lookup/parity.py pin the
+semantics end-to-end (tests/test_tilejoin.py), and a compile+correctness
+self-probe gates arming per toolchain."""
 from __future__ import annotations
 
 import functools
@@ -56,141 +64,182 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE_ROWS = 128   # plane rows per grid tile: [128, 128] u16 = 32KB DMA
+TILE_ROWS = 128   # plane rows per tile: [128, 128] u16 = 32KB; also the
+#                   one-hot contraction length (MXU MACs per query =
+#                   TILE_ROWS * LANES, which is why tiles stay 128 rows)
 LANES = 128
+TPG = 4           # tiles per grid step: amortizes the measured ~240ns
+#                   per-step fixed cost (grid bookkeeping + DMA setup)
+#                   4x without growing the per-query contraction; the DMA
+#                   unit becomes 128KB of consecutive plane
 
 
-def _tilejoin_kernel(w: int, cap: int, ids_ref, plane_ref, qfp_ref, rr_ref,
-                     off_ref, out_off_ref, out_state_ref):
-    # plane tile [TILE_ROWS, 128] uint16 -> exact bf16 hi/lo split (both
-    # <= 255, exactly representable; the MXU contraction against a 0/1
-    # one-hot is then bit-exact in f32). Query bins arrive as [cap, 1]
-    # int32 columns (the TPU block-shape rules bar a bare [1, cap] row,
-    # and a column broadcasts against every [cap, 128] intermediate with
-    # no relayout).
-    tile = plane_ref[0].astype(jnp.int32)                 # [128, 128]
-    hi = (tile >> 8).astype(jnp.bfloat16)
-    lo = (tile & 0xFF).astype(jnp.bfloat16)
-    rr = rr_ref[0]                                        # [cap, 1] int32
-    # one-hot row selector [cap, TILE_ROWS] (0/1 in bf16)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, TILE_ROWS), 1)
-    onehot = (row_ids == rr).astype(jnp.bfloat16)
-    win = (jnp.dot(onehot, hi, preferred_element_type=jnp.float32) * 256.0
-           + jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
-           ).astype(jnp.int32)                            # [cap, 128] exact
-    # first-event scan in the lane domain (lookup/xla.py _first_event)
-    qfp = qfp_ref[0]                                      # [cap, 1]
-    off = off_ref[0]                                      # [cap, 1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cap, LANES), 1)
-    rel = lane - off
-    in_w = (rel >= 0) & (rel < w)
+def _tilejoin_kernel(w: int, cap128: int, tpg: int, ids_ref, planeT_ref,
+                     packed_ref, out_ref):
+    # transposed plane tiles [tpg, off, row] uint16 -> exact bf16 hi/lo
+    # split (both <= 255, exactly representable; the MXU contraction
+    # against a 0/1 one-hot is then bit-exact in f32)
     from .xla import FP_EMPTY
 
     big2 = jnp.int32(2 * w)
-    key = jnp.where((win == qfp) & in_w, rel * 2,
-                    jnp.where((win == jnp.int32(FP_EMPTY)) & in_w,
-                              rel * 2 + 1, big2))
-    fst = jnp.min(key, axis=-1, keepdims=True)            # [cap, 1]
-    hit = fst < big2
-    is_cand = hit & (jnp.bitwise_and(fst, jnp.int32(1)) == 0)
-    out_off_ref[0] = jnp.where(
-        is_cand, jax.lax.shift_right_logical(fst, jnp.int32(1)), 0)
-    out_state_ref[0] = (is_cand.astype(jnp.int32)
-                        + 2 * (hit & ~is_cand).astype(jnp.int32))
+    # one iota serves both roles: row ids (vs rr, for the one-hot) and
+    # window offsets (vs off, for rel) both live on the sublane axis
+    o_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+    r_ids = o_ids
+    for t in range(tpg):                    # static unroll
+        # NOTE: the plane block is (tpg, 128, 128) — tpg IS its leading
+        # dim (the bins carry an extra leading 1 from their (1, ...) spec)
+        tileT = planeT_ref[t].astype(jnp.int32)           # [off, row]
+        hiT = (tileT >> 8).astype(jnp.bfloat16)
+        loT = (tileT & 0xFF).astype(jnp.bfloat16)
+        for g in range(cap128):             # static unroll, cap128 <= ~8
+            p = packed_ref[0, t, g:g + 1, :]              # [1, 128] int32
+            rr = (p >> 7) & 127
+            off = p & 127
+            qfp = p >> 14                                 # [1, 128]
+            # one-hot column selector [row, q] — rr lives on lanes, rows
+            # on sublanes: no relayout anywhere
+            onehot = (r_ids == rr).astype(jnp.bfloat16)   # [row, q]
+            winT = (jnp.dot(hiT, onehot,
+                            preferred_element_type=jnp.float32) * 256.0
+                    + jnp.dot(loT, onehot,
+                              preferred_element_type=jnp.float32)
+                    ).astype(jnp.int32)                   # [off, q] exact
+            rel = o_ids - off                             # [off, q]
+            in_w = (rel >= 0) & (rel < w)
+            key = jnp.where((winT == qfp) & in_w, rel * 2,
+                            jnp.where((winT == jnp.int32(FP_EMPTY)) & in_w,
+                                      rel * 2 + 1, big2))
+            out_ref[0, t, g:g + 1, :] = jnp.min(key, axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w", "cap", "interpret"))
-def tilejoin_probe(plane3, tile_ids, qfp_b, rr_b, off_b, w, cap,
+                   static_argnames=("w", "cap128", "tpg", "interpret"))
+def tilejoin_probe(plane3T, tile_ids, packed_b, w, cap128, tpg=TPG,
                    interpret=False):
-    """Grid over the used tiles: tile_ids[b] (scalar-prefetched) drives the
-    plane BlockSpec's index_map, so the Pallas pipeline DMAs tile b's 32KB
-    slice while tile b-1 computes. Returns (off, state) int32 arrays of
-    shape [nblocks, cap] with the probe_fingerprint_pass contract."""
+    """Grid over the used SUPER-tiles (tpg consecutive plane tiles):
+    tile_ids[b] (scalar-prefetched, in super-tile units) drives the plane
+    BlockSpec's index_map, so the Pallas pipeline DMAs super-tile b's
+    tpg*32KB slice while b-1 computes. Returns the packed first-event
+    code ``fst`` int32 [nblocks, tpg, cap128, 128]: even < 2w = candidate
+    at fst>>1, odd < 2w = empty-first miss, 2w = unresolved."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nblocks = qfp_b.shape[0]
-    col = pl.BlockSpec((1, cap, 1), lambda b, ids: (b, 0, 0))
+    nblocks = packed_b.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, TILE_ROWS, LANES),
+            pl.BlockSpec((tpg, TILE_ROWS, LANES),
                          lambda b, ids: (ids[b], 0, 0)),
-            col, col, col,
+            pl.BlockSpec((1, tpg, cap128, LANES),
+                         lambda b, ids: (b, 0, 0, 0)),
         ],
-        out_specs=[col, col],
+        out_specs=pl.BlockSpec((1, tpg, cap128, LANES),
+                               lambda b, ids: (b, 0, 0, 0)),
     )
     # pure int32/uint16/bf16 kernel: keep jnp helpers from minting i64
     with jax.enable_x64(False):
         return pl.pallas_call(
-            functools.partial(_tilejoin_kernel, w, cap),
+            functools.partial(_tilejoin_kernel, w, cap128, tpg),
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((nblocks, cap, 1), jnp.int32),
-                jax.ShapeDtypeStruct((nblocks, cap, 1), jnp.int32),
-            ],
+            out_shape=jax.ShapeDtypeStruct((nblocks, tpg, cap128, LANES),
+                                           jnp.int32),
             interpret=interpret,
-        )(tile_ids, plane3, qfp_b, rr_b, off_b)
+        )(tile_ids, plane3T, packed_b)
 
 
-def plane_tiles(fp2d: np.ndarray) -> np.ndarray:
-    """View the overlapped rows1 plane [R, 128] as [T, 128, 128] tiles,
-    padding the last tile's rows with FP_EMPTY."""
+def plane_tiles(fp2d: np.ndarray, tpg: int = TPG) -> np.ndarray:
+    """Group the overlapped rows1 plane [R, 128] into [T, 128, 128]
+    TRANSPOSED tiles (tile[t][o, r] = fp2d[t*128 + r, o]), padding the
+    tile count to a multiple of ``tpg`` with FP_EMPTY rows. One pass at
+    table load; the kernel then contracts with no in-kernel transpose."""
     from .xla import FP_EMPTY
 
     r = len(fp2d)
-    t = -(-r // TILE_ROWS)
+    t = -(-(-(-r // TILE_ROWS)) // tpg) * tpg
     if t * TILE_ROWS > r:
         fp2d = np.concatenate(
             [fp2d, np.full((t * TILE_ROWS - r, LANES), FP_EMPTY,
                            np.uint16)])
-    return fp2d.reshape(t, TILE_ROWS, LANES)
+    return np.ascontiguousarray(
+        fp2d.reshape(t, TILE_ROWS, LANES).transpose(0, 2, 1))
+
+
+def pack_query(q_fp, rr, off):
+    """qfp<<14 | rr<<7 | off, int32 (qfp < 2^16, rr < 128, off < 128)."""
+    return ((q_fp.astype(np.int32) << 14) | (rr.astype(np.int32) << 7)
+            | off.astype(np.int32))
 
 
 def bin_queries_tiles(q_fp: np.ndarray, homes: np.ndarray, stride: int,
-                      cap: int, pad_blocks_to: int = 1):
-    """Host-side merge-join routing: group queries by home TILE into
-    [nblocks, cap, 1] padded int32 column bins (the kernel's block-legal
-    layout; cap must be a multiple of 8). Tiles are derived, not dense,
-    so the block list is the sorted unique tile set. Returns (tile_ids
-    int32, qfp_b, rr_b, off_b, block_of, rank_of); overflowed queries
-    (rank >= cap) stay out of the bins and resolve via the exact host
-    pass. nblocks is padded up to ``pad_blocks_to`` (repeating tile 0)
-    so distinct batches share compiled executables."""
-    assert cap % 8 == 0
+                      cap: int, pad_blocks_to: int = 1, tpg: int = TPG):
+    """Host-side merge-join routing: group queries by home SUPER-tile
+    (``tpg`` consecutive plane tiles) into [nblocks, tpg, cap/128, 128]
+    PACKED int32 bins (the kernel's layout-native shape; cap, the
+    per-sub-tile capacity, must be a multiple of 128). Super-tiles are
+    derived, not dense, so the block list is the sorted unique set.
+    Returns (super_ids int32, packed_b, block_of, rank_of) where rank_of
+    = sub_tile*cap + rank-within-sub-tile indexes the flattened
+    [tpg*cap] cells of a block; overflowed queries (rank >= cap within
+    their sub-tile) stay out of the bins and resolve via the exact host
+    pass. nblocks is padded up to ``pad_blocks_to`` (repeating super-tile
+    0) so distinct batches share compiled executables. Empty cells pack
+    qfp=0 / rr=127 / off=127 — whatever they compute, the host only ever
+    reads cells whose rank_of maps to a real query."""
+    assert cap % 128 == 0
     n = len(homes)
     r = (homes // stride).astype(np.int64)
     t = r >> 7                      # tile of TILE_ROWS=128 rows
+    sup = t // tpg                  # super-tile (DMA unit)
+    sub = (t - sup * tpg).astype(np.int64)
     rr = (r & 127).astype(np.int32)
     off = (homes - r * stride).astype(np.int32)
-    order = np.argsort(t, kind="stable")
+    order = np.argsort(t, kind="stable")    # rank within (sup, sub) = tile
     t_s = t[order]
-    tile_ids, starts, counts = np.unique(t_s, return_index=True,
-                                         return_counts=True)
-    nuse = len(tile_ids)
-    block_of_sorted = np.repeat(np.arange(nuse, dtype=np.int64), counts)
-    rank_sorted = np.arange(n, dtype=np.int64) - starts[block_of_sorted]
+    _, starts, counts = np.unique(t_s, return_index=True,
+                                  return_counts=True)
+    tile_block = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+    rank_sorted = np.arange(n, dtype=np.int64) - starts[tile_block]
+    sup_s = sup[order]
+    super_ids = np.unique(sup_s)
+    nuse = len(super_ids)
+    block_of_sorted = np.searchsorted(super_ids, sup_s)
     nblocks = max(nuse, 1)
     if pad_blocks_to > 1:
         nblocks = -(-nblocks // pad_blocks_to) * pad_blocks_to
-    qfp_b = np.zeros((nblocks, cap, 1), np.int32)
-    rr_b = np.zeros((nblocks, cap, 1), np.int32)
-    off_b = np.zeros((nblocks, cap, 1), np.int32)
+    packed_b = np.full((nblocks, tpg * cap), 0x3F80 | 127, np.int32)
     ok = rank_sorted < cap
-    bo, rk = block_of_sorted[ok], rank_sorted[ok]
+    bo = block_of_sorted[ok]
+    cell = sub[order][ok] * cap + rank_sorted[ok]
     sel = order[ok]
-    qfp_b[bo, rk, 0] = q_fp[sel]
-    rr_b[bo, rk, 0] = rr[sel]
-    off_b[bo, rk, 0] = off[sel]
+    packed_b[bo, cell] = pack_query(q_fp[sel], rr[sel], off[sel])
     ids = np.zeros(nblocks, np.int32)
-    ids[:nuse] = tile_ids.astype(np.int32)  # pad blocks re-read tile 0
+    ids[:nuse] = super_ids.astype(np.int32)  # pad blocks re-read super 0
     block_of = np.empty(n, np.int64)
     rank_of = np.empty(n, np.int64)
     block_of[order] = block_of_sorted
-    rank_of[order] = rank_sorted
-    return ids, qfp_b, rr_b, off_b, block_of, rank_of
+    # overflowed queries get the out-of-range sentinel tpg*cap, so the
+    # resolver's single `rank_of < tpg*cap` test routes them to the
+    # exact host pass (a non-overflowed rank in a later sub-tile is
+    # legitimately >= cap, so the per-sub-tile test can't be used there)
+    rank_of[order] = np.where(rank_sorted < cap,
+                              sub[order] * cap + rank_sorted, tpg * cap)
+    return (ids, packed_b.reshape(nblocks, tpg, cap // 128, 128), block_of,
+            rank_of)
+
+
+def decode_fst(fst_flat: np.ndarray, w: int):
+    """Unpack the kernel's first-event codes into the (off, state) bins
+    contract: state 1 = candidate at off, 2 = empty-first miss, 0 =
+    unresolved (exact host pass)."""
+    hit = fst_flat < 2 * w
+    is_cand = hit & ((fst_flat & 1) == 0)
+    off = np.where(is_cand, fst_flat >> 1, 0).astype(np.uint8)
+    state = (is_cand.astype(np.uint8)
+             + 2 * (hit & ~is_cand).astype(np.uint8))
+    return off, state
 
 
 _SUPPORTED: Optional[bool] = None
@@ -219,7 +268,7 @@ def tilejoin_supported(force: Optional[str] = None) -> bool:
 
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
                              "kmergutsjava_tpu")
-    key = f"tilejoin/{jax.__version__}/{jax.devices()[0].device_kind}"
+    key = f"tilejoin2/{jax.__version__}/{jax.devices()[0].device_kind}"
     cache_path = os.path.join(cache_dir, "kernel_probes.json")
     try:
         with open(cache_path) as fh:
@@ -261,7 +310,7 @@ def tilejoin_supported(force: Optional[str] = None) -> bool:
 
 def _probe_correct(interpret: bool) -> bool:
     """Plant known candidates/empties across a 3-tile plane and check the
-    kernel's (off, state) against the reference contract."""
+    kernel's decoded (off, state) against the reference contract."""
     from .xla import FP_EMPTY
 
     w = 16
@@ -269,7 +318,7 @@ def _probe_correct(interpret: bool) -> bool:
     rng = np.random.default_rng(7)
     plane = rng.integers(0, 60000, (3 * TILE_ROWS, LANES)).astype(np.uint16)
     plane[5, 20:] = FP_EMPTY          # empty run inside tile 0, row 5
-    cap = 8
+    cap = 128
     # queries: (tile, rr, off) with planted outcomes
     qs = [
         (0, 5, 10, plane[5, 13], 3, 1),     # candidate at off 3 (< empty)
@@ -284,14 +333,13 @@ def _probe_correct(interpret: bool) -> bool:
     t3, rr3, o3 = qs[3][:3]
     row3 = plane[t3 * TILE_ROWS + rr3]
     row3[o3: o3 + w] = np.arange(100, 100 + w, dtype=np.uint16)
-    ids, qfp_b, rr_b, off_b, bo, rk = bin_queries_tiles(
-        qfp, homes, stride, cap)
-    off_o, st_o = tilejoin_probe(
-        plane_tiles(plane), jnp.asarray(ids), jnp.asarray(qfp_b),
-        jnp.asarray(rr_b), jnp.asarray(off_b), w, cap,
-        interpret=interpret)
-    off_h = np.asarray(jax.device_get(off_o))[bo, rk, 0]
-    st_h = np.asarray(jax.device_get(st_o))[bo, rk, 0]
+    ids, packed_b, bo, rk = bin_queries_tiles(qfp, homes, stride, cap)
+    fst = tilejoin_probe(
+        plane_tiles(plane), jnp.asarray(ids), jnp.asarray(packed_b), w,
+        cap // 128, interpret=interpret)
+    fst_h = np.asarray(jax.device_get(fst)).reshape(len(ids),
+                                                    TPG * cap)[bo, rk]
+    off_h, st_h = decode_fst(fst_h, w)
     want_st = np.array([s for *_, s in qs])
     want_off = np.array([o if s == 1 else 0 for *_, o, s in qs])
     return (np.array_equal(st_h, want_st)

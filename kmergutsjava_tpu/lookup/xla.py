@@ -534,11 +534,12 @@ class XlaLookup:
 
     def _tile_cap(self, n: int) -> int:
         """Per-tile bin capacity for the tile-join kernel: mean + 8 sigma
-        (Poisson-ish for hash-uniform homes) + slack, rounded to 8 (the
-        kernel's sublane granularity). Static per (bucketed n, table)."""
+        (Poisson-ish for hash-uniform homes) + slack, rounded UP to 128
+        (the kernel's packed-lane group width). Static per (bucketed n,
+        table)."""
         mean = n / self._occ_tiles
         cap = int(mean + 8 * mean ** 0.5 + 72)
-        return min(-(-cap // 8) * 8, max(8, -(-n // 8) * 8))
+        return min(-(-cap // 128) * 128, max(128, -(-n // 128) * 128))
 
     def _chunk_cap(self, n: int) -> int:
         """Per-chunk bin capacity for the chunked probe: mean + 8 sigma
@@ -605,17 +606,17 @@ class XlaLookup:
         for the chunked impl, the host-side bin routing."""
         n = len(homes)
         if self.probe_impl == "tilejoin":
-            from .pallas_tilejoin import bin_queries_tiles, tilejoin_probe
+            from .pallas_tilejoin import (TPG, bin_queries_tiles,
+                                          tilejoin_probe)
 
             nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
             cap = self._tile_cap(nb)
-            ids, qfp_b, rr_b, off_b, block_of, rank_of = bin_queries_tiles(
-                q_fp, homes, self.stride, cap, pad_blocks_to=256)
+            ids, packed_b, block_of, rank_of = bin_queries_tiles(
+                q_fp, homes, self.stride, cap, pad_blocks_to=64)
             out = tilejoin_probe(
-                self.tbl_fp, jnp.asarray(ids), jnp.asarray(qfp_b),
-                jnp.asarray(rr_b), jnp.asarray(off_b), self.w1, cap,
-                interpret=self._tj_interpret)
-            return ("tiles", out, block_of, rank_of, cap, n)
+                self.tbl_fp, jnp.asarray(ids), jnp.asarray(packed_b),
+                self.w1, cap // 128, interpret=self._tj_interpret)
+            return ("tiles", out, block_of, rank_of, cap * TPG, n)
         if self.probe_impl == "chunked":
             nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
             cap = self._chunk_cap(nb)
@@ -639,17 +640,17 @@ class XlaLookup:
         the caller's query order (state 0 = unresolved -> exact host
         pass)."""
         if pending[0] == "tiles":
-            _, out, block_of, rank_of, cap, n = pending
-            off_bh, st_bh = jax.device_get(out)
-            off_bh, st_bh = off_bh[..., 0], st_bh[..., 0]
-            ok = rank_of < cap
+            from .pallas_tilejoin import decode_fst
+
+            _, out, block_of, rank_of, cells, n = pending
+            fst = jax.device_get(out).reshape(-1, cells)
+            ok = rank_of < cells  # overflow carries the sentinel = cells
             if ok.all():
-                return (off_bh[block_of, rank_of].astype(np.uint8),
-                        st_bh[block_of, rank_of].astype(np.uint8))
-            rc = np.minimum(rank_of, cap - 1)
-            off = np.where(ok, off_bh[block_of, rc], 0).astype(np.uint8)
-            state = np.where(ok, st_bh[block_of, rc], 0).astype(np.uint8)
-            return off, state
+                return decode_fst(fst[block_of, rank_of], self.w1)
+            rc = np.minimum(rank_of, cells - 1)
+            off, state = decode_fst(fst[block_of, rc], self.w1)
+            return (np.where(ok, off, 0).astype(np.uint8),
+                    np.where(ok, state, 0).astype(np.uint8))
         if pending[0] == "bins":
             _, out, chunk_of, rank_of, cap, n = pending
             off_bh, st_bh = jax.device_get(out)

@@ -102,18 +102,24 @@ def test_tilejoin_overflow_fallback():
 
 
 def test_bin_queries_tiles_roundtrip():
-    from kmergutsjava_tpu.lookup.pallas_tilejoin import bin_queries_tiles
+    from kmergutsjava_tpu.lookup.pallas_tilejoin import (TPG,
+                                                         bin_queries_tiles)
 
     rng = np.random.default_rng(2)
     stride = 112
-    homes = rng.integers(0, stride * 128 * 7, size=500).astype(np.int64)
+    homes = rng.integers(0, stride * 128 * 4 * TPG, size=500).astype(
+        np.int64)
     qfp = rng.integers(0, 65535, size=500).astype(np.uint16)
-    ids, qfp_b, rr_b, off_b, bo, rk = bin_queries_tiles(
-        qfp, homes, stride, cap=512, pad_blocks_to=4)
+    cap = 512
+    ids, packed_b, bo, rk = bin_queries_tiles(
+        qfp, homes, stride, cap=cap, pad_blocks_to=4)
     assert len(ids) % 4 == 0
-    ok = rk < 512
+    assert packed_b.shape[1:] == (TPG, cap // 128, 128)
+    ok = rk < TPG * cap  # no overflow sentinel expected at this load
     assert ok.all()
-    # every query's cell carries its fingerprint and reconstructs its home
-    r = ids[bo] * 128 + rr_b[bo, rk, 0]
-    np.testing.assert_array_equal(qfp_b[bo, rk, 0], qfp.astype(np.int32))
-    np.testing.assert_array_equal(r * stride + off_b[bo, rk, 0], homes)
+    # every query's packed cell carries its fingerprint and reconstructs
+    # its home slot exactly (rank encodes sub-tile * cap + within-rank)
+    p = packed_b.reshape(len(ids), TPG * cap)[bo, rk]
+    r = (ids[bo] * TPG + rk // cap) * 128 + ((p >> 7) & 127)
+    np.testing.assert_array_equal(p >> 14, qfp.astype(np.int32))
+    np.testing.assert_array_equal(r * stride + (p & 127), homes)
