@@ -443,12 +443,28 @@ class XlaLookup:
                     [fp, np.full(ext - plane_len, FP_EMPTY, np.uint16)])
             fp2d = np.ascontiguousarray(np.lib.stride_tricks.as_strided(
                 fp, shape=(nrows, lanes), strides=(2 * self.stride, 2)))
+            chunked_min = int(os.environ.get("KMER_CHUNKED_MIN_BYTES",
+                                             96 << 20))
+            if (auto_impl and lanes == 128 and fp2d.nbytes >= chunked_min):
+                # HBM-large plane on a TPU whose Mosaic compiles the
+                # tile-join kernel: the manual-DMA merge join replaces
+                # the XLA gather ladder (round 4; 1.0-1.8B cells/s vs
+                # chunked's 244M/s at 512MB, scripts/sweep.py tilejoin).
+                from .pallas_tilejoin import tilejoin_supported
+
+                if tilejoin_supported():
+                    probe_impl = "tilejoin"
             if probe_impl == "tilejoin":
                 # Pallas tile-join (lookup/pallas_tilejoin.py): the same
-                # overlapped plane viewed as [T, 128, 128] tiles; queries
-                # are host-binned by home tile, the kernel DMAs only the
-                # used tiles. Trim the pow2 padding to the rows homes can
-                # land in (untouched tiles are simply never in the grid).
+                # overlapped plane viewed as [T, 128, 128] transposed
+                # tiles; queries are host-binned by home super-tile, the
+                # kernel DMAs only the used super-tiles. Trim the pow2
+                # padding to the rows homes can land in (untouched tiles
+                # are simply never in the grid). The kernel streams the
+                # used plane per dispatch, so its economy scales with
+                # queries per pass: dispatch chunks are raised to the
+                # density where the DMA'd bytes per query drop well
+                # under the gather paths' 256 (KMER_TILEJOIN_CHUNK).
                 from .pallas_tilejoin import TILE_ROWS, plane_tiles
 
                 occ_rows = (s - 1) // self.stride + 1
@@ -460,7 +476,8 @@ class XlaLookup:
                 self.probe_impl = probe_impl
                 self.tbl_kmer = put(self.host_kmer) if not use_fingerprint \
                     else None
-                self.chunk = chunk
+                self.chunk = max(chunk, int(os.environ.get(
+                    "KMER_TILEJOIN_CHUNK", 4 << 20)))
                 return
             # chunk the plane when forced, or when the 128-lane plane is
             # HBM-large (auto): the row gather slows ~2x once the operand
@@ -539,7 +556,9 @@ class XlaLookup:
         table)."""
         mean = n / self._occ_tiles
         cap = int(mean + 8 * mean ** 0.5 + 72)
-        return min(-(-cap // 128) * 128, max(128, -(-n // 128) * 128))
+        # 4096 ceiling bounds the kernel's static unroll (cap/128 groups
+        # per sub-tile); past it the overflow tail goes to the exact pass
+        return min(-(-cap // 128) * 128, max(128, -(-n // 128) * 128), 4096)
 
     def _chunk_cap(self, n: int) -> int:
         """Per-chunk bin capacity for the chunked probe: mean + 8 sigma
