@@ -352,28 +352,47 @@ def bench_sparse_e2e(reps: int):
         rng.integers(0, 5000, len(kmers)).astype(np.int32),
         rng.random(len(kmers)).astype(np.float32),
         load_factor=0.6)
-    lk = XlaLookup(table)
     values = np.concatenate([
         rng.choice(kmers, n // 2),
         rng.integers(0, MAX_ENCODED, size=n - n // 2, dtype=np.int64)])
     rng.shuffle(values)
     cnt = np.zeros(n, np.int64)
     pos = np.arange(n, dtype=np.int64)
-    lk.lookup(values, cnt, pos)  # warm (compiles + uploads the plane)
-    best = float("inf")
-    for _ in range(max(2, min(reps, 4))):
-        t0 = time.time()
-        lk.lookup(values, cnt, pos)
-        best = min(best, time.time() - t0)
-    plane = getattr(lk, "tbl_fp", None)
-    return {"sparse_e2e_lookups_per_sec": round(n / best, 1),
-            "sparse_e2e_num_sigs": n_sigs,
-            "sparse_e2e_impl": lk.probe_impl,
-            "sparse_e2e_plane_mb": None if plane is None
-            else round(plane.nbytes / 2**20, 1),
-            "sparse_e2e_note": ("full host pipeline incl. this harness's "
-                                "~MB/s relay host link; device-only rates "
-                                "= sparse_big_rows1/chunked_lookups_per_sec")}
+    out = {"sparse_e2e_num_sigs": n_sigs}
+    # measure BOTH the auto impl (tilejoin where supported) and the
+    # chunked gather: their e2e ranking is LINK-dependent (the tile-join
+    # bins move ~4x the host bytes of the 6B/2B gather protocol, which
+    # only matters on this harness's relay link — device-only rates are
+    # sparse_big_*)
+    impls = [("", None), ("_chunked", "chunked")]
+    for suffix, impl in impls:
+        try:
+            lk = XlaLookup(table, probe_impl=impl)
+            if impl and lk.probe_impl != impl:
+                continue
+            lk.lookup(values, cnt, pos)  # warm (compiles + uploads)
+            best = float("inf")
+            for _ in range(max(2, min(reps, 4))):
+                t0 = time.time()
+                lk.lookup(values, cnt, pos)
+                best = min(best, time.time() - t0)
+            out[f"sparse_e2e{suffix}_lookups_per_sec"] = round(n / best, 1)
+            if not suffix:
+                out["sparse_e2e_impl"] = lk.probe_impl
+                plane = getattr(lk, "tbl_fp", None)
+                out["sparse_e2e_plane_mb"] = (
+                    None if plane is None
+                    else round(plane.nbytes / 2**20, 1))
+                if lk.probe_impl == "chunked":
+                    break  # auto == chunked: nothing new to measure
+            del lk
+        except Exception as ex:  # noqa: BLE001
+            print(f"WARNING: sparse_e2e{suffix} failed: {ex!r}",
+                  file=sys.stderr)
+    out["sparse_e2e_note"] = (
+        "full host pipeline incl. this harness's ~MB/s relay host link "
+        "(dominant term here); device-only rates = sparse_big_*")
+    return out
 
 
 def bench_tpu_sparse_big(reps: int):
@@ -484,35 +503,42 @@ def bench_tpu_sparse_big(reps: int):
             from kmergutsjava_tpu.lookup.pallas_tilejoin import (
                 TPG, tilejoin_probe)
 
-            tiles = int(plane_mb * 2**20) // (128 * 128 * 2)
-            nsup = max(tiles // TPG, 1)
-            mean = n / tiles
-            cap = max(128, -(-int(mean + 8 * mean ** 0.5 + 72) // 128) * 128)
-            cells = tiles * cap
+            # NOTE: every local here is tj_-prefixed — the chunked
+            # section below still reads this scope's `cap`/`n_cells`
+            # (a first cut shadowed `cap` and inflated the chunked rate
+            # 10x; caught against scripts/sweep.py sparse)
+            tj_tiles = int(plane_mb * 2**20) // (128 * 128 * 2)
+            tj_nsup = max(tj_tiles // TPG, 1)
+            tj_mean = n / tj_tiles
+            tj_cap = max(128, -(-int(tj_mean + 8 * tj_mean ** 0.5 + 72)
+                                // 128) * 128)
+            tj_cells = tj_tiles * tj_cap
             kt1, kt2 = jax.random.split(jax.random.key(31), 2)
-            plane3 = jax.random.bits(kt1, (nsup * TPG, 128, 128),
-                                     dtype=jnp.uint16)
-            bits = jax.random.bits(kt2, (NB, nsup, TPG, cap // 128, 128),
-                                   dtype=jnp.uint32)
-            pk_nb = (((bits >> 16) << 14) | (((bits >> 9) & 127) << 7)
-                     | (bits % jnp.uint32(stride))).astype(jnp.int32)
-            bits.delete()
-            ids = jnp.arange(nsup, dtype=jnp.int32)
+            tj_plane = jax.random.bits(kt1, (tj_nsup * TPG, 128, 128),
+                                       dtype=jnp.uint16)
+            tj_bits = jax.random.bits(
+                kt2, (NB, tj_nsup, TPG, tj_cap // 128, 128),
+                dtype=jnp.uint32)
+            tj_pk = (((tj_bits >> 16) << 14)
+                     | (((tj_bits >> 9) & 127) << 7)
+                     | (tj_bits % jnp.uint32(stride))).astype(jnp.int32)
+            tj_bits.delete()
+            tj_ids = jnp.arange(tj_nsup, dtype=jnp.int32)
 
-            def tj_body(i, plane3, ids, pk_nb, cap=cap):
+            def tj_body(i, plane3, ids, pk_nb, cap=tj_cap):
                 return jnp.sum(tilejoin_probe(plane3, ids, pick(i, pk_nb),
                                               W, cap // 128))
 
-            measure("tilejoin_cells", cells, rep_loop(tj_body),
-                    (plane3, ids, pk_nb))
+            measure("tilejoin_cells", tj_cells, rep_loop(tj_body),
+                    (tj_plane, tj_ids, tj_pk))
             cr = out.get("sparse_big_tilejoin_cells_lookups_per_sec")
             if cr:
                 out["sparse_big_tilejoin_lookups_per_sec"] = round(
-                    cr * n / cells, 1)
-                out["sparse_big_tilejoin_cap"] = cap
-            plane3.delete()
-            pk_nb.delete()
-            del plane3, pk_nb
+                    cr * n / tj_cells, 1)
+                out["sparse_big_tilejoin_cap"] = tj_cap
+            tj_plane.delete()
+            tj_pk.delete()
+            del tj_plane, tj_pk
         except Exception as ex:  # noqa: BLE001
             print(f"WARNING: sparse_big tilejoin failed: {ex!r}",
                   file=sys.stderr)

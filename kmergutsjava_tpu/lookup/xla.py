@@ -476,8 +476,12 @@ class XlaLookup:
                 self.probe_impl = probe_impl
                 self.tbl_kmer = put(self.host_kmer) if not use_fingerprint \
                     else None
+                # 2M default: dense enough that DMA'd plane bytes per
+                # query stay well under the gather paths' 256 at any
+                # HBM-large geometry, while keeping >= 2 dispatches in
+                # flight so host transfers pipeline with device passes
                 self.chunk = max(chunk, int(os.environ.get(
-                    "KMER_TILEJOIN_CHUNK", 4 << 20)))
+                    "KMER_TILEJOIN_CHUNK", 2 << 20)))
                 return
             # chunk the plane when forced, or when the 128-lane plane is
             # HBM-large (auto): the row gather slows ~2x once the operand
@@ -625,13 +629,24 @@ class XlaLookup:
         for the chunked impl, the host-side bin routing."""
         n = len(homes)
         if self.probe_impl == "tilejoin":
+            from ..utils.native import bin_tiles_dense_native
             from .pallas_tilejoin import (TPG, bin_queries_tiles,
                                           tilejoin_probe)
 
             nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
             cap = self._tile_cap(nb)
-            ids, packed_b, block_of, rank_of = bin_queries_tiles(
-                q_fp, homes, self.stride, cap, pad_blocks_to=64)
+            res = None
+            if n >= 2 * self.n_tiles:
+                # dense load: the threaded native binner over ALL
+                # super-tiles (grid = every super; at this density most
+                # are touched anyway, and the static grid means one
+                # executable per (cap, table))
+                res = bin_tiles_dense_native(homes, q_fp, self.stride,
+                                             TPG, self.n_tiles, cap)
+            if res is None:
+                res = bin_queries_tiles(q_fp, homes, self.stride, cap,
+                                        pad_blocks_to=64)
+            ids, packed_b, block_of, rank_of = res
             out = tilejoin_probe(
                 self.tbl_fp, jnp.asarray(ids), jnp.asarray(packed_b),
                 self.w1, cap // 128, interpret=self._tj_interpret)

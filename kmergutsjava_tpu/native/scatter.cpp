@@ -500,3 +500,85 @@ extern "C" void bin_queries(
         }
     });
 }
+
+// ---------------------------------------------------------------------
+// Tile-join bin router (lookup/pallas_tilejoin.py, probe_impl
+// "tilejoin"), DENSE variant: bins cover EVERY super-tile (the kernel
+// grid is then simply 0..n_tiles/tpg), which the dispatcher uses only
+// when the query load is dense enough that most tiles are touched
+// anyway — the regime the tile-join kernel exists for. Each query packs
+// (qfp<<14 | local_row<<7 | in_row_offset) into the int32 cell
+// tile*cap + rank, rank = encounter-order rank within the TILE;
+// rank_of[i] = sub_tile*cap + rank (the flattened block cell), or the
+// sentinel tpg*cap when the tile overflowed cap (exact host pass).
+// Bit-identical ranks at any thread count (same per-thread histogram +
+// exclusive-cursor scheme as bin_queries above; pinned against the
+// numpy twin by tests/test_tilejoin.py).
+extern "C" void bin_tiles_dense(
+    const int32_t* homes, const uint16_t* qfp, int64_t n,
+    int64_t stride, int64_t tpg, int64_t n_tiles, int64_t cap,
+    int32_t* packed_b,  // [n_tiles*cap] pre-filled with the pad word
+    int64_t* block_of,  // out [n]
+    int64_t* rank_of)   // out [n]
+{
+    const int64_t tile_span = stride * 128;
+    const int T0 = num_threads();
+    const int T = n < (int64_t)1 << 15 ? 1
+        : (int)(n / 16384 < T0 ? n / 16384 : T0);
+    const int64_t step = (n + T - 1) / T;
+    if (T <= 1) {
+        std::vector<int64_t> cur(n_tiles, 0);
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t h = homes[i];
+            const int64_t t = h / tile_span;
+            const int64_t r = cur[(size_t)t]++;
+            const int64_t sub = t % tpg;
+            block_of[i] = t / tpg;
+            rank_of[i] = r < cap ? sub * cap + r : tpg * cap;
+            if (r < cap) {
+                const int64_t row = h / stride;
+                packed_b[t * cap + r] =
+                    (int32_t)(((int64_t)qfp[i] << 14)
+                              | ((row & 127) << 7) | (h - row * stride));
+            }
+        }
+        return;
+    }
+    std::vector<int64_t> hist((size_t)T * n_tiles, 0);
+    parallel_for_threads(T, [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        int64_t* h_t = hist.data() + (size_t)t * n_tiles;
+        for (int64_t i = a; i < b; i++) {
+            h_t[homes[i] / tile_span]++;
+        }
+    });
+    for (int64_t c = 0; c < n_tiles; c++) {
+        int64_t run = 0;
+        for (int t = 0; t < T; t++) {
+            const size_t k = (size_t)t * n_tiles + c;
+            const int64_t v = hist[k];
+            hist[k] = run;
+            run += v;
+        }
+    }
+    parallel_for_threads(T, [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        int64_t* cur_t = hist.data() + (size_t)t * n_tiles;
+        for (int64_t i = a; i < b; i++) {
+            const int64_t h = homes[i];
+            const int64_t tl = h / tile_span;
+            const int64_t r = cur_t[tl]++;
+            const int64_t sub = tl % tpg;
+            block_of[i] = tl / tpg;
+            rank_of[i] = r < cap ? sub * cap + r : tpg * cap;
+            if (r < cap) {
+                const int64_t row = h / stride;
+                packed_b[tl * cap + r] =
+                    (int32_t)(((int64_t)qfp[i] << 14)
+                              | ((row & 127) << 7) | (h - row * stride));
+            }
+        }
+    });
+}

@@ -130,6 +130,15 @@ def _bind_scatter(lib) -> None:
         _U16P, _U16P, _U8P,                           # bins out
         _I64P, _I64P,                                 # chunk_of, rank_of out
     ]
+    fn = lib.bin_tiles_dense
+    fn.restype = None
+    fn.argtypes = [
+        _I32P, _U16P, ctypes.c_int64,                 # homes, qfp, n
+        ctypes.c_int64, ctypes.c_int64,               # stride, tpg
+        ctypes.c_int64, ctypes.c_int64,               # n_tiles, cap
+        _I32P,                                        # packed bins out
+        _I64P, _I64P,                                 # block_of, rank_of out
+    ]
 
 
 def load_scatter() -> Optional[ctypes.CDLL]:
@@ -201,3 +210,28 @@ def bin_queries_native(homes: np.ndarray, q_fp: np.ndarray, stride: int,
                     qfp_b.reshape(-1), row_b.reshape(-1), off_b.reshape(-1),
                     chunk_of, rank_of)
     return qfp_b, row_b, off_b, chunk_of, rank_of
+
+
+def bin_tiles_dense_native(homes: np.ndarray, q_fp: np.ndarray,
+                           stride: int, tpg: int, n_tiles: int, cap: int):
+    """Threaded DENSE tile binner for the tile-join kernel (scatter.cpp
+    bin_tiles_dense): bins cover every super-tile, so the kernel grid is
+    simply arange(n_tiles/tpg). Returns (ids, packed_b, block_of,
+    rank_of) with lookup/pallas_tilejoin.bin_queries_tiles semantics
+    (ranks = input encounter order per tile; overflow sentinel tpg*cap).
+    None without the toolchain (or under KMER_NO_NATIVE_SCATTER)."""
+    lib = load_scatter()
+    if lib is None:
+        return None
+    n = len(homes)
+    nblocks = n_tiles // tpg
+    packed_b = np.full(n_tiles * cap, 0x3F80 | 127, np.int32)
+    block_of = np.empty(n, np.int64)
+    rank_of = np.empty(n, np.int64)
+    lib.bin_tiles_dense(np.ascontiguousarray(homes, np.int32),
+                        np.ascontiguousarray(q_fp, np.uint16), n,
+                        stride, tpg, n_tiles, cap,
+                        packed_b, block_of, rank_of)
+    ids = np.arange(nblocks, dtype=np.int32)
+    return (ids, packed_b.reshape(nblocks, tpg, cap // 128, 128),
+            block_of, rank_of)

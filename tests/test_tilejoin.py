@@ -123,3 +123,51 @@ def test_bin_queries_tiles_roundtrip():
     r = (ids[bo] * TPG + rk // cap) * 128 + ((p >> 7) & 127)
     np.testing.assert_array_equal(p >> 14, qfp.astype(np.int32))
     np.testing.assert_array_equal(r * stride + (p & 127), homes)
+
+
+def test_native_dense_binner_matches_numpy():
+    """scatter.cpp bin_tiles_dense vs the numpy compressed binner: the
+    packed cell contents and per-query ranks must agree tile-by-tile
+    (block numbering differs — dense covers every super-tile — so the
+    comparison maps numpy's compressed blocks onto the dense ids)."""
+    from kmergutsjava_tpu.lookup.pallas_tilejoin import (TPG,
+                                                        bin_queries_tiles)
+    from kmergutsjava_tpu.utils.native import bin_tiles_dense_native
+
+    rng = np.random.default_rng(4)
+    stride = 112
+    n_tiles = 8 * TPG
+    homes = rng.integers(0, stride * 128 * n_tiles, size=4000).astype(
+        np.int64)
+    qfp = rng.integers(0, 65535, size=4000).astype(np.uint16)
+    cap = 256
+    res = bin_tiles_dense_native(homes.astype(np.int32), qfp, stride, TPG,
+                                 n_tiles, cap)
+    if res is None:
+        pytest.skip("native scatter toolchain unavailable")
+    ids_n, pb_n, bo_n, rk_n = res
+    ids_p, pb_p, bo_p, rk_p = bin_queries_tiles(qfp, homes, stride, cap)
+    # every query resolves to the same packed word and in-block cell
+    flat_n = pb_n.reshape(len(ids_n), TPG * cap)
+    flat_p = pb_p.reshape(len(ids_p), TPG * cap)
+    ok = rk_p < TPG * cap
+    np.testing.assert_array_equal(rk_n, rk_p)  # incl. overflow sentinels
+    np.testing.assert_array_equal(ids_n[bo_n[ok]], ids_p[bo_p[ok]])
+    np.testing.assert_array_equal(flat_n[bo_n[ok], rk_n[ok]],
+                                  flat_p[bo_p[ok], rk_p[ok]])
+
+
+def test_tilejoin_dense_native_path_end_to_end():
+    """XlaLookup tilejoin with the dense native binner engaged (n >=
+    2*n_tiles) must byte-match the parity oracle."""
+    table, kmers = _fixture(n_sigs=30_000, seed=12)
+    lk = XlaLookup(table, probe_impl="tilejoin")
+    n = max(4 * lk.n_tiles, 4000)
+    values = _mixed_queries(kmers, n, seed=13)
+    cnt = np.zeros(len(values), np.int64)
+    pos = np.arange(len(values), dtype=np.int64)
+    want = lookup_stream(table, values, cnt, pos)
+    got = lk.lookup(values, cnt, pos)
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)
