@@ -501,7 +501,9 @@ def bench_tpu_sparse_big(reps: int):
         # the bin padding factor — with the raw cells rate alongside.
         try:
             from kmergutsjava_tpu.lookup.pallas_tilejoin import (
-                TPG, tilejoin_probe)
+                TPG, tilejoin_form, tilejoin_probe)
+
+            tj_form = tilejoin_form() or "gather"
 
             # NOTE: every local here is tj_-prefixed — the chunked
             # section below still reads this scope's `cap`/`n_cells`
@@ -525,9 +527,9 @@ def bench_tpu_sparse_big(reps: int):
             tj_bits.delete()
             tj_ids = jnp.arange(tj_nsup, dtype=jnp.int32)
 
-            def tj_body(i, plane3, ids, pk_nb, cap=tj_cap):
+            def tj_body(i, plane3, ids, pk_nb, cap=tj_cap, form=tj_form):
                 return jnp.sum(tilejoin_probe(plane3, ids, pick(i, pk_nb),
-                                              W, cap // 128))
+                                              W, cap // 128, form=form))
 
             measure("tilejoin_cells", tj_cells, rep_loop(tj_body),
                     (tj_plane, tj_ids, tj_pk))
@@ -536,6 +538,7 @@ def bench_tpu_sparse_big(reps: int):
                 out["sparse_big_tilejoin_lookups_per_sec"] = round(
                     cr * n / tj_cells, 1)
                 out["sparse_big_tilejoin_cap"] = tj_cap
+                out["sparse_big_tilejoin_form"] = tj_form
             tj_plane.delete()
             tj_pk.delete()
             del tj_plane, tj_pk

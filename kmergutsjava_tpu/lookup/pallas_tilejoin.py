@@ -74,11 +74,12 @@ TPG = 4           # tiles per grid step: amortizes the measured ~240ns
 #                   unit becomes 128KB of consecutive plane
 
 
-def _tilejoin_kernel(w: int, cap128: int, tpg: int, ids_ref, planeT_ref,
-                     packed_ref, out_ref):
-    # transposed plane tiles [tpg, off, row] uint16 -> exact bf16 hi/lo
-    # split (both <= 255, exactly representable; the MXU contraction
-    # against a 0/1 one-hot is then bit-exact in f32)
+def _tilejoin_kernel(w: int, cap128: int, tpg: int, form: str, ids_ref,
+                     planeT_ref, packed_ref, out_ref):
+    # transposed plane tiles [tpg, off, row] uint16; two row-extract
+    # forms (see tilejoin_probe docstring): "gather" (lane-axis
+    # take_along_axis — production where Mosaic accepts it) and "mxu"
+    # (exact bf16 hi/lo one-hot matmuls — guaranteed-compile fallback)
     from .xla import FP_EMPTY
 
     big2 = jnp.int32(2 * w)
@@ -90,21 +91,35 @@ def _tilejoin_kernel(w: int, cap128: int, tpg: int, ids_ref, planeT_ref,
         # NOTE: the plane block is (tpg, 128, 128) — tpg IS its leading
         # dim (the bins carry an extra leading 1 from their (1, ...) spec)
         tileT = planeT_ref[t].astype(jnp.int32)           # [off, row]
-        hiT = (tileT >> 8).astype(jnp.bfloat16)
-        loT = (tileT & 0xFF).astype(jnp.bfloat16)
+        if form == "mxu":
+            # exact bf16 hi/lo split (both <= 255, exactly representable;
+            # the MXU contraction against a 0/1 one-hot is bit-exact in
+            # f32: win = hi*256+lo <= 65535 < 2^24)
+            hiT = (tileT >> 8).astype(jnp.bfloat16)
+            loT = (tileT & 0xFF).astype(jnp.bfloat16)
         for g in range(cap128):             # static unroll, cap128 <= ~8
             p = packed_ref[0, t, g:g + 1, :]              # [1, 128] int32
             rr = (p >> 7) & 127
             off = p & 127
             qfp = p >> 14                                 # [1, 128]
-            # one-hot column selector [row, q] — rr lives on lanes, rows
-            # on sublanes: no relayout anywhere
-            onehot = (r_ids == rr).astype(jnp.bfloat16)   # [row, q]
-            winT = (jnp.dot(hiT, onehot,
-                            preferred_element_type=jnp.float32) * 256.0
-                    + jnp.dot(loT, onehot,
-                              preferred_element_type=jnp.float32)
-                    ).astype(jnp.int32)                   # [off, q] exact
+            if form == "gather":
+                # lane-axis gather: the gather dim (rows, on lanes of the
+                # transposed tile) spans ONE vreg of 128 lanes, which
+                # this Mosaic accepts — unlike the sublane-axis gather
+                # that blocks lookup/pallas_kernel.py. Measured +47%
+                # over the MXU form at cap=512 (the MXU form is 60%
+                # MXU-bound; this one rides the VPU).
+                idx = jnp.broadcast_to(rr, (TILE_ROWS, LANES))
+                winT = jnp.take_along_axis(tileT, idx, axis=1)
+            else:
+                # one-hot column selector [row, q] — rr lives on lanes,
+                # rows on sublanes: no relayout anywhere
+                onehot = (r_ids == rr).astype(jnp.bfloat16)   # [row, q]
+                winT = (jnp.dot(hiT, onehot,
+                                preferred_element_type=jnp.float32) * 256.0
+                        + jnp.dot(loT, onehot,
+                                  preferred_element_type=jnp.float32)
+                        ).astype(jnp.int32)               # [off, q] exact
             rel = o_ids - off                             # [off, q]
             in_w = (rel >= 0) & (rel < w)
             key = jnp.where((winT == qfp) & in_w, rel * 2,
@@ -114,9 +129,10 @@ def _tilejoin_kernel(w: int, cap128: int, tpg: int, ids_ref, planeT_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w", "cap128", "tpg", "interpret"))
+                   static_argnames=("w", "cap128", "tpg", "form",
+                                    "interpret"))
 def tilejoin_probe(plane3T, tile_ids, packed_b, w, cap128, tpg=TPG,
-                   interpret=False):
+                   form="gather", interpret=False):
     """Grid over the used SUPER-tiles (tpg consecutive plane tiles):
     tile_ids[b] (scalar-prefetched, in super-tile units) drives the plane
     BlockSpec's index_map, so the Pallas pipeline DMAs super-tile b's
@@ -142,7 +158,7 @@ def tilejoin_probe(plane3T, tile_ids, packed_b, w, cap128, tpg=TPG,
     # pure int32/uint16/bf16 kernel: keep jnp helpers from minting i64
     with jax.enable_x64(False):
         return pl.pallas_call(
-            functools.partial(_tilejoin_kernel, w, cap128, tpg),
+            functools.partial(_tilejoin_kernel, w, cap128, tpg, form),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nblocks, tpg, cap128, LANES),
                                            jnp.int32),
@@ -242,40 +258,45 @@ def decode_fst(fst_flat: np.ndarray, w: int):
     return off, state
 
 
-_SUPPORTED: Optional[bool] = None
+_FORM: Optional[str] = None  # "" = unsupported (cached)
 
 
-def tilejoin_supported(force: Optional[str] = None) -> bool:
-    """Compile-and-correctness probe for the tile-join kernel, cached per
-    (jax version, device kind) on disk like pallas_stream.stream16_supported
-    — the kernel arms itself only where Mosaic compiles it AND the planted
-    candidates come back right. KMER_TILEJOIN=0 never arms; =1 re-probes
-    ignoring the disk cache; =force arms unconditionally. Non-TPU backends
-    return False (the XLA gather is the right tool there; the kernel stays
-    differentially tested in interpret mode by tests/test_tilejoin.py)."""
-    global _SUPPORTED
+def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
+    """Pick the best compiling-and-correct kernel form for this
+    toolchain, cached per (jax version, device kind) on disk like
+    pallas_stream.stream16_supported. Probes "gather" (lane-axis
+    take_along_axis — +47% measured where Mosaic accepts it) then "mxu"
+    (one-hot matmuls — no gather semantics at all); each must compile
+    AND return the planted candidates right to arm. Returns the form
+    name, or None when neither passes (callers fall back to the XLA
+    gather ladder). KMER_TILEJOIN=0 never arms; =1 re-probes ignoring
+    the disk cache; =gather/=mxu force that form unconditionally.
+    Non-TPU backends return None (the XLA gather is the right tool
+    there; both kernel forms stay differentially tested in interpret
+    mode by tests/test_tilejoin.py)."""
+    global _FORM
     env = force if force is not None else os.environ.get("KMER_TILEJOIN")
     if env == "0":
-        return False
-    if env == "force":
-        return True
-    if _SUPPORTED is not None:
-        return _SUPPORTED
+        return None
+    if env in ("gather", "mxu", "force"):
+        return "gather" if env == "force" else env
+    if _FORM is not None:
+        return _FORM or None
     if jax.default_backend() != "tpu":
-        _SUPPORTED = False
-        return False
+        _FORM = ""
+        return None
     import json
 
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
                              "kmergutsjava_tpu")
-    key = f"tilejoin2/{jax.__version__}/{jax.devices()[0].device_kind}"
+    key = f"tilejoin3/{jax.__version__}/{jax.devices()[0].device_kind}"
     cache_path = os.path.join(cache_dir, "kernel_probes.json")
     try:
         with open(cache_path) as fh:
             cached = json.load(fh)
         if key in cached and env != "1":
-            _SUPPORTED = bool(cached[key])
-            return _SUPPORTED
+            _FORM = cached[key]
+            return _FORM or None
     except Exception:  # noqa: BLE001 — cache is best-effort
         cached = {}
     import threading
@@ -283,32 +304,41 @@ def tilejoin_supported(force: Optional[str] = None) -> bool:
     result: dict = {}
 
     def probe() -> None:
-        try:
-            result["ok"] = _probe_correct(interpret=False)
-        except Exception:  # noqa: BLE001 — compile crash = not supported
-            result["ok"] = False
+        for form in ("gather", "mxu"):
+            try:
+                if _probe_correct(interpret=False, form=form):
+                    result["form"] = form
+                    return
+            except Exception:  # noqa: BLE001 — compile crash: next form
+                continue
+        result["form"] = ""
 
     # a broken toolchain may hang the compile; never disk-cache a timeout
-    deadline = float(os.environ.get("KMER_TILEJOIN_PROBE_TIMEOUT", 240))
+    deadline = float(os.environ.get("KMER_TILEJOIN_PROBE_TIMEOUT", 420))
     th = threading.Thread(target=probe, daemon=True)
     th.start()
     th.join(deadline)
-    ok = bool(result.get("ok", False))
-    _SUPPORTED = ok
-    if "ok" in result:
+    form = result.get("form")
+    _FORM = form if form is not None else ""
+    if form is not None:
         try:
             os.makedirs(cache_dir, exist_ok=True)
-            cached[key] = ok
+            cached[key] = form
             tmp = cache_path + f".tmp{os.getpid()}"
             with open(tmp, "w") as fh:
                 json.dump(cached, fh)
             os.replace(tmp, cache_path)
         except Exception:  # noqa: BLE001
             pass
-    return ok
+    return _FORM or None
 
 
-def _probe_correct(interpret: bool) -> bool:
+def tilejoin_supported(force: Optional[str] = None) -> bool:
+    """True when some tile-join kernel form arms (see tilejoin_form)."""
+    return tilejoin_form(force) is not None
+
+
+def _probe_correct(interpret: bool, form: str = "gather") -> bool:
     """Plant known candidates/empties across a 3-tile plane and check the
     kernel's decoded (off, state) against the reference contract."""
     from .xla import FP_EMPTY
@@ -336,7 +366,7 @@ def _probe_correct(interpret: bool) -> bool:
     ids, packed_b, bo, rk = bin_queries_tiles(qfp, homes, stride, cap)
     fst = tilejoin_probe(
         plane_tiles(plane), jnp.asarray(ids), jnp.asarray(packed_b), w,
-        cap // 128, interpret=interpret)
+        cap // 128, form=form, interpret=interpret)
     fst_h = np.asarray(jax.device_get(fst)).reshape(len(ids),
                                                     TPG * cap)[bo, rk]
     off_h, st_h = decode_fst(fst_h, w)

@@ -467,11 +467,19 @@ class XlaLookup:
                 # under the gather paths' 256 (KMER_TILEJOIN_CHUNK).
                 from .pallas_tilejoin import TILE_ROWS, plane_tiles
 
+                from .pallas_tilejoin import tilejoin_form
+
                 occ_rows = (s - 1) // self.stride + 1
                 self._occ_tiles = -(-occ_rows // TILE_ROWS)
                 tiles = plane_tiles(fp2d[:occ_rows])
                 self.n_tiles = len(tiles)
                 self._tj_interpret = jax.default_backend() != "tpu"
+                # kernel form: probed best on TPU ("gather" +47% where
+                # Mosaic takes it, else "mxu"); interpret mode runs the
+                # gather form unless KMER_TJ_FORM overrides
+                self._tj_form = (
+                    os.environ.get("KMER_TJ_FORM", "gather")
+                    if self._tj_interpret else (tilejoin_form() or "mxu"))
                 self.tbl_fp = put(tiles)
                 self.probe_impl = probe_impl
                 self.tbl_kmer = put(self.host_kmer) if not use_fingerprint \
@@ -649,7 +657,8 @@ class XlaLookup:
             ids, packed_b, block_of, rank_of = res
             out = tilejoin_probe(
                 self.tbl_fp, jnp.asarray(ids), jnp.asarray(packed_b),
-                self.w1, cap // 128, interpret=self._tj_interpret)
+                self.w1, cap // 128, form=self._tj_form,
+                interpret=self._tj_interpret)
             return ("tiles", out, block_of, rank_of, cap * TPG, n)
         if self.probe_impl == "chunked":
             nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)

@@ -145,68 +145,83 @@ def section_tjgather():
     """EXPERIMENT: tile-join with an in-VMEM LANE-axis gather instead of
     the MXU one-hot: the plane tile arrives pre-transposed [off, row], so
     the row extract is take_along_axis along LANES (the gather dim then
-    spans one vreg of 128 lanes, which Mosaic may accept where the
-    sublane-axis gather is rejected). Same packed layout as production.
-    If this compiles and beats the MXU form, promote it."""
+    spans one vreg of 128 lanes, which this Mosaic accepts where the
+    sublane-axis gather is rejected). Same packed layout and TPG
+    super-tiles as production. The production form is MXU-bound at ~60%
+    of bf16 peak; this form trades the matmuls for VPU gathers — if it
+    wins, promote it."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from kmergutsjava_tpu.lookup.pallas_tilejoin import LANES, TILE_ROWS
+    from kmergutsjava_tpu.lookup.pallas_tilejoin import (LANES, TILE_ROWS,
+                                                         TPG)
     from kmergutsjava_tpu.lookup.xla import FP_EMPTY
 
     plane_mb = float(os.environ.get("SWEEP_PLANE_MB", 512))
     tiles = int(plane_mb * 2**20) // (128 * 128 * 2)
-    cap = int(os.environ.get("SWEEP_TJG_CAP", 256))
-    cap128 = cap // 128
+    nsup = tiles // TPG
+    caps = [int(c) for c in
+            os.environ.get("SWEEP_TJG_CAPS", "256,512").split(",")]
     stride = 128 - W
 
-    def kernel(ids_ref, planeT_ref, packed_ref, out_ref):
-        tileT = planeT_ref[0].astype(jnp.int32)          # [off, row]
-        big2 = jnp.int32(2 * W)
-        o_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
-        for g in range(cap128):
-            p = packed_ref[0, g:g + 1, :]
-            rr = (p >> 7) & 127
-            off = p & 127
-            qfp = p >> 14
-            idx = jnp.broadcast_to(rr, (TILE_ROWS, LANES))
-            winT = jnp.take_along_axis(tileT, idx, axis=1)  # [off, q]
-            rel = o_ids - off
-            in_w = (rel >= 0) & (rel < W)
-            key = jnp.where((winT == qfp) & in_w, rel * 2,
-                            jnp.where((winT == jnp.int32(FP_EMPTY)) & in_w,
-                                      rel * 2 + 1, big2))
-            out_ref[0, g:g + 1, :] = jnp.min(key, axis=0, keepdims=True)
+    def make_probe(cap128):
+        def kernel(ids_ref, planeT_ref, packed_ref, out_ref):
+            big2 = jnp.int32(2 * W)
+            o_ids = jax.lax.broadcasted_iota(jnp.int32,
+                                             (TILE_ROWS, LANES), 0)
+            for t in range(TPG):
+                tileT = planeT_ref[t].astype(jnp.int32)   # [off, row]
+                for g in range(cap128):
+                    p = packed_ref[0, t, g:g + 1, :]
+                    rr = (p >> 7) & 127
+                    off = p & 127
+                    qfp = p >> 14
+                    idx = jnp.broadcast_to(rr, (TILE_ROWS, LANES))
+                    winT = jnp.take_along_axis(tileT, idx, axis=1)
+                    rel = o_ids - off
+                    in_w = (rel >= 0) & (rel < W)
+                    key = jnp.where(
+                        (winT == qfp) & in_w, rel * 2,
+                        jnp.where((winT == jnp.int32(FP_EMPTY)) & in_w,
+                                  rel * 2 + 1, big2))
+                    out_ref[0, t, g:g + 1, :] = jnp.min(key, axis=0,
+                                                        keepdims=True)
 
-    @jax.jit
-    def probe(plane3, ids, packed_b):
-        blk = pl.BlockSpec((1, cap128, 128), lambda b, i_: (b, 0, 0))
-        gs = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(plane3.shape[0],),
-            in_specs=[pl.BlockSpec((1, 128, 128),
-                                   lambda b, i_: (i_[b], 0, 0)), blk],
-            out_specs=blk)
-        with jax.enable_x64(False):
-            return pl.pallas_call(
-                kernel, grid_spec=gs,
-                out_shape=jax.ShapeDtypeStruct(
-                    (plane3.shape[0], cap128, 128), jnp.int32),
-            )(ids, plane3, packed_b)
+        @jax.jit
+        def probe(plane3, ids, packed_b):
+            blk = pl.BlockSpec((1, TPG, cap128, 128),
+                               lambda b, i_: (b, 0, 0, 0))
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(packed_b.shape[0],),
+                in_specs=[pl.BlockSpec((TPG, 128, 128),
+                                       lambda b, i_: (i_[b], 0, 0)), blk],
+                out_specs=blk)
+            with jax.enable_x64(False):
+                return pl.pallas_call(
+                    kernel, grid_spec=gs,
+                    out_shape=jax.ShapeDtypeStruct(
+                        (packed_b.shape[0], TPG, cap128, 128), jnp.int32),
+                )(ids, plane3, packed_b)
+        return probe
 
     with jax.enable_x64(False):
         k1, k2 = jax.random.split(jax.random.key(7), 2)
         plane3 = jax.random.bits(k1, (tiles, 128, 128), dtype=jnp.uint16)
-        ids = jnp.arange(tiles, dtype=jnp.int32)
-        bits = jax.random.bits(k2, (NB, tiles, cap128, 128),
-                               dtype=jnp.uint32)
-        pk_nb = (((bits >> 16) << 14) | (((bits >> 9) & 127) << 7)
-                 | (bits % jnp.uint32(stride))).astype(jnp.int32)
+        ids = jnp.arange(nsup, dtype=jnp.int32)
+        for cap in caps:
+            bits = jax.random.bits(k2, (NB, nsup, TPG, cap // 128, 128),
+                                   dtype=jnp.uint32)
+            pk_nb = (((bits >> 16) << 14) | (((bits >> 9) & 127) << 7)
+                     | (bits % jnp.uint32(stride))).astype(jnp.int32)
+            probe = make_probe(cap // 128)
 
-        def body(i, plane3, ids, pk_nb):
-            return jnp.sum(probe(plane3, ids, pick(i, pk_nb)))
+            def body(i, plane3, ids, pk_nb, probe=probe):
+                return jnp.sum(probe(plane3, ids, pick(i, pk_nb)))
 
-        measure(f"tjgather_{int(plane_mb)}mb_cap{cap}", tiles * cap,
-                rep_loop(body), (plane3, ids, pk_nb))
+            measure(f"tjgather_{int(plane_mb)}mb_cap{cap}", tiles * cap,
+                    rep_loop(body), (plane3, ids, pk_nb))
+            pk_nb.delete()
+            del pk_nb
 
 
 # ------------------------------------------------------------------ sparse

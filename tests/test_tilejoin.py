@@ -41,14 +41,18 @@ def _sorted_cols(hits):
              hits.fi, hits.wt)]
 
 
+@pytest.mark.parametrize("form", ["gather", "mxu"])
 @pytest.mark.parametrize("load_factor", [0.5, 0.8])
-def test_tilejoin_matches_parity(load_factor):
+def test_tilejoin_matches_parity(load_factor, form, monkeypatch):
+    monkeypatch.setenv("KMER_TJ_FORM", form)
     table, kmers = _fixture(load_factor=load_factor)
     values = _mixed_queries(kmers, 3000)
     cnt = np.zeros(len(values), np.int64)
     pos = np.arange(len(values), dtype=np.int64)
     want = lookup_stream(table, values, cnt, pos)
-    got = XlaLookup(table, probe_impl="tilejoin").lookup(values, cnt, pos)
+    lk = XlaLookup(table, probe_impl="tilejoin")
+    assert lk._tj_form == form
+    got = lk.lookup(values, cnt, pos)
     assert len(got) == len(want)
     for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
         np.testing.assert_array_equal(a, b)
