@@ -68,10 +68,13 @@ TILE_ROWS = 128   # plane rows per tile: [128, 128] u16 = 32KB; also the
 #                   one-hot contraction length (MXU MACs per query =
 #                   TILE_ROWS * LANES, which is why tiles stay 128 rows)
 LANES = 128
-TPG = 4           # tiles per grid step: amortizes the measured ~240ns
+TPG = 8           # tiles per grid step: amortizes the measured ~240ns
 #                   per-step fixed cost (grid bookkeeping + DMA setup)
-#                   4x without growing the per-query contraction; the DMA
-#                   unit becomes 128KB of consecutive plane
+#                   without growing the per-query extract; the DMA unit
+#                   becomes 256KB of consecutive plane. Sweep ladder at
+#                   512MB/cap=512 (gather form): TPG 4/8/16 = 2.70/2.96/
+#                   3.15B cells/s — 8 is the knee; 16 trades compile
+#                   size and sparse-skip granularity for +6%.
 
 
 def _tilejoin_kernel(w: int, cap128: int, tpg: int, form: str, ids_ref,

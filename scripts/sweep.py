@@ -107,8 +107,10 @@ def section_tilejoin():
     from kmergutsjava_tpu.lookup.pallas_tilejoin import TPG, tilejoin_probe
 
     plane_mb = float(os.environ.get("SWEEP_PLANE_MB", 512))
-    tiles = int(plane_mb * 2**20) // (128 * 128 * 2)
-    nsup = tiles // TPG
+    tpg = int(os.environ.get("SWEEP_TPG", TPG))
+    form = os.environ.get("SWEEP_TJ_FORM", "gather")
+    tiles = (int(plane_mb * 2**20) // (128 * 128 * 2)) // tpg * tpg
+    nsup = tiles // tpg
     caps = [int(c) for c in
             os.environ.get("SWEEP_CAPS", "128,256,512").split(",")]
     stride = 128 - W
@@ -119,23 +121,25 @@ def section_tilejoin():
         ids_shuf = jax.random.permutation(k4, ids_seq)
         for cap in caps:
             # packed = qfp<<14 | rr<<7 | off, built from random fields
-            bits = jax.random.bits(k2, (NB, nsup, TPG, cap // 128, 128),
+            bits = jax.random.bits(k2, (NB, nsup, tpg, cap // 128, 128),
                                    dtype=jnp.uint32)
             pk_nb = (((bits >> 16) << 14) | (((bits >> 9) & 127) << 7)
                      | (bits % jnp.uint32(stride))).astype(jnp.int32)
 
             def body(i, plane3, ids, pk_nb, cap=cap):
                 fst = tilejoin_probe(plane3, ids, pick(i, pk_nb), W,
-                                     cap // 128)
+                                     cap // 128, tpg=tpg, form=form)
                 return jnp.sum(fst)
 
             cells = tiles * cap
-            measure(f"tilejoin_{int(plane_mb)}mb_cap{cap}", cells,
-                    rep_loop(body), (plane3, ids_seq, pk_nb),
+            measure(f"tilejoin_{int(plane_mb)}mb_cap{cap}_tpg{tpg}_{form}",
+                    cells, rep_loop(body), (plane3, ids_seq, pk_nb),
                     extra={"cells": cells, "tiles": tiles})
             if cap == caps[len(caps) // 2]:
-                measure(f"tilejoin_{int(plane_mb)}mb_cap{cap}_shuffled",
-                        cells, rep_loop(body), (plane3, ids_shuf, pk_nb))
+                measure(
+                    f"tilejoin_{int(plane_mb)}mb_cap{cap}_tpg{tpg}_"
+                    f"{form}_shuffled",
+                    cells, rep_loop(body), (plane3, ids_shuf, pk_nb))
             pk_nb.delete()
             del pk_nb
 
