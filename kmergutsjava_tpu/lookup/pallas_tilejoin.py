@@ -249,6 +249,29 @@ def bin_queries_tiles(q_fp: np.ndarray, homes: np.ndarray, stride: int,
             rank_of)
 
 
+def bin_queries_tiles_dense(q_fp: np.ndarray, homes: np.ndarray,
+                            stride: int, cap: int, n_tiles: int,
+                            tpg: int = TPG):
+    """Dense-block binning: every super-tile gets a block, so ids are
+    simply arange(n_tiles/tpg) and the bins shard evenly over a table
+    mesh (parallel/tilejoin_shards.py). Prefers the threaded native
+    binner; the numpy fallback expands the compressed binner's blocks
+    into the dense layout (same packed cells, same ranks)."""
+    from ..utils.native import bin_tiles_dense_native
+
+    res = bin_tiles_dense_native(homes.astype(np.int32, copy=False), q_fp,
+                                 stride, tpg, n_tiles, cap)
+    if res is not None:
+        return res
+    ids_u, pb, bo, rk = bin_queries_tiles(q_fp, homes, stride, cap,
+                                          tpg=tpg)
+    nsup = n_tiles // tpg
+    dense = np.full((nsup,) + pb.shape[1:], 0x3F80 | 127, np.int32)
+    dense[ids_u] = pb
+    return (np.arange(nsup, dtype=np.int32), dense,
+            ids_u[bo].astype(np.int64), rk)
+
+
 def decode_fst(fst_flat: np.ndarray, w: int):
     """Unpack the kernel's first-event codes into the (off, state) bins
     contract: state 1 = candidate at off, 2 = empty-first miss, 0 =

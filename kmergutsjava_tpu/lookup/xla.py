@@ -465,13 +465,15 @@ class XlaLookup:
                 # queries per pass: dispatch chunks are raised to the
                 # density where the DMA'd bytes per query drop well
                 # under the gather paths' 256 (KMER_TILEJOIN_CHUNK).
-                from .pallas_tilejoin import TILE_ROWS, plane_tiles
-
-                from .pallas_tilejoin import tilejoin_form
+                from .pallas_tilejoin import (TILE_ROWS, TPG, plane_tiles,
+                                              tilejoin_form)
 
                 occ_rows = (s - 1) // self.stride + 1
                 self._occ_tiles = -(-occ_rows // TILE_ROWS)
-                tiles = plane_tiles(fp2d[:occ_rows])
+                # subclasses (parallel/tilejoin_shards.py) pad the tile
+                # count further so super-tiles split evenly over shards
+                mult = getattr(self, "TJ_TILES_MULTIPLE", 1)
+                tiles = plane_tiles(fp2d[:occ_rows], tpg=TPG * mult)
                 self.n_tiles = len(tiles)
                 self._tj_interpret = jax.default_backend() != "tpu"
                 # kernel form: probed best on TPU ("gather" +47% where
@@ -480,7 +482,7 @@ class XlaLookup:
                 self._tj_form = (
                     os.environ.get("KMER_TJ_FORM", "gather")
                     if self._tj_interpret else (tilejoin_form() or "mxu"))
-                self.tbl_fp = put(tiles)
+                self.tbl_fp = self._place_tj_plane(tiles, put)
                 self.probe_impl = probe_impl
                 self.tbl_kmer = put(self.host_kmer) if not use_fingerprint \
                     else None
@@ -536,6 +538,10 @@ class XlaLookup:
         self.probe_impl = probe_impl
         self.tbl_kmer = put(self.host_kmer) if not use_fingerprint else None
         self.chunk = chunk
+
+    def _place_tj_plane(self, tiles: np.ndarray, put):
+        """Device placement of the tile-join plane; subclasses shard it."""
+        return put(tiles)
 
     @staticmethod
     def _adaptive_w1(table: KmerTable, floor: int) -> int:

@@ -1,0 +1,49 @@
+"""Sharded tile-join lookup (parallel/tilejoin_shards.py) on the virtual
+8-device CPU mesh: zero-collective table parallelism for the sparse
+kernel, byte-compared against the single-device backend and the parity
+oracle."""
+import numpy as np
+import pytest
+
+from kmergutsjava_tpu.lookup.parity import lookup_stream
+from kmergutsjava_tpu.lookup.xla import XlaLookup
+from kmergutsjava_tpu.parallel.tilejoin_shards import (TileJoinShardedLookup,
+                                                       make_tilejoin_mesh)
+from tests.test_tilejoin import _fixture, _mixed_queries, _sorted_cols
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_matches_parity_and_single(n_shards):
+    table, kmers = _fixture(n_sigs=60_000, seed=21)
+    lk = TileJoinShardedLookup(table, mesh=make_tilejoin_mesh(n_shards))
+    assert lk.n_tiles % (8 * n_shards) == 0  # TPG * shards
+    values = _mixed_queries(kmers, 6000, seed=22)
+    cnt = np.zeros(len(values), np.int64)
+    pos = np.arange(len(values), dtype=np.int64)
+    want = lookup_stream(table, values, cnt, pos)
+    got = lk.lookup(values, cnt, pos)
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)
+    single = XlaLookup(table, probe_impl="tilejoin").lookup(values, cnt,
+                                                            pos)
+    assert len(single) == len(want)
+
+
+def test_sharded_streaming_front_end():
+    from kmergutsjava_tpu.lookup.xla import StreamingLookup
+
+    table, kmers = _fixture(n_sigs=40_000, seed=23)
+    lk = TileJoinShardedLookup(table, mesh=make_tilejoin_mesh(4),
+                               chunk=2048)
+    values = _mixed_queries(kmers, 5000, seed=24)
+    want = lookup_stream(table, values, np.zeros(len(values), np.int64),
+                         np.arange(len(values), dtype=np.int64))
+    st = StreamingLookup(lk, compute_kmers_found=True)
+    for s in range(0, len(values), 1300):
+        e = min(s + 1300, len(values))
+        st.add_batch(values[s:e], 0, np.arange(s, e, dtype=np.int64))
+    got = st.finish()
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)
