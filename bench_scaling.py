@@ -115,6 +115,21 @@ def main() -> None:
                         "mode": "zero_collective_stream",
                         "lookups_per_sec": round(n_queries / dt, 1),
                         "hits": len(hits)})
+    # zero-collective sharded tile-join kernel (sparse regime, round 4)
+    from kmergutsjava_tpu.parallel.tilejoin_shards import (
+        TileJoinShardedLookup, make_tilejoin_mesh)
+
+    for shards in [s for s in (2, n_devices) if s <= n_devices]:
+        tj = TileJoinShardedLookup(table, mesh=make_tilejoin_mesh(shards))
+        tj.lookup(values, np.zeros(len(values)), np.arange(len(values)))
+        t0 = time.time()
+        hits = tj.lookup(values, np.zeros(len(values)),
+                         np.arange(len(values)))
+        dt = time.time() - t0
+        results.append({"mesh": f"tilejoin-{shards}", "devices": shards,
+                        "mode": "zero_collective_tilejoin",
+                        "lookups_per_sec": round(n_queries / dt, 1),
+                        "hits": len(hits)})
     print(json.dumps({
         "metric": "sharded_lookup_scaling",
         "platform": platform,

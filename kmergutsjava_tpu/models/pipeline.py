@@ -201,12 +201,35 @@ def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup"
     impl_env = tuple(os.environ.get(k) for k in (
         "KMER_PROBE_IMPL", "KMER_PROBE_LANES",
         "KMER_CHUNKED_MIN_BYTES", "KMER_CHUNK_ROWS",
-        "KMER_ROWS1_MAX_BYTES"))
-    key = (ident, cfg.probe_window, cfg.lookup_chunk, impl_env)
+        "KMER_ROWS1_MAX_BYTES", "KMER_TILEJOIN", "KMER_TILEJOIN_CHUNK"))
+    key = (ident, cfg.probe_window, cfg.lookup_chunk, cfg.mesh_shape,
+           impl_env)
     lk = _LOOKUP_CACHE.get(key)
     if lk is None:
-        lk = XlaLookup(table, probe_window=cfg.probe_window,
-                       chunk=cfg.lookup_chunk)
+        lk = None
+        if cfg.mesh_shape:
+            # --mesh on the xla backend: shard the sparse probe over the
+            # table axis when the tile-join geometry supports it
+            # (zero-collective super-tile sharding, round 4); other
+            # geometries keep the single-device plane (the sharded/
+            # routed backends cover them)
+            from ..lookup.pallas_tilejoin import tilejoin_supported
+
+            n = cfg.mesh_shape[0] * cfg.mesh_shape[1]
+            if n > 1 and tilejoin_supported():
+                from ..parallel.tilejoin_shards import (
+                    TileJoinShardedLookup, make_tilejoin_mesh)
+
+                try:
+                    lk = TileJoinShardedLookup(
+                        table, mesh=make_tilejoin_mesh(n),
+                        probe_window=cfg.probe_window,
+                        chunk=cfg.lookup_chunk)
+                except ValueError:  # geometry fell back
+                    lk = None
+        if lk is None:
+            lk = XlaLookup(table, probe_window=cfg.probe_window,
+                           chunk=cfg.lookup_chunk)
         _LOOKUP_CACHE.clear()
         _LOOKUP_CACHE[key] = lk
     return lk
@@ -542,7 +565,7 @@ class Engine:
             # two-row layouts (3-5x on HBM-bound tables); the rows1
             # overlapped gather measured locality-independent, so skip
             # the host sort there (docs/performance.md).
-            if (lk.probe_impl != "rows1"
+            if (lk.probe_impl not in ("rows1", "tilejoin")
                     and table.num_sigs * 2 > 32 * 1024 * 1024
                     and len(values) > 1):
                 order = np.argsort(values % np.int64(table.num_sigs),

@@ -47,3 +47,50 @@ def test_sharded_streaming_front_end():
     assert len(got) == len(want)
     for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_engine_xla_mesh_uses_sharded_tilejoin(monkeypatch, tmp_path):
+    """backend=xla with --mesh routes through TileJoinShardedLookup
+    (KMER_TILEJOIN=gather arms the kernel off-TPU for the test) and the
+    report stays byte-identical to the parity backend."""
+    import io
+
+    from kmergutsjava_tpu.config import EngineConfig
+    from kmergutsjava_tpu.formats.function_index import write_function_index
+    from kmergutsjava_tpu.formats.kmer_table import write_table
+    from kmergutsjava_tpu.models import pipeline as pl
+    from kmergutsjava_tpu.models.pipeline import Engine
+
+    monkeypatch.setenv("KMER_TILEJOIN", "gather")
+    table, kmers = _fixture(n_sigs=20_000, seed=31)
+    td = str(tmp_path)
+    write_table(td + "/kmer.table.mem_map", table)
+    write_function_index(td + "/function.index",
+                         [f"fn {i}" for i in range(100)])
+    rng = np.random.default_rng(32)
+    alpha = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", np.uint8)
+    rows = []
+    for i in range(24):
+        row = alpha[rng.integers(0, 20, 60)]
+        v = int(kmers[rng.integers(len(kmers))])
+        digits = [(v // 20 ** (7 - k)) % 20 for k in range(8)]
+        col = int(rng.integers(0, 30))
+        row[col:col + 8] = alpha[digits]
+        row[col + 12:col + 20] = alpha[digits]
+        rows.append(row.tobytes().decode())
+    fasta = "".join(f">p{i} d\n{r}\n" for i, r in enumerate(rows))
+
+    got = io.StringIO()
+    Engine(EngineConfig(backend="xla", aa=True, min_hits=2,
+                        mesh_shape=(1, 4))).run(
+        td, None, got, stdout=True, query_stream=io.StringIO(fasta))
+    # the cache must hold the sharded class
+    lk = next(iter(pl._LOOKUP_CACHE.values()))
+    from kmergutsjava_tpu.parallel.tilejoin_shards import \
+        TileJoinShardedLookup
+    assert isinstance(lk, TileJoinShardedLookup)
+    want = io.StringIO()
+    Engine(EngineConfig(backend="parity", aa=True, min_hits=2)).run(
+        td, None, want, stdout=True, query_stream=io.StringIO(fasta))
+    assert "CALL\t" in want.getvalue()
+    assert got.getvalue() == want.getvalue()
