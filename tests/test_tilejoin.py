@@ -175,3 +175,29 @@ def test_tilejoin_dense_native_path_end_to_end():
     assert len(got) == len(want)
     for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_auto_crossover_picks_tilejoin_when_armed(monkeypatch):
+    """The auto ladder flips HBM-large planes to the tile-join kernel
+    exactly when the toolchain probe arms it (threshold lowered via
+    KMER_CHUNKED_MIN_BYTES so the test table qualifies)."""
+    from kmergutsjava_tpu.lookup import pallas_tilejoin as tj
+
+    table, kmers = _fixture(n_sigs=200_000, seed=15)
+    monkeypatch.setenv("KMER_CHUNKED_MIN_BYTES", "100000")
+    monkeypatch.setattr(tj, "tilejoin_supported", lambda *a, **k: True)
+    lk = XlaLookup(table)
+    assert lk.probe_impl == "tilejoin"
+    # same plane size with the probe disarmed: the chunked/rows1 ladder
+    monkeypatch.setattr(tj, "tilejoin_supported", lambda *a, **k: False)
+    lk2 = XlaLookup(table)
+    assert lk2.probe_impl in ("chunked", "rows1")
+    # and the armed path still answers exactly
+    values = _mixed_queries(kmers, 2500, seed=16)
+    cnt = np.zeros(len(values), np.int64)
+    pos = np.arange(len(values), dtype=np.int64)
+    want = lookup_stream(table, values, cnt, pos)
+    got = lk.lookup(values, cnt, pos)
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)
