@@ -643,21 +643,21 @@ class XlaLookup:
         for the chunked impl, the host-side bin routing."""
         n = len(homes)
         if self.probe_impl == "tilejoin":
-            from ..utils.native import bin_tiles_dense_native
             from .pallas_tilejoin import (TPG, bin_queries_tiles,
+                                          bin_queries_tiles_dense,
                                           tilejoin_probe)
 
             nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
             cap = self._tile_cap(nb)
-            res = None
             if n >= 2 * self.n_tiles:
-                # dense load: the threaded native binner over ALL
-                # super-tiles (grid = every super; at this density most
-                # are touched anyway, and the static grid means one
-                # executable per (cap, table))
-                res = bin_tiles_dense_native(homes, q_fp, self.stride,
-                                             TPG, self.n_tiles, cap)
-            if res is None:
+                # dense load: bins over ALL super-tiles (threaded native
+                # binner when built, numpy expansion otherwise) — at
+                # this density most tiles are touched anyway, and the
+                # static grid means ONE executable per (cap, table)
+                # instead of one per used-super-count bucket
+                res = bin_queries_tiles_dense(q_fp, homes, self.stride,
+                                              cap, self.n_tiles)
+            else:
                 res = bin_queries_tiles(q_fp, homes, self.stride, cap,
                                         pad_blocks_to=64)
             ids, packed_b, block_of, rank_of = res
