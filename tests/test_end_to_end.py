@@ -414,3 +414,22 @@ def test_auto_deferred_dna(tmp_path):
     want = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
     got = run_engine(tmp_path / "d", fasta, backend="auto", **kw)
     assert got == want
+
+
+def test_cross_backend_aa_tilejoin_impl(tmp_path, monkeypatch):
+    """The tile-join probe impl behind the xla backend (the HBM-large
+    auto default on armed TPUs) must produce a byte-identical report
+    (parity rule: every lookup backend, CLAUDE.md)."""
+    import random as _random
+
+    rng = _random.Random(99)
+    prots, triples, funcs = _random_corpus(rng)
+    sig = signatures_from_proteins(triples)
+    write_data_dir(tmp_path / "d", sig, funcs, load_factor=0.8)
+    fasta = "".join(f">p{i} d{i}\n{p}\n" for i, p in enumerate(prots))
+    kw = dict(aa=True, min_hits=2, max_gap=100)
+    r_parity = run_engine(tmp_path / "d", fasta, backend="parity", **kw)
+    monkeypatch.setenv("KMER_PROBE_IMPL", "tilejoin")
+    r_tj = run_engine(tmp_path / "d", fasta, backend="xla", **kw)
+    assert r_parity == r_tj
+    assert "CALL\t" in r_parity
