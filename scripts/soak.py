@@ -21,6 +21,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the sharded/mesh variants need the virtual 8-device CPU mesh (like
+# tests/conftest.py and bench_scaling.py); without it a mesh variant
+# raises "need N devices", the engine's reference-faithful
+# catch-and-continue (ref :797-802) emits a PARTIAL report, and the soak
+# flags a confusing "divergence" (seed 152167206 documented this)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -128,6 +138,11 @@ def run_round(seed: int, tmp: str) -> None:
     if rng.random() < 0.3:
         variants.append(("xla", {"_chunk_rows": rng.choice([8, 32, 64,
                                                             256])}))
+    # forced tile-join probe (the HBM-large auto default on armed TPUs,
+    # round 4), both kernel forms, interpret mode on this CPU host
+    if rng.random() < 0.3:
+        variants.append(("xla", {"_tilejoin": rng.choice(["gather",
+                                                          "mxu"])}))
     if rng.random() < 0.3:
         variants.append(("xla", {"prepare_impl": "numpy"}))
     if rng.random() < 0.3:
@@ -160,14 +175,21 @@ def run_round(seed: int, tmp: str) -> None:
         os.environ["KMER_NATIVE_THREADS"] = str(rng.choice([1, 2, 3, 4]))
         extra = dict(extra)
         chunk_rows = extra.pop("_chunk_rows", None)
+        tj_form = extra.pop("_tilejoin", None)
         if chunk_rows is not None:
             # force the chunked impl (narrow-lane rows1 became the auto
             # default at every plane size, so auto no longer upgrades)
             os.environ["KMER_PROBE_IMPL"] = "chunked"
             os.environ["KMER_CHUNK_ROWS"] = str(chunk_rows)
+        elif tj_form is not None:
+            os.environ["KMER_PROBE_IMPL"] = "tilejoin"
+            os.environ["KMER_TJ_FORM"] = tj_form
+            os.environ.pop("KMER_CHUNK_ROWS", None)
         else:
             os.environ.pop("KMER_PROBE_IMPL", None)
             os.environ.pop("KMER_CHUNK_ROWS", None)
+        if tj_form is None:
+            os.environ.pop("KMER_TJ_FORM", None)
         cfg = EngineConfig(backend=backend, **{**kw, **extra})
         out = io.StringIO()
         Engine(cfg).run(d, None, out, stdout=True,
@@ -176,6 +198,7 @@ def run_round(seed: int, tmp: str) -> None:
     os.environ.pop("KMER_NATIVE_THREADS", None)
     os.environ.pop("KMER_PROBE_IMPL", None)
     os.environ.pop("KMER_CHUNK_ROWS", None)
+    os.environ.pop("KMER_TJ_FORM", None)
     base = outs[0][2]
     for backend, extra, text in outs[1:]:
         if text != base:
