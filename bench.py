@@ -149,17 +149,18 @@ def roofline_fields(peaks: dict, stream: dict, rows: dict,
     if sparse_big.get("sparse_big_rows1_lookups_per_sec") and hbm:
         out["sparse_rows1_hbm_utilization"] = round(
             sparse_big["sparse_big_rows1_lookups_per_sec"] * 256 / hbm, 4)
-    # tile-join kernel: per CELL the HBM cost is 32KB/cap of plane + 8B
-    # of packed bins in/out (form-independent). The MXU axis only exists
-    # for the "mxu" one-hot form (TILE_ROWS*LANES MACs per cell x 2
-    # hi/lo bf16 dots = 65536 flop); the production "gather" form does
-    # no matmuls, so no MXU figure is emitted for it.
+    # tile-join kernel: per CELL the HBM cost is 32KB/cap of plane + 4B
+    # of packed bins in + 1B of byte-packed codes out (form-
+    # independent). The MXU axis only exists for the "mxu" one-hot form
+    # (TILE_ROWS*LANES MACs per cell x 2 hi/lo bf16 dots = 65536 flop);
+    # the production "gather" form does no matmuls, so no MXU figure is
+    # emitted for it.
     cr = sparse_big.get("sparse_big_tilejoin_cells_lookups_per_sec")
     cap = sparse_big.get("sparse_big_tilejoin_cap")
     if cr and cap:
         if hbm:
             out["sparse_tilejoin_hbm_utilization"] = round(
-                cr * (32768 / cap + 8) / hbm, 4)
+                cr * (32768 / cap + 5) / hbm, 4)
         mxu = peaks.get("mxu_flops_per_sec")
         if mxu and sparse_big.get("sparse_big_tilejoin_form") == "mxu":
             out["sparse_tilejoin_mxu_utilization"] = round(

@@ -44,9 +44,10 @@ sorts queries by home slot and streams the table forward past them):
   (definitive miss), 2w = unresolved (host exact pass).
 
 HBM traffic per visited tile: 32KB of plane + 4 bytes per query cell in
-+ 4 out — per query at metagenome densities (~hundreds of queries per
-tile) that is tens of bytes, an order of magnitude under the gather
-paths' 256.
++ 1 out (the first-event codes byte-pack four per int32 lane — worth
++2% on-chip and 4x less D2H for host-fed dispatches) — per query at
+metagenome densities (~hundreds of queries per tile) that is tens of
+bytes, an order of magnitude under the gather paths' 256.
 
 The host side (binning, verification, exact fallback, compaction) is
 shared with XlaLookup via the (off, state) dispatch/resolve contract, so
@@ -90,6 +91,7 @@ def _tilejoin_kernel(w: int, cap128: int, tpg: int, form: str, ids_ref,
     # window offsets (vs off, for rel) both live on the sublane axis
     o_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
     r_ids = o_ids
+    g4 = -(-cap128 // 4)
     for t in range(tpg):                    # static unroll
         # NOTE: the plane block is (tpg, 128, 128) — tpg IS its leading
         # dim (the bins carry an extra leading 1 from their (1, ...) spec)
@@ -100,6 +102,7 @@ def _tilejoin_kernel(w: int, cap128: int, tpg: int, form: str, ids_ref,
             # f32: win = hi*256+lo <= 65535 < 2^24)
             hiT = (tileT >> 8).astype(jnp.bfloat16)
             loT = (tileT & 0xFF).astype(jnp.bfloat16)
+        fst = []
         for g in range(cap128):             # static unroll, cap128 <= ~8
             p = packed_ref[0, t, g:g + 1, :]              # [1, 128] int32
             rr = (p >> 7) & 127
@@ -128,7 +131,18 @@ def _tilejoin_kernel(w: int, cap128: int, tpg: int, form: str, ids_ref,
             key = jnp.where((winT == qfp) & in_w, rel * 2,
                             jnp.where((winT == jnp.int32(FP_EMPTY)) & in_w,
                                       rel * 2 + 1, big2))
-            out_ref[0, t, g:g + 1, :] = jnp.min(key, axis=0, keepdims=True)
+            fst.append(jnp.min(key, axis=0, keepdims=True))
+        # pack four groups' first-event codes per int32 lane (each code
+        # <= 2w <= 128 fits a byte): 4x less output HBM/D2H per cell —
+        # group g lands in byte g%4 of packed row g//4 (host decode:
+        # pallas_tilejoin.decode_fst via a uint8 view)
+        for go in range(g4):
+            acc = fst[4 * go]
+            for b in range(1, 4):
+                gi = 4 * go + b
+                if gi < cap128:
+                    acc = acc | (fst[gi] << (8 * b))
+            out_ref[0, t, go:go + 1, :] = acc
 
 
 @functools.partial(jax.jit,
@@ -139,13 +153,17 @@ def tilejoin_probe(plane3T, tile_ids, packed_b, w, cap128, tpg=TPG,
     """Grid over the used SUPER-tiles (tpg consecutive plane tiles):
     tile_ids[b] (scalar-prefetched, in super-tile units) drives the plane
     BlockSpec's index_map, so the Pallas pipeline DMAs super-tile b's
-    tpg*32KB slice while b-1 computes. Returns the packed first-event
-    code ``fst`` int32 [nblocks, tpg, cap128, 128]: even < 2w = candidate
-    at fst>>1, odd < 2w = empty-first miss, 2w = unresolved."""
+    tpg*32KB slice while b-1 computes. Returns BYTE-PACKED first-event
+    codes int32 [nblocks, tpg, ceil(cap128/4), 128]: group g's code for
+    a lane lives in byte g%4 of packed row g//4 (each code <= 2w <= 128
+    fits a byte; decode with ``unpack_fst``/``decode_fst``): even < 2w =
+    candidate at code>>1, odd < 2w = empty-first miss, 2w =
+    unresolved."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nblocks = packed_b.shape[0]
+    g4 = -(-cap128 // 4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
@@ -155,7 +173,7 @@ def tilejoin_probe(plane3T, tile_ids, packed_b, w, cap128, tpg=TPG,
             pl.BlockSpec((1, tpg, cap128, LANES),
                          lambda b, ids: (b, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tpg, cap128, LANES),
+        out_specs=pl.BlockSpec((1, tpg, g4, LANES),
                                lambda b, ids: (b, 0, 0, 0)),
     )
     # pure int32/uint16/bf16 kernel: keep jnp helpers from minting i64
@@ -163,10 +181,24 @@ def tilejoin_probe(plane3T, tile_ids, packed_b, w, cap128, tpg=TPG,
         return pl.pallas_call(
             functools.partial(_tilejoin_kernel, w, cap128, tpg, form),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nblocks, tpg, cap128, LANES),
+            out_shape=jax.ShapeDtypeStruct((nblocks, tpg, g4, LANES),
                                            jnp.int32),
             interpret=interpret,
         )(tile_ids, plane3T, packed_b)
+
+
+def unpack_fst(out: np.ndarray, cap: int) -> np.ndarray:
+    """Unpack the kernel's byte-packed output into per-cell first-event
+    codes [nblocks, tpg*cap] (cell rank = sub_tile*cap + g*128 + lane;
+    group g's byte sits at byte g%4 of packed row g//4)."""
+    nblocks, tpg, g4, lanes = out.shape
+    cap128 = cap // 128
+    # little-endian int32 -> [nblocks, tpg, g4, lanes, 4] bytes
+    b = np.ascontiguousarray(out).view(np.uint8).reshape(
+        nblocks, tpg, g4, lanes, 4)
+    # -> [nblocks, tpg, g4, 4, lanes] -> group-major rows
+    codes = b.transpose(0, 1, 2, 4, 3).reshape(nblocks, tpg, g4 * 4, lanes)
+    return codes[:, :, :cap128, :].reshape(nblocks, tpg * cap)
 
 
 def plane_tiles(fp2d: np.ndarray, tpg: int = TPG) -> np.ndarray:
@@ -393,8 +425,7 @@ def _probe_correct(interpret: bool, form: str = "gather") -> bool:
     fst = tilejoin_probe(
         plane_tiles(plane), jnp.asarray(ids), jnp.asarray(packed_b), w,
         cap // 128, form=form, interpret=interpret)
-    fst_h = np.asarray(jax.device_get(fst)).reshape(len(ids),
-                                                    TPG * cap)[bo, rk]
+    fst_h = unpack_fst(np.asarray(jax.device_get(fst)), cap)[bo, rk]
     off_h, st_h = decode_fst(fst_h, w)
     want_st = np.array([s for *_, s in qs])
     want_off = np.array([o if s == 1 else 0 for *_, o, s in qs])

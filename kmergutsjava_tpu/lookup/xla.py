@@ -689,10 +689,10 @@ class XlaLookup:
         the caller's query order (state 0 = unresolved -> exact host
         pass)."""
         if pending[0] == "tiles":
-            from .pallas_tilejoin import decode_fst
+            from .pallas_tilejoin import TPG, decode_fst, unpack_fst
 
             _, out, block_of, rank_of, cells, n = pending
-            fst = jax.device_get(out).reshape(-1, cells)
+            fst = unpack_fst(jax.device_get(out), cells // TPG)
             ok = rank_of < cells  # overflow carries the sentinel = cells
             if ok.all():
                 return decode_fst(fst[block_of, rank_of], self.w1)

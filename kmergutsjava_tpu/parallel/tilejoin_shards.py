@@ -109,11 +109,12 @@ class TileJoinShardedLookup(XlaLookup):
 
     def resolve_probe(self, pending):
         if pending[0] == "tiles":
-            from ..lookup.pallas_tilejoin import decode_fst
+            from ..lookup.pallas_tilejoin import (TPG, decode_fst,
+                                                  unpack_fst)
             from .multihost import fetch_global
 
             _, out, block_of, rank_of, cells, n = pending
-            fst = np.asarray(fetch_global(out)).reshape(-1, cells)
+            fst = unpack_fst(np.asarray(fetch_global(out)), cells // TPG)
             ok = rank_of < cells
             if ok.all():
                 return decode_fst(fst[block_of, rank_of], self.w1)
