@@ -506,6 +506,12 @@ def bench_tpu_sparse_big(reps: int):
             from kmergutsjava_tpu.lookup.pallas_tilejoin import (
                 TPG, tilejoin_form, tilejoin_probe)
 
+            if jax.default_backend() != "tpu":
+                # deliberate skip, not a failure: compiled Pallas needs
+                # the TPU, and interpret mode over a 512MB plane is
+                # glacial (the kernel is CI-covered by the interpret-
+                # mode differential tests instead)
+                raise RuntimeError("tilejoin bench requires a TPU")
             tj_form = tilejoin_form() or "gather"
 
             # NOTE: every local here is tj_-prefixed — the chunked
