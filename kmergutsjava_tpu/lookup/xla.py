@@ -489,9 +489,12 @@ class XlaLookup:
                 # 2M default: dense enough that DMA'd plane bytes per
                 # query stay well under the gather paths' 256 at any
                 # HBM-large geometry, while keeping >= 2 dispatches in
-                # flight so host transfers pipeline with device passes
-                self.chunk = max(chunk, int(os.environ.get(
-                    "KMER_TILEJOIN_CHUNK", 2 << 20)))
+                # flight so host transfers pipeline with device passes.
+                # Only the DEFAULT is raised — an explicit caller chunk
+                # (tests, tuned deployments) is respected as passed.
+                self.chunk = (int(os.environ.get("KMER_TILEJOIN_CHUNK",
+                                                 2 << 20))
+                              if chunk == 1 << 19 else chunk)
                 return
             # chunk the plane when forced, or when the 128-lane plane is
             # HBM-large (auto): the row gather slows ~2x once the operand
