@@ -41,7 +41,10 @@ class EngineConfig:
     # default) or "scan" (jitted lax.scan over container batches — the
     # device-side formulation; falls back to host for debug / min_hits < 2)
     grouping_impl: str = "host"
-    lookup_chunk: int = 1 << 19  # queries per device dispatch
+    # queries per device dispatch; None = per-impl default (1<<19, which
+    # the tilejoin impl raises to KMER_TILEJOIN_CHUNK). An explicit value
+    # is always honored as passed, even when it equals a default.
+    lookup_chunk: Optional[int] = None
     probe_window: Optional[int] = None  # override table-derived window
     length_bucket_base: int = 256  # smallest padded batch length for aa mode
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, table) shards

@@ -115,7 +115,7 @@ class PallasLookup:
     """Merge-join lookup: sorted query stream vs block-streamed table."""
 
     def __init__(self, table: KmerTable, probe_window: Optional[int] = None,
-                 chunk: int = 1 << 19, device=None, interpret: Optional[bool] = None):
+                 chunk: Optional[int] = None, device=None, interpret: Optional[bool] = None):
         if table.max_probe is None:
             table.compute_max_probe()
         self.table = table

@@ -260,7 +260,7 @@ class PallasStreamLookup:
     """
 
     def __init__(self, table: KmerTable, probe_window: Optional[int] = None,
-                 chunk: int = 1 << 19, device=None,
+                 chunk: Optional[int] = None, device=None,
                  interpret: Optional[bool] = None,
                  channels: int = CHANNELS, nsuper_multiple: int = 1,
                  form: Optional[str] = None):

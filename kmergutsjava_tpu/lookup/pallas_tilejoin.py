@@ -349,12 +349,24 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
                              "kmergutsjava_tpu")
     key = f"tilejoin3/{jax.__version__}/{jax.devices()[0].device_kind}"
     cache_path = os.path.join(cache_dir, "kernel_probes.json")
+    import time
+
+    timeout_ttl = float(os.environ.get("KMER_TILEJOIN_TIMEOUT_TTL", 3600))
     try:
         with open(cache_path) as fh:
             cached = json.load(fh)
         if key in cached and env != "1":
-            _FORM = cached[key]
-            return _FORM or None
+            val = cached[key]
+            if isinstance(val, str) and val.startswith("timeout@"):
+                # a recent probe timed out: skip re-probing (each probe
+                # costs up to KMER_TILEJOIN_PROBE_TIMEOUT and leaves a
+                # compile thread running); stale markers re-probe
+                if time.time() - float(val.split("@", 1)[1]) < timeout_ttl:
+                    _FORM = ""
+                    return None
+            else:
+                _FORM = val
+                return _FORM or None
     except Exception:  # noqa: BLE001 — cache is best-effort
         cached = {}
     import threading
@@ -378,16 +390,29 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
     th.join(deadline)
     form = result.get("form")
     _FORM = form if form is not None else ""
-    if form is not None:
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            cached[key] = form
-            tmp = cache_path + f".tmp{os.getpid()}"
-            with open(tmp, "w") as fh:
-                json.dump(cached, fh)
-            os.replace(tmp, cache_path)
-        except Exception:  # noqa: BLE001
-            pass
+    if form is None:
+        # timed out: the daemon thread may still be running a TPU compile
+        # on this backend — warn, and disk-cache a short-TTL marker so
+        # subsequent processes don't re-pay the probe timeout
+        import sys
+        import time
+
+        print(f"WARNING: tile-join kernel probe timed out after "
+              f"{deadline:.0f}s; its compile thread may still be running "
+              f"— falling back to the XLA gather ladder (cached "
+              f"{timeout_ttl:.0f}s)", file=sys.stderr)
+        form_to_cache = f"timeout@{time.time()}"
+    else:
+        form_to_cache = form
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        cached[key] = form_to_cache
+        tmp = cache_path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(cached, fh)
+        os.replace(tmp, cache_path)
+    except Exception:  # noqa: BLE001
+        pass
     return _FORM or None
 
 

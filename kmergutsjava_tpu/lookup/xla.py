@@ -331,8 +331,10 @@ class XlaLookup:
     int64 plane, fully on device.
     """
 
+    DEFAULT_CHUNK = 1 << 19  # per-dispatch queries (non-tilejoin impls)
+
     def __init__(self, table: KmerTable, probe_window: Optional[int] = None,
-                 chunk: int = 1 << 19, device=None,
+                 chunk: Optional[int] = None, device=None,
                  first_pass_window: int = FIRST_PASS_WINDOW,
                  use_fingerprint: bool = True,
                  probe_impl: Optional[str] = None,
@@ -356,6 +358,14 @@ class XlaLookup:
                              "rebuild the table at a lower load factor")
         self.w1 = min(self._adaptive_w1(table, first_pass_window),
                       self.full_window)
+        if not host_only and self.num_sigs >= 1 << 31:
+            # every device impl (and the native binners' C ABI) carries
+            # homes as int32; past 2^31 slots the cast would wrap silently
+            # (negative tile index -> out-of-bounds native write)
+            raise ValueError(
+                f"table has {self.num_sigs} slots >= 2^31: int32 home "
+                f"indexing would overflow — rebuild the table with fewer "
+                f"slots or use the parity backend")
         self.use_fingerprint = use_fingerprint
         p = max(self.full_window, self.w1)
         s = table.num_sigs
@@ -367,7 +377,7 @@ class XlaLookup:
             self.lanes = None
             self.tbl_fp = None
             self.tbl_kmer = None
-            self.chunk = chunk
+            self.chunk = chunk if chunk is not None else self.DEFAULT_CHUNK
             return
         put = partial(jax.device_put, device=device)
         # Pad the device fp plane up to a canonical size bucket so tables of
@@ -490,11 +500,12 @@ class XlaLookup:
                 # query stay well under the gather paths' 256 at any
                 # HBM-large geometry, while keeping >= 2 dispatches in
                 # flight so host transfers pipeline with device passes.
-                # Only the DEFAULT is raised — an explicit caller chunk
-                # (tests, tuned deployments) is respected as passed.
+                # Only the default (chunk=None) is raised — an explicit
+                # caller chunk (tests, tuned deployments) is respected
+                # as passed, including the non-tilejoin default value.
                 self.chunk = (int(os.environ.get("KMER_TILEJOIN_CHUNK",
                                                  2 << 20))
-                              if chunk == 1 << 19 else chunk)
+                              if chunk is None else chunk)
                 return
             # chunk the plane when forced, or when the 128-lane plane is
             # HBM-large (auto): the row gather slows ~2x once the operand
@@ -540,7 +551,7 @@ class XlaLookup:
             self.tbl_fp = put(fp)
         self.probe_impl = probe_impl
         self.tbl_kmer = put(self.host_kmer) if not use_fingerprint else None
-        self.chunk = chunk
+        self.chunk = chunk if chunk is not None else self.DEFAULT_CHUNK
 
     def _place_tj_plane(self, tiles: np.ndarray, put):
         """Device placement of the tile-join plane; subclasses shard it."""

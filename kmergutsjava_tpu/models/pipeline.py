@@ -207,7 +207,11 @@ def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup"
     lk = _LOOKUP_CACHE.get(key)
     if lk is None:
         lk = None
-        if cfg.mesh_shape:
+        # an explicit KMER_PROBE_IMPL naming another impl wins over the
+        # sharded-tilejoin mesh branch (the env var is part of the cache
+        # key, so honoring it keeps knob semantics consistent)
+        probe_impl_env = os.environ.get("KMER_PROBE_IMPL")
+        if cfg.mesh_shape and probe_impl_env in (None, "auto", "tilejoin"):
             # --mesh on the xla backend: shard the sparse probe over the
             # table axis when the tile-join geometry supports it
             # (zero-collective super-tile sharding, round 4); other

@@ -35,7 +35,11 @@ from .mesh import TABLE_AXIS
 
 
 def make_tilejoin_mesh(n_shards: int) -> jax.sharding.Mesh:
-    devs = np.array(jax.devices()[:n_shards])
+    devices = jax.devices()
+    if len(devices) < n_shards:  # mirror mesh.make_mesh: never truncate
+        raise ValueError(
+            f"need {n_shards} devices, have {len(devices)}")
+    devs = np.array(devices[:n_shards])
     return jax.sharding.Mesh(devs, (TABLE_AXIS,))
 
 

@@ -224,6 +224,9 @@ def bin_tiles_dense_native(homes: np.ndarray, q_fp: np.ndarray,
     if lib is None:
         return None
     n = len(homes)
+    # the C ABI carries homes as int32; XlaLookup.__init__ rejects tables
+    # with >= 2^31 slots up front, so the cast below can never wrap (a
+    # wrapped home would compute a negative tile index -> OOB write)
     nblocks = n_tiles // tpg
     packed_b = np.full(n_tiles * cap, 0x3F80 | 127, np.int32)
     block_of = np.empty(n, np.int64)

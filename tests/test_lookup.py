@@ -505,3 +505,37 @@ def test_streaming_lookup_chunked_impl():
     sb.add_batch(values, 3, pos)
     ha, hb = sa.finish(), sb.finish()
     assert canon(ha) == canon(hb) and ha.kmers_found == hb.kmers_found
+
+
+def test_chunk_defaults_and_explicit_values_honored():
+    """Advisor r4: an explicit chunk equal to a default must be honored;
+    chunk=None resolves the per-impl default (tilejoin raises to
+    KMER_TILEJOIN_CHUNK)."""
+    rng = np.random.default_rng(99)
+    sig = random_signatures(rng, 30_000)
+    table = build_table(**sig, load_factor=0.6)
+    lk = XlaLookup(table, probe_impl="rows1")
+    assert lk.chunk == XlaLookup.DEFAULT_CHUNK
+    lk = XlaLookup(table, probe_impl="rows1", chunk=1 << 19)
+    assert lk.chunk == 1 << 19
+    tj = XlaLookup(table, probe_impl="tilejoin")
+    if tj.probe_impl == "tilejoin":
+        assert tj.chunk == 2 << 20  # KMER_TILEJOIN_CHUNK default
+        # the documented non-tilejoin default value, passed explicitly,
+        # must NOT be overridden to the tilejoin default
+        tj2 = XlaLookup(table, probe_impl="tilejoin", chunk=1 << 19)
+        assert tj2.chunk == 1 << 19
+
+
+def test_huge_table_int32_guard():
+    """Advisor r4: >= 2^31 slots must be rejected up front (int32 homes
+    would wrap silently in the device impls and native binner ABI)."""
+    from types import SimpleNamespace
+
+    fake = SimpleNamespace(max_probe=8, num_sigs=1 << 31,
+                           occupied=np.ones(1024, bool), slots=None)
+    with pytest.raises(ValueError, match="2\\^31"):
+        XlaLookup(fake)
+    # host_only stays usable (int64 host arrays)... but don't actually
+    # allocate the 16GB host plane here; just assert the guard is scoped
+    # to device impls by checking the raise happens before any allocation.

@@ -94,3 +94,40 @@ def test_engine_xla_mesh_uses_sharded_tilejoin(monkeypatch, tmp_path):
         td, None, want, stdout=True, query_stream=io.StringIO(fasta))
     assert "CALL\t" in want.getvalue()
     assert got.getvalue() == want.getvalue()
+
+
+def test_mesh_too_few_devices_raises():
+    """Advisor r4: requesting more shards than devices must error, not
+    silently truncate to a smaller mesh."""
+    import jax
+
+    with pytest.raises(ValueError, match="devices"):
+        make_tilejoin_mesh(len(jax.devices()) + 1)
+
+
+def test_engine_mesh_respects_explicit_probe_impl(monkeypatch, tmp_path):
+    """Advisor r4: KMER_PROBE_IMPL naming a non-tilejoin impl must win
+    over the --mesh sharded-tilejoin branch."""
+    import io
+
+    from kmergutsjava_tpu.config import EngineConfig
+    from kmergutsjava_tpu.formats.function_index import write_function_index
+    from kmergutsjava_tpu.formats.kmer_table import write_table
+    from kmergutsjava_tpu.models import pipeline as pl
+    from kmergutsjava_tpu.models.pipeline import Engine
+
+    monkeypatch.setenv("KMER_TILEJOIN", "gather")
+    monkeypatch.setenv("KMER_PROBE_IMPL", "rows1")
+    table, _ = _fixture(n_sigs=20_000, seed=41)
+    td = str(tmp_path)
+    write_table(td + "/kmer.table.mem_map", table)
+    write_function_index(td + "/function.index",
+                         [f"fn {i}" for i in range(100)])
+    pl._LOOKUP_CACHE.clear()
+    out = io.StringIO()
+    Engine(EngineConfig(backend="xla", aa=True, mesh_shape=(1, 4))).run(
+        td, None, out, stdout=True,
+        query_stream=io.StringIO(">p0 d\nACDEFGHIKLMNPQRSTVWY\n"))
+    lk = next(iter(pl._LOOKUP_CACHE.values()))
+    assert not isinstance(lk, TileJoinShardedLookup)
+    assert lk.probe_impl == "rows1"
