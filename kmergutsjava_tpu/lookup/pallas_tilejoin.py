@@ -68,30 +68,83 @@ import numpy as np
 TILE_ROWS = 128   # plane rows per tile: [128, 128] u16 = 32KB; also the
 #                   one-hot contraction length (MXU MACs per query =
 #                   TILE_ROWS * LANES, which is why tiles stay 128 rows)
+TILE_OFF2 = 64    # gather2 packed plane: two offsets per int32 sublane
 LANES = 128
-TPG = 8           # tiles per grid step: amortizes the measured ~240ns
+TPG = int(os.environ.get("KMER_TILEJOIN_TPG", "8"))
+#                   tiles per grid step: amortizes the measured ~240ns
 #                   per-step fixed cost (grid bookkeeping + DMA setup)
 #                   without growing the per-query extract; the DMA unit
 #                   becomes 256KB of consecutive plane. Sweep ladder at
 #                   512MB/cap=512 (gather form): TPG 4/8/16 = 2.70/2.96/
 #                   3.15B cells/s — 8 is the knee; 16 trades compile
-#                   size and sparse-skip granularity for +6%.
+#                   size and sparse-skip granularity for +6%
+#                   (KMER_TILEJOIN_TPG overrides for sweeps).
+
+
+def _pack_out(out_ref, t: int, g4: int, cap128: int, fst: list) -> None:
+    # pack four groups' first-event codes per int32 lane (each code
+    # <= 2w <= 128 fits a byte): 4x less output HBM/D2H per cell —
+    # group g lands in byte g%4 of packed row g//4 (host decode:
+    # pallas_tilejoin.decode_fst via a uint8 view)
+    for go in range(g4):
+        acc = fst[4 * go]
+        for b in range(1, 4):
+            gi = 4 * go + b
+            if gi < cap128:
+                acc = acc | (fst[gi] << (8 * b))
+        out_ref[0, t, go:go + 1, :] = acc
 
 
 def _tilejoin_kernel(w: int, cap128: int, tpg: int, form: str, ids_ref,
                      planeT_ref, packed_ref, out_ref):
-    # transposed plane tiles [tpg, off, row] uint16; two row-extract
-    # forms (see tilejoin_probe docstring): "gather" (lane-axis
-    # take_along_axis — production where Mosaic accepts it) and "mxu"
-    # (exact bf16 hi/lo one-hot matmuls — guaranteed-compile fallback)
+    # transposed plane tiles [tpg, off, row] uint16 (or [tpg, off/2, row]
+    # int32 for "gather2"); three row-extract forms (see tilejoin_probe
+    # docstring): "gather" (lane-axis take_along_axis — production where
+    # Mosaic accepts it), "gather2" (same gather on an offset-PACKED
+    # int32 plane: two fingerprints per lane halve the per-cell vreg
+    # traffic of the extract+scan), and "mxu" (exact bf16 hi/lo one-hot
+    # matmuls — guaranteed-compile fallback)
     from .xla import FP_EMPTY
 
     big2 = jnp.int32(2 * w)
+    g4 = -(-cap128 // 4)
+    if form == "gather2":
+        # packed plane element (o2, r) = fp[2*o2, r] | fp[2*o2+1, r]<<16:
+        # the extract gathers HALF the sublanes and skips the u16->i32
+        # conversion; the first-event scan runs per half with the same
+        # rel*2(+empty) code algebra (b_lo = 2*rel at even offsets)
+        o4 = jax.lax.broadcasted_iota(jnp.int32, (TILE_OFF2, LANES), 0) * 4
+        emp = jnp.int32(FP_EMPTY)
+        for t in range(tpg):                # static unroll
+            tileP = planeT_ref[t]           # [off2, row] int32, no cvt
+            fst = []
+            for g in range(cap128):         # static unroll
+                p = packed_ref[0, t, g:g + 1, :]          # [1, 128] int32
+                rr = (p >> 7) & 127
+                off2 = (p & 127) * 2
+                qfp = p >> 14
+                idx = jnp.broadcast_to(rr, (TILE_OFF2, LANES))
+                win = jnp.take_along_axis(tileP, idx, axis=1)
+                lo = win & 0xFFFF
+                hi = jax.lax.shift_right_logical(win, 16)
+                e_lo = lo == emp
+                e_hi = hi == emp
+                b_lo = o4 - off2            # = 2*rel at the even offset
+                b_hi = b_lo + 2
+                k_lo = jnp.where(((lo == qfp) | e_lo)
+                                 & (b_lo >= 0) & (b_lo < big2),
+                                 b_lo + e_lo.astype(jnp.int32), big2)
+                k_hi = jnp.where(((hi == qfp) | e_hi)
+                                 & (b_hi >= 0) & (b_hi < big2),
+                                 b_hi + e_hi.astype(jnp.int32), big2)
+                fst.append(jnp.min(jnp.minimum(k_lo, k_hi), axis=0,
+                                   keepdims=True))
+            _pack_out(out_ref, t, g4, cap128, fst)
+        return
     # one iota serves both roles: row ids (vs rr, for the one-hot) and
     # window offsets (vs off, for rel) both live on the sublane axis
     o_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
     r_ids = o_ids
-    g4 = -(-cap128 // 4)
     for t in range(tpg):                    # static unroll
         # NOTE: the plane block is (tpg, 128, 128) — tpg IS its leading
         # dim (the bins carry an extra leading 1 from their (1, ...) spec)
@@ -132,17 +185,7 @@ def _tilejoin_kernel(w: int, cap128: int, tpg: int, form: str, ids_ref,
                             jnp.where((winT == jnp.int32(FP_EMPTY)) & in_w,
                                       rel * 2 + 1, big2))
             fst.append(jnp.min(key, axis=0, keepdims=True))
-        # pack four groups' first-event codes per int32 lane (each code
-        # <= 2w <= 128 fits a byte): 4x less output HBM/D2H per cell —
-        # group g lands in byte g%4 of packed row g//4 (host decode:
-        # pallas_tilejoin.decode_fst via a uint8 view)
-        for go in range(g4):
-            acc = fst[4 * go]
-            for b in range(1, 4):
-                gi = 4 * go + b
-                if gi < cap128:
-                    acc = acc | (fst[gi] << (8 * b))
-            out_ref[0, t, go:go + 1, :] = acc
+        _pack_out(out_ref, t, g4, cap128, fst)
 
 
 @functools.partial(jax.jit,
@@ -164,11 +207,12 @@ def tilejoin_probe(plane3T, tile_ids, packed_b, w, cap128, tpg=TPG,
 
     nblocks = packed_b.shape[0]
     g4 = -(-cap128 // 4)
+    plane_rows = TILE_OFF2 if form == "gather2" else TILE_ROWS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((tpg, TILE_ROWS, LANES),
+            pl.BlockSpec((tpg, plane_rows, LANES),
                          lambda b, ids: (ids[b], 0, 0)),
             pl.BlockSpec((1, tpg, cap128, LANES),
                          lambda b, ids: (b, 0, 0, 0)),
@@ -201,11 +245,15 @@ def unpack_fst(out: np.ndarray, cap: int) -> np.ndarray:
     return codes[:, :, :cap128, :].reshape(nblocks, tpg * cap)
 
 
-def plane_tiles(fp2d: np.ndarray, tpg: int = TPG) -> np.ndarray:
+def plane_tiles(fp2d: np.ndarray, tpg: int = TPG,
+                form: str = "gather") -> np.ndarray:
     """Group the overlapped rows1 plane [R, 128] into [T, 128, 128]
     TRANSPOSED tiles (tile[t][o, r] = fp2d[t*128 + r, o]), padding the
     tile count to a multiple of ``tpg`` with FP_EMPTY rows. One pass at
-    table load; the kernel then contracts with no in-kernel transpose."""
+    table load; the kernel then contracts with no in-kernel transpose.
+    For form "gather2" the offsets pack pairwise into int32 tiles
+    [T, 64, 128] (element (o2, r) = fp[2*o2, r] | fp[2*o2+1, r] << 16),
+    matching the kernel's packed extract."""
     from .xla import FP_EMPTY
 
     r = len(fp2d)
@@ -214,8 +262,13 @@ def plane_tiles(fp2d: np.ndarray, tpg: int = TPG) -> np.ndarray:
         fp2d = np.concatenate(
             [fp2d, np.full((t * TILE_ROWS - r, LANES), FP_EMPTY,
                            np.uint16)])
-    return np.ascontiguousarray(
+    tiles = np.ascontiguousarray(
         fp2d.reshape(t, TILE_ROWS, LANES).transpose(0, 2, 1))
+    if form == "gather2":
+        t32 = tiles.astype(np.uint32)
+        return np.ascontiguousarray(
+            t32[:, 0::2, :] | (t32[:, 1::2, :] << 16)).view(np.int32)
+    return tiles
 
 
 def pack_query(q_fp, rr, off):
@@ -336,7 +389,7 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
     env = force if force is not None else os.environ.get("KMER_TILEJOIN")
     if env == "0":
         return None
-    if env in ("gather", "mxu", "force"):
+    if env in ("gather", "gather2", "mxu", "force"):
         return "gather" if env == "force" else env
     if _FORM is not None:
         return _FORM or None
@@ -448,8 +501,9 @@ def _probe_correct(interpret: bool, form: str = "gather") -> bool:
     row3[o3: o3 + w] = np.arange(100, 100 + w, dtype=np.uint16)
     ids, packed_b, bo, rk = bin_queries_tiles(qfp, homes, stride, cap)
     fst = tilejoin_probe(
-        plane_tiles(plane), jnp.asarray(ids), jnp.asarray(packed_b), w,
-        cap // 128, form=form, interpret=interpret)
+        plane_tiles(plane, form=form), jnp.asarray(ids),
+        jnp.asarray(packed_b), w, cap // 128, form=form,
+        interpret=interpret)
     fst_h = unpack_fst(np.asarray(jax.device_get(fst)), cap)[bo, rk]
     off_h, st_h = decode_fst(fst_h, w)
     want_st = np.array([s for *_, s in qs])

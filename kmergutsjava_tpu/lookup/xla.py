@@ -480,18 +480,19 @@ class XlaLookup:
 
                 occ_rows = (s - 1) // self.stride + 1
                 self._occ_tiles = -(-occ_rows // TILE_ROWS)
-                # subclasses (parallel/tilejoin_shards.py) pad the tile
-                # count further so super-tiles split evenly over shards
-                mult = getattr(self, "TJ_TILES_MULTIPLE", 1)
-                tiles = plane_tiles(fp2d[:occ_rows], tpg=TPG * mult)
-                self.n_tiles = len(tiles)
                 self._tj_interpret = jax.default_backend() != "tpu"
-                # kernel form: probed best on TPU ("gather" +47% where
-                # Mosaic takes it, else "mxu"); interpret mode runs the
-                # gather form unless KMER_TJ_FORM overrides
+                # kernel form: probed best on TPU ("mxu" the guaranteed-
+                # compile fallback); interpret mode runs the gather form
+                # unless KMER_TJ_FORM overrides
                 self._tj_form = (
                     os.environ.get("KMER_TJ_FORM", "gather")
                     if self._tj_interpret else (tilejoin_form() or "mxu"))
+                # subclasses (parallel/tilejoin_shards.py) pad the tile
+                # count further so super-tiles split evenly over shards
+                mult = getattr(self, "TJ_TILES_MULTIPLE", 1)
+                tiles = plane_tiles(fp2d[:occ_rows], tpg=TPG * mult,
+                                    form=self._tj_form)
+                self.n_tiles = len(tiles)
                 self.tbl_fp = self._place_tj_plane(tiles, put)
                 self.probe_impl = probe_impl
                 self.tbl_kmer = put(self.host_kmer) if not use_fingerprint \
@@ -582,15 +583,56 @@ class XlaLookup:
         return w
 
     def _tile_cap(self, n: int) -> int:
-        """Per-tile bin capacity for the tile-join kernel: mean + 8 sigma
-        (Poisson-ish for hash-uniform homes) + slack, rounded UP to 128
-        (the kernel's packed-lane group width). Static per (bucketed n,
-        table)."""
+        """Conservative per-tile bin capacity for the tile-join kernel:
+        mean + 8 sigma (Poisson-ish for hash-uniform homes) + slack,
+        rounded UP to 128 (the kernel's packed-lane group width). Static
+        per (bucketed n, table); overflow ~never happens. Kept as the
+        ceiling for (and legacy alternative to) _select_tile_cap."""
         mean = n / self._occ_tiles
         cap = int(mean + 8 * mean ** 0.5 + 72)
         # 4096 ceiling bounds the kernel's static unroll (cap/128 groups
         # per sub-tile); past it the overflow tail goes to the exact pass
         return min(-(-cap // 128) * 128, max(128, -(-n // 128) * 128), 4096)
+
+    def _select_tile_cap(self, homes: np.ndarray, n: int, nb: int) -> int:
+        """Per-dispatch tile-join bin capacity (round 5). Default
+        ("quantile"): histogram the ACTUAL per-tile counts of this batch
+        and take the smallest multiple of 128 whose overflow — queries
+        with rank >= cap in their tile, which the resolver already routes
+        to the exact host full-window pass — stays under
+        KMER_TILEJOIN_OVERFLOW (default 0.5%) of the batch. The round-4
+        mean+8sigma sizing made overflow ~impossible but padded bins to
+        ~2.1x the query count at bench geometry (fill 48%); paying a
+        <=0.5% host-pass tail buys fill ~90%+, which multiplies straight
+        into the production (derated) lookup rate. The chosen cap is
+        sticky-monotone across dispatches so a steady streaming workload
+        compiles ONE kernel executable (the smaller tail chunk reuses
+        it). KMER_TILEJOIN_CAP forces a fixed cap;
+        KMER_TILEJOIN_CAP_MODE=legacy restores the round-4 sizing."""
+        import os
+
+        cap_env = os.environ.get("KMER_TILEJOIN_CAP")
+        if cap_env:
+            return min(max(128, -(-int(cap_env) // 128) * 128), 4096)
+        if os.environ.get("KMER_TILEJOIN_CAP_MODE") == "legacy":
+            return self._tile_cap(nb)
+        counts = np.bincount(
+            (homes.astype(np.int64) // self.stride) >> 7,
+            minlength=self._occ_tiles)
+        budget = float(os.environ.get("KMER_TILEJOIN_OVERFLOW",
+                                      0.005)) * n
+        ceil_cap = self._tile_cap(nb)
+        cap = 128
+        while cap < ceil_cap:
+            big = counts[counts > cap]
+            if big.size == 0 or float((big - cap).sum()) <= budget:
+                break
+            cap += 128
+        sticky = getattr(self, "_cap_sticky", 0)
+        if sticky >= cap:
+            return sticky
+        self._cap_sticky = cap
+        return cap
 
     def _chunk_cap(self, n: int) -> int:
         """Per-chunk bin capacity for the chunked probe: mean + 8 sigma
@@ -662,7 +704,7 @@ class XlaLookup:
                                           tilejoin_probe)
 
             nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
-            cap = self._tile_cap(nb)
+            cap = self._select_tile_cap(homes, n, nb)
             if n >= 2 * self.n_tiles:
                 # dense load: bins over ALL super-tiles (threaded native
                 # binner when built, numpy expansion otherwise) — at

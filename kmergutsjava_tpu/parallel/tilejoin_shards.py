@@ -102,7 +102,7 @@ class TileJoinShardedLookup(XlaLookup):
 
         n = len(homes)
         nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
-        cap = self._tile_cap(nb)
+        cap = self._select_tile_cap(homes, n, nb)
         _, packed_b, block_of, rank_of = bin_queries_tiles_dense(
             q_fp, homes, self.stride, cap, self.n_tiles)
         pk = jax.device_put(

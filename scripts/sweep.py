@@ -116,7 +116,14 @@ def section_tilejoin():
     stride = 128 - W
     with jax.enable_x64(False):
         k1, k2, k4 = jax.random.split(jax.random.key(42), 3)
-        plane3 = jax.random.bits(k1, (tiles, 128, 128), dtype=jnp.uint16)
+        if form == "gather2":
+            # packed plane: two random u16 fingerprints per int32 lane
+            plane3 = jax.lax.bitcast_convert_type(
+                jax.random.bits(k1, (tiles, 64, 128), dtype=jnp.uint32),
+                jnp.int32)
+        else:
+            plane3 = jax.random.bits(k1, (tiles, 128, 128),
+                                     dtype=jnp.uint16)
         ids_seq = jnp.arange(nsup, dtype=jnp.int32)
         ids_shuf = jax.random.permutation(k4, ids_seq)
         for cap in caps:

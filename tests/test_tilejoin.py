@@ -41,7 +41,7 @@ def _sorted_cols(hits):
              hits.fi, hits.wt)]
 
 
-@pytest.mark.parametrize("form", ["gather", "mxu"])
+@pytest.mark.parametrize("form", ["gather", "gather2", "mxu"])
 @pytest.mark.parametrize("load_factor", [0.5, 0.8])
 def test_tilejoin_matches_parity(load_factor, form, monkeypatch):
     monkeypatch.setenv("KMER_TJ_FORM", form)
@@ -194,6 +194,61 @@ def test_auto_crossover_picks_tilejoin_when_armed(monkeypatch):
     assert lk2.probe_impl in ("chunked", "rows1")
     # and the armed path still answers exactly
     values = _mixed_queries(kmers, 2500, seed=16)
+    cnt = np.zeros(len(values), np.int64)
+    pos = np.arange(len(values), dtype=np.int64)
+    want = lookup_stream(table, values, cnt, pos)
+    got = lk.lookup(values, cnt, pos)
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_probe_correct_all_forms_interpret():
+    """The planted-candidate self-probe must pass for every kernel form
+    in interpret mode (the TPU probe runs the same contract compiled)."""
+    from kmergutsjava_tpu.lookup.pallas_tilejoin import _probe_correct
+
+    for form in ("gather", "gather2", "mxu"):
+        assert _probe_correct(interpret=True, form=form), form
+
+
+def test_select_tile_cap_quantile(monkeypatch):
+    """Round-5 adaptive cap: picks the smallest 128-multiple within the
+    overflow budget, honors env overrides, and is sticky-monotone."""
+    table, _ = _fixture(n_sigs=200_000, seed=17)
+    lk = XlaLookup(table, probe_impl="tilejoin")
+    tiles = lk._occ_tiles
+    rng = np.random.default_rng(18)
+    n = 40 * tiles  # mean 40/tile: Poisson max ~ 70 << 128
+    homes = rng.integers(0, table.num_sigs, size=n).astype(np.int32)
+    cap = lk._select_tile_cap(homes, n, n)
+    assert cap == 128  # far below the legacy mean+8sigma sizing
+    assert lk._tile_cap(n) >= 256
+    # budget respected: overflow at the chosen cap <= 0.5% of n
+    counts = np.bincount((homes.astype(np.int64) // lk.stride) >> 7,
+                         minlength=tiles)
+    big = counts[counts > cap]
+    assert big.size == 0 or (big - cap).sum() <= 0.005 * n
+    # sticky: a later sparser batch reuses the compiled cap
+    small = homes[: n // 8]
+    assert lk._select_tile_cap(small, len(small), len(small)) == cap
+    # env overrides
+    monkeypatch.setenv("KMER_TILEJOIN_CAP", "300")
+    assert lk._select_tile_cap(homes, n, n) == 384  # rounded to 128
+    monkeypatch.delenv("KMER_TILEJOIN_CAP")
+    monkeypatch.setenv("KMER_TILEJOIN_CAP_MODE", "legacy")
+    assert lk._select_tile_cap(homes, n, n) == lk._tile_cap(n)
+
+
+def test_tilejoin_adaptive_cap_overflow_end_to_end():
+    """With the quantile cap, a small overflow tail is EXPECTED (not just
+    adversarial): results must stay byte-identical to parity through the
+    exact host pass."""
+    table, kmers = _fixture(n_sigs=150_000, seed=19)
+    lk = XlaLookup(table, probe_impl="tilejoin")
+    # enough queries that some tiles exceed the quantile cap
+    n = 140 * lk._occ_tiles
+    values = _mixed_queries(kmers, n, seed=20)
     cnt = np.zeros(len(values), np.int64)
     pos = np.arange(len(values), dtype=np.int64)
     want = lookup_stream(table, values, cnt, pos)
