@@ -400,7 +400,7 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
 
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
                              "kmergutsjava_tpu")
-    key = f"tilejoin3/{jax.__version__}/{jax.devices()[0].device_kind}"
+    key = f"tilejoin4/{jax.__version__}/{jax.devices()[0].device_kind}"
     cache_path = os.path.join(cache_dir, "kernel_probes.json")
     import time
 
@@ -427,7 +427,12 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
     result: dict = {}
 
     def probe() -> None:
-        for form in ("gather", "mxu"):
+        # preference order = measured speed on the toolchains that compile
+        # each form: packed gather2 3.38B cells/s vs gather 3.03B at the
+        # production point (512MB plane, cap=512, TPG=8; round-5 confirm
+        # sweep, /tmp -> docs/performance.md); mxu is the guaranteed-
+        # compile fallback
+        for form in ("gather2", "gather", "mxu"):
             try:
                 if _probe_correct(interpret=False, form=form):
                     result["form"] = form

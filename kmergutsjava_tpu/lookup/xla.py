@@ -497,16 +497,26 @@ class XlaLookup:
                 self.probe_impl = probe_impl
                 self.tbl_kmer = put(self.host_kmer) if not use_fingerprint \
                     else None
-                # 2M default: dense enough that DMA'd plane bytes per
-                # query stay well under the gather paths' 256 at any
-                # HBM-large geometry, while keeping >= 2 dispatches in
-                # flight so host transfers pipeline with device passes.
-                # Only the default (chunk=None) is raised — an explicit
-                # caller chunk (tests, tuned deployments) is respected
-                # as passed, including the non-tilejoin default value.
-                self.chunk = (int(os.environ.get("KMER_TILEJOIN_CHUNK",
-                                                 2 << 20))
-                              if chunk is None else chunk)
+                # Density-aware default (round 5): the quantile bin cap
+                # (_select_tile_cap) turns queries-per-tile straight into
+                # fill — at ~500/tile the cap lands on 512 with ~95% fill
+                # and <1% overflow, which multiplies into the production
+                # (derated) rate; sparser dispatches also pay more DMA'd
+                # plane bytes per query. So the default chunk scales with
+                # the tile count, clamped to [4M, 16M] (the upper bound
+                # caps host bin memory at ~70MB/dispatch and keeps >= 2
+                # dispatches in flight). Only the default (chunk=None) is
+                # raised — an explicit caller chunk (tests, tuned
+                # deployments) is respected as passed, including the
+                # non-tilejoin default value.
+                env_chunk = os.environ.get("KMER_TILEJOIN_CHUNK")
+                if chunk is not None:
+                    self.chunk = chunk
+                elif env_chunk:
+                    self.chunk = int(env_chunk)
+                else:
+                    self.chunk = min(max(500 * self.n_tiles, 4 << 20),
+                                     16 << 20)
                 return
             # chunk the plane when forced, or when the 128-lane plane is
             # HBM-large (auto): the row gather slows ~2x once the operand
@@ -600,10 +610,10 @@ class XlaLookup:
         and take the smallest multiple of 128 whose overflow — queries
         with rank >= cap in their tile, which the resolver already routes
         to the exact host full-window pass — stays under
-        KMER_TILEJOIN_OVERFLOW (default 0.5%) of the batch. The round-4
+        KMER_TILEJOIN_OVERFLOW (default 1%) of the batch. The round-4
         mean+8sigma sizing made overflow ~impossible but padded bins to
         ~2.1x the query count at bench geometry (fill 48%); paying a
-        <=0.5% host-pass tail buys fill ~90%+, which multiplies straight
+        <=1% host-pass tail buys fill ~95%, which multiplies straight
         into the production (derated) lookup rate. The chosen cap is
         sticky-monotone across dispatches so a steady streaming workload
         compiles ONE kernel executable (the smaller tail chunk reuses
@@ -620,7 +630,7 @@ class XlaLookup:
             (homes.astype(np.int64) // self.stride) >> 7,
             minlength=self._occ_tiles)
         budget = float(os.environ.get("KMER_TILEJOIN_OVERFLOW",
-                                      0.005)) * n
+                                      0.01)) * n
         ceil_cap = self._tile_cap(nb)
         cap = 128
         while cap < ceil_cap:
@@ -795,6 +805,87 @@ class XlaLookup:
         return probe_fingerprint_pass_sorted(self.tbl_fp, q_fp, homes,
                                              self.w1)
 
+    def _table_cols(self):
+        """Contiguous copies of the table value columns (the structured
+        slot array strides at 24 bytes, which the C ABI can't take)."""
+        cols = getattr(self, "_cols", None)
+        if cols is None:
+            t = self.table.slots
+            cols = (np.ascontiguousarray(t["otu"]),
+                    np.ascontiguousarray(t["avg_from_end"]),
+                    np.ascontiguousarray(t["fi"]),
+                    np.ascontiguousarray(t["wt"]))
+            self._cols = cols
+        return cols
+
+    def _verify_emit(self, values, homes, off, state, cnt, pos,
+                     want_values: bool):
+        """Resolve one dispatch's (off, state) answer into compacted hit
+        columns: fingerprint-candidate verification against the full
+        k-mer values, the exact full-window pass for the unresolved tail
+        (incl. bin-overflow queries), and hit compaction. This is the
+        host roofline's TOP stage (bench.py host_verify_compact measured
+        it at ~60% of per-query host cost, round-5 verdict item 7), so
+        it gets the native slice-parallel treatment
+        (native/scatter.cpp gather_resolve_slots + emit_hits); the numpy
+        twin below is bit-identical (pinned by tests/test_lookup.py).
+
+        Returns ((cnt, pos, otu, avg, fi, wt) compacted columns,
+        matched values or None)."""
+        from ..utils.native import load_scatter
+
+        n = len(values)
+        lib = load_scatter()
+        if lib is not None and n:
+            values = np.ascontiguousarray(values, np.int64)
+            slots = np.empty(n, np.int64)
+            k = int(lib.gather_resolve_slots(
+                values, np.ascontiguousarray(homes, np.int32),
+                np.ascontiguousarray(off, np.uint8),
+                np.ascontiguousarray(state, np.uint8), n,
+                self.host_kmer, len(self.host_kmer), self.full_window,
+                slots))
+            t_otu, t_avg, t_fi, t_wt = self._table_cols()
+            o_cnt = np.empty(k, np.int64)
+            o_pos = np.empty(k, np.int64)
+            o_otu = np.empty(k, np.int32)
+            o_avg = np.empty(k, np.int32)
+            o_fi = np.empty(k, np.int32)
+            o_wt = np.empty(k, np.float32)
+            o_val = np.empty(k, np.int64)
+            cnt = np.ascontiguousarray(
+                np.broadcast_to(np.asarray(cnt, dtype=np.int64), (n,)))
+            pos = np.ascontiguousarray(pos, np.int64)
+            lib.emit_hits(values, cnt, pos, slots, n, t_otu, t_avg, t_fi,
+                          t_wt, o_cnt, o_pos, o_otu, o_avg, o_fi, o_wt,
+                          o_val)
+            return ((o_cnt, o_pos, o_otu, o_avg, o_fi, o_wt),
+                    o_val if want_values else None)
+        off64 = off.astype(np.int64)
+        has_cand = (state & 1) != 0
+        empty_any = (state & 2) != 0
+        found = np.zeros(n, dtype=bool)
+        ci = np.nonzero(has_cand)[0]
+        slots_c = homes[ci].astype(np.int64) + off64[ci]
+        verified = self.host_kmer[slots_c] == values[ci]
+        found[ci] = verified
+        unresolved = np.zeros(n, dtype=bool)
+        unresolved[ci] = ~verified
+        unresolved[~has_cand & ~empty_any] = True
+        todo = np.nonzero(unresolved)[0]
+        if len(todo):
+            f2, o2 = self._host_full_window(values, homes, todo)
+            found[todo] = f2
+            off64[todo] = o2
+        mask = found
+        slots = homes[mask].astype(np.int64) + off64[mask]
+        t = self.table.slots
+        cntb = np.broadcast_to(np.asarray(cnt, dtype=np.int64), (n,))
+        piece = (cntb[mask].copy(), np.asarray(pos)[mask].astype(np.int64),
+                 t["otu"][slots].copy(), t["avg_from_end"][slots].copy(),
+                 t["fi"][slots].copy(), t["wt"][slots].copy())
+        return piece, (values[mask].copy() if want_values else None)
+
     def _host_full_window(self, values, homes, todo):
         """Exact full-window probe on the host k-mer array (for unresolved
         queries). W flat gathers instead of one [N, W] advanced-index
@@ -840,17 +931,15 @@ class XlaLookup:
                 state[start:end] = st
                 if progress is not None:
                     progress.update(end, int((st & 1).sum()))
-            has_cand = (state & 1) != 0
-            empty_any = (state & 2) != 0
-            # host-side candidate verification
-            found = np.zeros(n, dtype=bool)
-            ci = np.nonzero(has_cand)[0]
-            slots_c = homes[ci].astype(np.int64) + off[ci]
-            verified = self.host_kmer[slots_c] == values[ci]
-            found[ci] = verified
-            unresolved = np.zeros(n, dtype=bool)
-            unresolved[ci] = ~verified  # fingerprint collision
-            unresolved[~has_cand & ~empty_any] = True  # window fully occupied
+            # native-threaded verification + exact pass + compaction
+            piece, mv = self._verify_emit(values, homes, off, state,
+                                          cnt_id, pos,
+                                          compute_kmers_found)
+            return LookupHits(
+                cnt_id=piece[0], pos=piece[1], otu=piece[2],
+                avg_from_end=piece[3], fi=piece[4], wt=piece[5],
+                kmers_found=(int(np.unique(mv).size)
+                             if compute_kmers_found else -1))
         else:
             found = np.empty(n, dtype=bool)
             resolved = np.empty(n, dtype=bool)
@@ -1082,32 +1171,14 @@ class StreamingLookup:
 
     def _resolve_item(self, item) -> None:
         values, cnt, pos, homes, out = item
-        n = len(values)
         off, state = self.lk.resolve_probe(out)
-        off = off.astype(np.int64)
-        has_cand = (state & 1) != 0
-        empty_any = (state & 2) != 0
-        found = np.zeros(n, dtype=bool)
-        ci = np.nonzero(has_cand)[0]
-        slots_c = homes[ci].astype(np.int64) + off[ci]
-        verified = self.lk.host_kmer[slots_c] == values[ci]
-        found[ci] = verified
-        unresolved = np.zeros(n, dtype=bool)
-        unresolved[ci] = ~verified
-        unresolved[~has_cand & ~empty_any] = True
-        todo = np.nonzero(unresolved)[0]
-        if len(todo):
-            f2, o2 = self.lk._host_full_window(values, homes, todo)
-            found[todo] = f2
-            off[todo] = o2
-        mask = found
-        slots = homes[mask].astype(np.int64) + off[mask]
-        t = self.lk.table.slots
-        self._pieces.append((cnt[mask], pos[mask], t["otu"][slots].copy(),
-                            t["avg_from_end"][slots].copy(),
-                            t["fi"][slots].copy(), t["wt"][slots].copy()))
+        # native-threaded verification + exact pass + compaction (the
+        # host roofline's top stage — lookup/xla.py _verify_emit)
+        piece, mv = self.lk._verify_emit(values, homes, off, state, cnt,
+                                         pos, self.compute_kmers_found)
+        self._pieces.append(piece)
         if self.compute_kmers_found:
-            self._matched_values.append(values[mask].copy())
+            self._matched_values.append(mv)
 
     def partial_hits(self) -> LookupHits:
         """Hits resolved so far (for the reference's catch-and-continue

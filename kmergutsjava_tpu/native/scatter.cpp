@@ -203,6 +203,63 @@ extern "C" int64_t resolve_slots(
     return k;
 }
 
+// Gather-path resolve (round 5, the host-roofline's top stage): the
+// XlaLookup dispatch/resolve protocol hands back per-query (off, state)
+// — state 1 = fingerprint candidate at `off` (verify against the full
+// k-mer), 2 = empty-first definitive miss, 0 = unresolved (exact
+// full-window pass; also the bin-overflow route). Same slice-parallel
+// shape as resolve_slots; pairs with emit_hits for the compaction.
+// Bit-identical to the numpy twin in lookup/xla.py _verify_emit
+// (pinned by tests/test_lookup.py).
+extern "C" int64_t gather_resolve_slots(
+    const int64_t* v, const int32_t* homes, const uint8_t* off,
+    const uint8_t* state, int64_t n,
+    const int64_t* hk, int64_t hk_len, int64_t full_w,
+    int64_t* slots)
+{
+    const int T0 = num_threads();
+    const int T = n < (int64_t)1 << 16 ? 1
+        : (int)(n / 32768 < T0 ? n / 32768 : T0);
+    const int64_t step = T <= 1 ? n : (n + T - 1) / T;
+    std::vector<int64_t> k_slice(T > 1 ? T : 1, 0);
+    auto slice = [&](int t) {
+        const int64_t a = t * step;
+        const int64_t b = a + step < n ? a + step : n;
+        int64_t k = 0;
+        for (int64_t i = a; i < b; i++) {
+            const int64_t h = homes[i];
+            const int64_t vi = v[i];
+            int64_t slot = -1;
+            bool fallback;
+            if (state[i] & 1) {               // candidate: verify
+                const int64_t s0 = h + off[i];
+                if (s0 < hk_len && hk[s0] == vi) {
+                    slot = s0;
+                    fallback = false;
+                } else {
+                    fallback = true;          // fingerprint collision
+                }
+            } else {
+                fallback = !(state[i] & 2);   // 0 = unresolved
+            }
+            if (fallback) {
+                const int64_t lim =
+                    full_w < hk_len - h ? full_w : hk_len - h;
+                for (int64_t l = 0; l < lim; l++) {
+                    if (hk[h + l] == vi) { slot = h + l; break; }
+                }
+            }
+            slots[i] = slot;
+            k += slot >= 0;
+        }
+        k_slice[t] = k;
+    };
+    if (T <= 1) slice(0); else parallel_for_threads(T, slice);
+    int64_t k = 0;
+    for (auto ks : k_slice) k += ks;
+    return k;
+}
+
 // Pass 2: compact the resolved hits into the caller's exactly-sized
 // columns starting at their current fill point; returns hits emitted.
 // Hit order = query order (identical to the one-pass sequential decode).

@@ -121,6 +121,14 @@ def _bind_scatter(lib) -> None:
         _I64P, _I64P, _I32P, _I32P, _I32P, _F32P,     # hit columns out
         _I64P,                                        # hit values out
     ]
+    fn = lib.gather_resolve_slots
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        _I64P, _I32P, _U8P, _U8P,                     # v, homes, off, state
+        ctypes.c_int64,                               # n
+        _I64P, ctypes.c_int64, ctypes.c_int64,        # hk, hk_len, full_w
+        _I64P,                                        # slots out
+    ]
     fn = lib.bin_queries
     fn.restype = None
     fn.argtypes = [

@@ -520,7 +520,8 @@ def test_chunk_defaults_and_explicit_values_honored():
     assert lk.chunk == 1 << 19
     tj = XlaLookup(table, probe_impl="tilejoin")
     if tj.probe_impl == "tilejoin":
-        assert tj.chunk == 2 << 20  # KMER_TILEJOIN_CHUNK default
+        # density-aware default: 500 queries/tile, clamped to [4M, 16M]
+        assert tj.chunk == min(max(500 * tj.n_tiles, 4 << 20), 16 << 20)
         # the documented non-tilejoin default value, passed explicitly,
         # must NOT be overridden to the tilejoin default
         tj2 = XlaLookup(table, probe_impl="tilejoin", chunk=1 << 19)
@@ -539,3 +540,42 @@ def test_huge_table_int32_guard():
     # host_only stays usable (int64 host arrays)... but don't actually
     # allocate the 16GB host plane here; just assert the guard is scoped
     # to device impls by checking the raise happens before any allocation.
+
+
+def test_verify_emit_native_matches_numpy():
+    """Round-5: the native gather_resolve_slots + emit_hits pair must be
+    bit-identical to the numpy verify/compact twin across candidate /
+    empty / unresolved / collision mixes."""
+    import os
+
+    from kmergutsjava_tpu.utils.native import load_scatter
+
+    if load_scatter() is None:
+        pytest.skip("native scatter toolchain unavailable")
+    rng = np.random.default_rng(101)
+    sig = random_signatures(rng, 50_000)
+    table = build_table(**sig, load_factor=0.75)
+    lk = XlaLookup(table, probe_impl="rows1")
+    n = 30_000
+    values, cnt, pos = make_queries(rng, sig["kmers"], n)
+    homes = (values % np.int64(table.num_sigs)).astype(np.int32)
+    # adversarial (off, state) mix, not the real probe's answer: wrong
+    # offsets force collision fallbacks; state 0 forces the exact pass
+    state = rng.choice(np.array([0, 1, 2], np.uint8), n,
+                       p=[0.1, 0.5, 0.4])
+    off = rng.integers(0, lk.w1, n).astype(np.uint8)
+    native = lk._verify_emit(values, homes, off, state, cnt, pos, True)
+    from kmergutsjava_tpu.utils import native as nat
+
+    os.environ["KMER_NO_NATIVE_SCATTER"] = "1"
+    saved = nat._libs.pop("scatter", None)
+    try:
+        assert load_scatter() is None  # the toggle really disables it
+        numpy_res = lk._verify_emit(values, homes, off, state, cnt, pos,
+                                    True)
+    finally:
+        del os.environ["KMER_NO_NATIVE_SCATTER"]
+        nat._libs["scatter"] = saved
+    for a, b in zip(native[0], numpy_res[0]):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(native[1], numpy_res[1])

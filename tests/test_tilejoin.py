@@ -224,11 +224,11 @@ def test_select_tile_cap_quantile(monkeypatch):
     cap = lk._select_tile_cap(homes, n, n)
     assert cap == 128  # far below the legacy mean+8sigma sizing
     assert lk._tile_cap(n) >= 256
-    # budget respected: overflow at the chosen cap <= 0.5% of n
+    # budget respected: overflow at the chosen cap <= 1% of n
     counts = np.bincount((homes.astype(np.int64) // lk.stride) >> 7,
                          minlength=tiles)
     big = counts[counts > cap]
-    assert big.size == 0 or (big - cap).sum() <= 0.005 * n
+    assert big.size == 0 or (big - cap).sum() <= 0.01 * n
     # sticky: a later sparser batch reuses the compiled cap
     small = homes[: n // 8]
     assert lk._select_tile_cap(small, len(small), len(small)) == cap
