@@ -11,6 +11,21 @@ from kmergutsjava_tpu.service.server import serve
 AA = "ACDEFGHIKLMNPQRSTVWY"
 
 
+def _require_or_skip(cond: bool, msg: str) -> None:
+    """Skip locally when a client toolchain is missing — but FAIL when
+    KMER_REQUIRE_CLIENT_TOOLCHAINS=1 (the CI clients job sets it so a
+    silently-skipping client test can never read as green there;
+    round-5 verdict item 4)."""
+    import os
+
+    if cond:
+        return
+    if os.environ.get("KMER_REQUIRE_CLIENT_TOOLCHAINS"):
+        pytest.fail("required client toolchain missing: " + msg)
+    pytest.skip(msg)
+
+
+
 @pytest.fixture()
 def server(tmp_path):
     write_data_dir(str(tmp_path / "d"), signatures_from_proteins(
@@ -182,8 +197,7 @@ def test_perl_client_roundtrip(server, tmp_path):
     import shutil
     import subprocess
 
-    if shutil.which("perl") is None:
-        pytest.skip("no perl")
+    _require_or_skip(shutil.which("perl") is not None, "no perl")
     script = tmp_path / "t.pl"
     script.write_text(
         'use lib "clients/perl";\n'
@@ -214,9 +228,10 @@ def test_js_client_node_smoke(server, tmp_path):
     import shutil
     import subprocess
 
-    if shutil.which("node") is None:
-        pytest.skip("no node on this image (apt/pip/direct download all "
-                    "unavailable, zero egress — see docs/parity.md)")
+    _require_or_skip(
+        shutil.which("node") is not None,
+        "no node on this image (apt/pip/direct download all "
+        "unavailable, zero egress — see docs/parity.md)")
     script = tmp_path / "smoke.js"
     script.write_text(
         'const { KmerGutsClient } = require'
@@ -249,9 +264,11 @@ def test_java_client_compile(server, tmp_path):
     import shutil
     import subprocess
 
-    if shutil.which("javac") is None or shutil.which("java") is None:
-        pytest.skip("no JDK on this image (apt/pip/direct download all "
-                    "unavailable, zero egress — see docs/parity.md)")
+    _require_or_skip(
+        shutil.which("javac") is not None
+        and shutil.which("java") is not None,
+        "no JDK on this image (apt/pip/direct download all "
+        "unavailable, zero egress — see docs/parity.md)")
     out_dir = tmp_path / "classes"
     out_dir.mkdir()
     compile_out = subprocess.run(
