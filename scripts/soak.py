@@ -142,6 +142,7 @@ def run_round(seed: int, tmp: str) -> None:
     # round 4), both kernel forms, interpret mode on this CPU host
     if rng.random() < 0.3:
         variants.append(("xla", {"_tilejoin": rng.choice(["gather",
+                                                          "gather2",
                                                           "mxu"])}))
     if rng.random() < 0.3:
         variants.append(("xla", {"prepare_impl": "numpy"}))
