@@ -544,8 +544,14 @@ def bench_tpu_sparse_big(reps: int):
             tj_overflow = int(np.maximum(tj_counts - tj_cap, 0).sum())
             tj_cells = tj_tiles * tj_cap
             kt1, kt2 = jax.random.split(jax.random.key(31), 2)
-            tj_plane = jax.random.bits(kt1, (tj_nsup * TPG, 128, 128),
-                                       dtype=jnp.uint16)
+            if tj_form == "gather2":
+                # packed plane: two random u16 fingerprints per i32 lane
+                tj_plane = jax.lax.bitcast_convert_type(
+                    jax.random.bits(kt1, (tj_nsup * TPG, 64, 128),
+                                    dtype=jnp.uint32), jnp.int32)
+            else:
+                tj_plane = jax.random.bits(kt1, (tj_nsup * TPG, 128, 128),
+                                           dtype=jnp.uint16)
             tj_bits = jax.random.bits(
                 kt2, (NB, tj_nsup, TPG, tj_cap // 128, 128),
                 dtype=jnp.uint32)
@@ -871,36 +877,22 @@ def bench_host_pipeline(table, values):
     state = rng.choice(np.array([1, 2, 0], np.uint8), size=n,
                        p=[0.55, 0.43, 0.02])
     off = rng.integers(0, w1, n).astype(np.uint8)
-    # make candidate offsets point at real slots so verification work is
-    # authentic (some verify true, fp collisions verify false)
-    t_slots = table.slots
+    # the PRODUCTION resolve path (XlaLookup._verify_emit: native
+    # gather_resolve_slots + emit_hits when built, numpy twin otherwise)
+    cnt0 = np.zeros(n, np.int64)
+    pos0 = np.arange(n, dtype=np.int64)
 
     def run_verify():
-        o64 = off.astype(np.int64)
-        has_cand = (state & 1) != 0
-        empty_any = (state & 2) != 0
-        found = np.zeros(n, dtype=bool)
-        ci = np.nonzero(has_cand)[0]
-        slots_c = homes[ci].astype(np.int64) + o64[ci]
-        verified = lk_host.host_kmer[slots_c] == values[ci]
-        found[ci] = verified
-        unresolved = np.zeros(n, dtype=bool)
-        unresolved[ci] = ~verified
-        unresolved[~has_cand & ~empty_any] = True
-        todo = np.nonzero(unresolved)[0]
-        if len(todo):
-            f2, o2 = lk_host._host_full_window(values, homes, todo)
-            found[todo] = f2
-            o64[todo] = o2
-        mask = found
-        slots = homes[mask].astype(np.int64) + o64[mask]
-        return (t_slots["otu"][slots].copy(),
-                t_slots["avg_from_end"][slots].copy(),
-                t_slots["fi"][slots].copy(), t_slots["wt"][slots].copy())
+        return lk_host._verify_emit(values, homes, off, state, cnt0, pos0,
+                                    False)
 
     c_verify = stage("verify_compact", n, run_verify)
-    hit_cols = run_verify()
-    hits_per_query = len(hit_cols[0]) / n
+    from kmergutsjava_tpu.utils.native import load_scatter
+
+    out["host_verify_impl"] = ("native" if load_scatter() is not None
+                               else "numpy")
+    piece, _ = run_verify()
+    hits_per_query = len(piece[0]) / n
     out["host_verify_hits_per_query"] = round(hits_per_query, 3)
 
     # --- grouping: the PRODUCTION path (calls/batch_native
