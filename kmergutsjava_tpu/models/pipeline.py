@@ -201,7 +201,9 @@ def _cached_xla_lookup(table_path: str, table, cfg: EngineConfig) -> "XlaLookup"
     impl_env = tuple(os.environ.get(k) for k in (
         "KMER_PROBE_IMPL", "KMER_PROBE_LANES",
         "KMER_CHUNKED_MIN_BYTES", "KMER_CHUNK_ROWS",
-        "KMER_ROWS1_MAX_BYTES", "KMER_TILEJOIN", "KMER_TILEJOIN_CHUNK"))
+        "KMER_ROWS1_MAX_BYTES", "KMER_TILEJOIN", "KMER_TILEJOIN_CHUNK",
+        "KMER_TJ_FORM", "KMER_TILEJOIN_CAP", "KMER_TILEJOIN_CAP_MODE",
+        "KMER_TILEJOIN_OVERFLOW"))
     key = (ident, cfg.probe_window, cfg.lookup_chunk, cfg.mesh_shape,
            impl_env)
     lk = _LOOKUP_CACHE.get(key)
