@@ -544,7 +544,7 @@ def bench_tpu_sparse_big(reps: int):
             tj_overflow = int(np.maximum(tj_counts - tj_cap, 0).sum())
             tj_cells = tj_tiles * tj_cap
             kt1, kt2 = jax.random.split(jax.random.key(31), 2)
-            if tj_form == "gather2":
+            if tj_form in ("gather2", "gather2u"):
                 # packed plane: two random u16 fingerprints per i32 lane
                 tj_plane = jax.lax.bitcast_convert_type(
                     jax.random.bits(kt1, (tj_nsup * TPG, 64, 128),

@@ -108,13 +108,23 @@ def _tilejoin_kernel(w: int, cap128: int, tpg: int, form: str, ids_ref,
 
     big2 = jnp.int32(2 * w)
     g4 = -(-cap128 // 4)
-    if form == "gather2":
+    if form in ("gather2", "gather2u"):
         # packed plane element (o2, r) = fp[2*o2, r] | fp[2*o2+1, r]<<16:
         # the extract gathers HALF the sublanes and skips the u16->i32
         # conversion; the first-event scan runs per half with the same
-        # rel*2(+empty) code algebra (b_lo = 2*rel at even offsets)
+        # rel*2(+empty) code algebra (b_lo = 2*rel at the even offset).
+        # "gather2u" folds the two-sided window test into ONE unsigned
+        # compare (negative b bitcasts to a huge u32) — experimental,
+        # gated by the same compile+correctness self-probe.
         o4 = jax.lax.broadcasted_iota(jnp.int32, (TILE_OFF2, LANES), 0) * 4
         emp = jnp.int32(FP_EMPTY)
+        ubig = jnp.uint32(2 * w)
+
+        def in_win(b):
+            if form == "gather2u":
+                return jax.lax.bitcast_convert_type(b, jnp.uint32) < ubig
+            return (b >= 0) & (b < big2)
+
         for t in range(tpg):                # static unroll
             tileP = planeT_ref[t]           # [off2, row] int32, no cvt
             fst = []
@@ -131,11 +141,9 @@ def _tilejoin_kernel(w: int, cap128: int, tpg: int, form: str, ids_ref,
                 e_hi = hi == emp
                 b_lo = o4 - off2            # = 2*rel at the even offset
                 b_hi = b_lo + 2
-                k_lo = jnp.where(((lo == qfp) | e_lo)
-                                 & (b_lo >= 0) & (b_lo < big2),
+                k_lo = jnp.where(((lo == qfp) | e_lo) & in_win(b_lo),
                                  b_lo + e_lo.astype(jnp.int32), big2)
-                k_hi = jnp.where(((hi == qfp) | e_hi)
-                                 & (b_hi >= 0) & (b_hi < big2),
+                k_hi = jnp.where(((hi == qfp) | e_hi) & in_win(b_hi),
                                  b_hi + e_hi.astype(jnp.int32), big2)
                 fst.append(jnp.min(jnp.minimum(k_lo, k_hi), axis=0,
                                    keepdims=True))
@@ -207,7 +215,8 @@ def tilejoin_probe(plane3T, tile_ids, packed_b, w, cap128, tpg=TPG,
 
     nblocks = packed_b.shape[0]
     g4 = -(-cap128 // 4)
-    plane_rows = TILE_OFF2 if form == "gather2" else TILE_ROWS
+    plane_rows = (TILE_OFF2 if form in ("gather2", "gather2u")
+                  else TILE_ROWS)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
@@ -264,7 +273,7 @@ def plane_tiles(fp2d: np.ndarray, tpg: int = TPG,
                            np.uint16)])
     tiles = np.ascontiguousarray(
         fp2d.reshape(t, TILE_ROWS, LANES).transpose(0, 2, 1))
-    if form == "gather2":
+    if form in ("gather2", "gather2u"):
         t32 = tiles.astype(np.uint32)
         return np.ascontiguousarray(
             t32[:, 0::2, :] | (t32[:, 1::2, :] << 16)).view(np.int32)
@@ -389,7 +398,7 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
     env = force if force is not None else os.environ.get("KMER_TILEJOIN")
     if env == "0":
         return None
-    if env in ("gather", "gather2", "mxu", "force"):
+    if env in ("gather", "gather2", "gather2u", "mxu", "force"):
         return "gather" if env == "force" else env
     if _FORM is not None:
         return _FORM or None
@@ -400,7 +409,7 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
 
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
                              "kmergutsjava_tpu")
-    key = f"tilejoin4/{jax.__version__}/{jax.devices()[0].device_kind}"
+    key = f"tilejoin5/{jax.__version__}/{jax.devices()[0].device_kind}"
     cache_path = os.path.join(cache_dir, "kernel_probes.json")
     import time
 
@@ -428,11 +437,11 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
 
     def probe() -> None:
         # preference order = measured speed on the toolchains that compile
-        # each form: packed gather2 3.38B cells/s vs gather 3.03B at the
-        # production point (512MB plane, cap=512, TPG=8; round-5 confirm
-        # sweep, /tmp -> docs/performance.md); mxu is the guaranteed-
+        # each form at the production point (512MB plane, cap=512, TPG=8;
+        # round-5 confirm sweeps, docs/performance.md): gather2u 3.42B /
+        # gather2 3.38B / gather 3.03B cells/s; mxu is the guaranteed-
         # compile fallback
-        for form in ("gather2", "gather", "mxu"):
+        for form in ("gather2u", "gather2", "gather", "mxu"):
             try:
                 if _probe_correct(interpret=False, form=form):
                     result["form"] = form

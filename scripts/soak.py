@@ -143,6 +143,7 @@ def run_round(seed: int, tmp: str) -> None:
     if rng.random() < 0.3:
         variants.append(("xla", {"_tilejoin": rng.choice(["gather",
                                                           "gather2",
+                                                          "gather2u",
                                                           "mxu"])}))
     if rng.random() < 0.3:
         variants.append(("xla", {"prepare_impl": "numpy"}))

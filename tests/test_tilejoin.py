@@ -41,7 +41,7 @@ def _sorted_cols(hits):
              hits.fi, hits.wt)]
 
 
-@pytest.mark.parametrize("form", ["gather", "gather2", "mxu"])
+@pytest.mark.parametrize("form", ["gather", "gather2", "gather2u", "mxu"])
 @pytest.mark.parametrize("load_factor", [0.5, 0.8])
 def test_tilejoin_matches_parity(load_factor, form, monkeypatch):
     monkeypatch.setenv("KMER_TJ_FORM", form)
@@ -208,7 +208,7 @@ def test_probe_correct_all_forms_interpret():
     in interpret mode (the TPU probe runs the same contract compiled)."""
     from kmergutsjava_tpu.lookup.pallas_tilejoin import _probe_correct
 
-    for form in ("gather", "gather2", "mxu"):
+    for form in ("gather", "gather2", "gather2u", "mxu"):
         assert _probe_correct(interpret=True, form=form), form
 
 
