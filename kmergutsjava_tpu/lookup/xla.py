@@ -455,11 +455,20 @@ class XlaLookup:
                 fp, shape=(nrows, lanes), strides=(2 * self.stride, 2)))
             chunked_min = int(os.environ.get("KMER_CHUNKED_MIN_BYTES",
                                              96 << 20))
-            if (auto_impl and lanes == 128 and fp2d.nbytes >= chunked_min):
-                # HBM-large plane on a TPU whose Mosaic compiles the
-                # tile-join kernel: the manual-DMA merge join replaces
-                # the XLA gather ladder (round 4; 1.0-1.8B cells/s vs
-                # chunked's 244M/s at 512MB, scripts/sweep.py tilejoin).
+            # tile-join arm threshold (round 5): the kernel is
+            # plane-size INDEPENDENT (2.5-3.4B cells/s measured at 13MB
+            # and 512MB alike), so it also beats the rows1 gather
+            # (270M/s) on mid-size planes — the gate drops to 24MB
+            # (>= ~780 tiles, where the density-aware chunk still keeps
+            # bins well-filled); micro-planes stay on rows1, where
+            # executable variety and bin overheads would dominate.
+            tilejoin_min = int(os.environ.get("KMER_TILEJOIN_MIN_BYTES",
+                                              24 << 20))
+            if (auto_impl and lanes == 128 and fp2d.nbytes >= tilejoin_min):
+                # a TPU whose Mosaic compiles the tile-join kernel: the
+                # manual-DMA merge join replaces the XLA gather ladder
+                # (rounds 4-5; 3.4B cells/s vs chunked's 245M/s at
+                # 512MB, scripts/sweep.py tilejoin).
                 from .pallas_tilejoin import tilejoin_supported
 
                 if tilejoin_supported():
@@ -515,7 +524,14 @@ class XlaLookup:
                 elif env_chunk:
                     self.chunk = int(env_chunk)
                 else:
-                    self.chunk = min(max(500 * self.n_tiles, 4 << 20),
+                    # the 4M floor amortizes per-dispatch costs on big
+                    # planes, but on mid-size planes it would push the
+                    # per-tile mean far past the 4096 cap ceiling
+                    # (mass overflow to the host pass) — so the floor
+                    # itself is density-capped at ~1000 queries/tile
+                    # (cap lands on ~1024-1152, fill ~90%)
+                    floor = min(4 << 20, 1000 * self.n_tiles)
+                    self.chunk = min(max(500 * self.n_tiles, floor),
                                      16 << 20)
                 return
             # chunk the plane when forced, or when the 128-lane plane is

@@ -520,8 +520,10 @@ def test_chunk_defaults_and_explicit_values_honored():
     assert lk.chunk == 1 << 19
     tj = XlaLookup(table, probe_impl="tilejoin")
     if tj.probe_impl == "tilejoin":
-        # density-aware default: 500 queries/tile, clamped to [4M, 16M]
-        assert tj.chunk == min(max(500 * tj.n_tiles, 4 << 20), 16 << 20)
+        # density-aware default: 500 queries/tile, floored at
+        # min(4M, 1000/tile) and capped at 16M
+        floor = min(4 << 20, 1000 * tj.n_tiles)
+        assert tj.chunk == min(max(500 * tj.n_tiles, floor), 16 << 20)
         # the documented non-tilejoin default value, passed explicitly,
         # must NOT be overridden to the tilejoin default
         tj2 = XlaLookup(table, probe_impl="tilejoin", chunk=1 << 19)

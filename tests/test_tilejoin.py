@@ -184,7 +184,7 @@ def test_auto_crossover_picks_tilejoin_when_armed(monkeypatch):
     from kmergutsjava_tpu.lookup import pallas_tilejoin as tj
 
     table, kmers = _fixture(n_sigs=200_000, seed=15)
-    monkeypatch.setenv("KMER_CHUNKED_MIN_BYTES", "100000")
+    monkeypatch.setenv("KMER_TILEJOIN_MIN_BYTES", "100000")
     monkeypatch.setattr(tj, "tilejoin_supported", lambda *a, **k: True)
     lk = XlaLookup(table)
     assert lk.probe_impl == "tilejoin"
