@@ -256,3 +256,42 @@ def test_tilejoin_adaptive_cap_overflow_end_to_end():
     assert len(got) == len(want)
     for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_tilejoin_form_timeout_cache(monkeypatch, tmp_path):
+    """Advisor r4: a recent probe timeout is disk-cached with a TTL so
+    new processes skip the probe; a stale marker re-probes."""
+    import importlib
+    import json
+    import time
+
+    import jax
+
+    from kmergutsjava_tpu.lookup import pallas_tilejoin as tj
+
+    monkeypatch.setattr(tj.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.delenv("KMER_TILEJOIN", raising=False)
+    cache_dir = tmp_path / ".cache" / "kmergutsjava_tpu"
+    cache_dir.mkdir(parents=True)
+    key = f"tilejoin5/{jax.__version__}/{jax.devices()[0].device_kind}"
+    path = cache_dir / "kernel_probes.json"
+
+    probes = {"n": 0}
+    monkeypatch.setattr(
+        tj, "_probe_correct",
+        lambda interpret, form="gather": probes.__setitem__(
+            "n", probes["n"] + 1) or True)
+
+    # fresh timeout marker: no probe, form disarmed
+    path.write_text(json.dumps({key: f"timeout@{time.time()}"}))
+    tj._FORM = None
+    assert tj.tilejoin_form() is None
+    assert probes["n"] == 0
+    # stale marker: re-probe and arm the first (fastest) form
+    path.write_text(json.dumps({key: "timeout@100.0"}))
+    tj._FORM = None
+    assert tj.tilejoin_form() == "gather2u"
+    assert probes["n"] == 1
+    assert json.loads(path.read_text())[key] == "gather2u"
+    tj._FORM = None  # leave module state clean for other tests
