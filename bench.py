@@ -835,6 +835,26 @@ def bench_host_pipeline(table, values):
         "native" if prepare_aa_native(records, _Sink()) is not None
         else "numpy")
 
+    # DNA feeder (6-frame translate + kmerize) — the metagenome front end
+    from kmergutsjava_tpu.models.prepare import (prepare_dna_native,
+                                                 prepare_dna_numpy)
+
+    dna_alpha = np.frombuffer(b"ACGT", np.uint8)
+    dna_seqs = dna_alpha[rng.integers(0, 4, (30_000, 150))]
+    dna_fasta = "".join(f">d{i}\n{s.tobytes().decode()}\n"
+                        for i, s in enumerate(dna_seqs))
+    dna_records = list(read_fasta(io.StringIO(dna_fasta)))
+
+    def run_prepare_dna():
+        _Sink.n = 0
+        if prepare_dna_native(dna_records, _Sink()) is None:
+            prepare_dna_numpy(dna_records, _Sink())
+
+    run_prepare_dna()
+    dna_kmers = _Sink.n
+    stage("prepare_dna_kmers", dna_kmers, run_prepare_dna, unit="kmer")
+    out["host_prepare_dna_kmers_per_read"] = round(dna_kmers / 30_000, 1)
+
     # --- homes + fingerprints -------------------------------------------
     s = table.num_sigs
 
