@@ -47,7 +47,7 @@ import kmergutsjava_tpu  # noqa: F401  (x64 + compile cache setup)
 import jax
 import jax.numpy as jnp
 
-NB = 4
+NB = int(os.environ.get("SWEEP_NB", 4))
 W = 16
 OUT: dict = {}
 
