@@ -295,3 +295,36 @@ def test_tilejoin_form_timeout_cache(monkeypatch, tmp_path):
     assert probes["n"] == 1
     assert json.loads(path.read_text())[key] == "gather2u"
     tj._FORM = None  # leave module state clean for other tests
+
+
+def test_tilejoin_zipf_skew_matches_parity():
+    """Zipf-skewed homes: many tiles overflow their quantile cap by
+    varying amounts (not just one adversarial tile) — the mixed
+    device/host-exact resolution must still match parity exactly."""
+    table, kmers = _fixture(n_sigs=120_000, seed=23)
+    lk = XlaLookup(table, probe_impl="tilejoin")
+    rng = np.random.default_rng(24)
+    n = 60_000
+    # zipf rank sampling concentrated on a few slot neighborhoods
+    ranks = rng.zipf(1.3, size=n).astype(np.int64)
+    anchors = rng.integers(0, table.num_sigs, 64)
+    values = np.where(
+        rng.random(n) < 0.4,
+        rng.choice(kmers, n),                       # real signatures
+        (anchors[ranks % 64] + ranks) % np.int64(MAX_ENCODED))
+    cnt = np.zeros(n, np.int64)
+    pos = np.arange(n, dtype=np.int64)
+    want = lookup_stream(table, values, cnt, pos)
+    got = lk.lookup(values, cnt, pos)
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)
+    # and through the streaming front end with several chunk sizes
+    from kmergutsjava_tpu.lookup.xla import StreamingLookup
+
+    st = StreamingLookup(XlaLookup(table, probe_impl="tilejoin",
+                                   chunk=7000))
+    st.add_batch(values, 0, pos)
+    got2 = st.finish()
+    want2 = lookup_stream(table, values, np.zeros(n, np.int64), pos)
+    assert len(got2) == len(want2)
