@@ -155,8 +155,17 @@ def main():
     for mode, query, aa in (("aa", faa, True), ("dna", fna, False)):
         jvm_out = os.path.join(scratch, f"jvm_{mode}.txt")
         t0 = time.time()
+        # pin the JVM locale: the reference's String.format("%f") is
+        # locale-dependent (a comma-decimal default locale would break
+        # the byte-diff for reasons unrelated to engine parity); the
+        # engine's utils/javafmt.py implements the en-US '.' rules
+        env = dict(os.environ)
+        env["JAVA_TOOL_OPTIONS"] = (
+            env.get("JAVA_TOOL_OPTIONS", "")
+            + " -Duser.language=en -Duser.country=US").strip()
         sh("java", "-cp", cls, "kmergutsjava.KmerGutsJava",
-           *(["-a"] if aa else []), "-D", data, "-q", query, "-o", jvm_out)
+           *(["-a"] if aa else []), "-D", data, "-q", query, "-o", jvm_out,
+           env=env)
         print(f"jvm {mode} run: {time.time() - t0:.1f}s", flush=True)
         for backend in backends:
             ours = os.path.join(scratch, f"ours_{mode}_{backend}.txt")
