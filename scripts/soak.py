@@ -258,10 +258,12 @@ def main():
         n += 1
         if n % 25 == 0:
             print(f"{n} rounds OK (last seed {base + n - 1})", flush=True)
-        if n % 200 == 0:
+        if n % 100 == 0:
             # every round jits fresh table shapes; thousands of cached
             # executables eventually exhaust the process map count
-            # (observed: LLVM "Cannot allocate memory" after ~1.6k rounds)
+            # (observed: LLVM "Cannot allocate memory" after ~1.6k solo
+            # rounds, and as early as ~175 when other jax processes share
+            # the box's vm.max_map_count headroom — hence every 100)
             jax.clear_caches()
     print(f"SOAK PASSED: {n} rounds, base seed {base}")
 
