@@ -521,30 +521,52 @@ def bench_tpu_sparse_big(reps: int):
             tj_tiles = int(plane_mb * 2**20) // (128 * 128 * 2)
             tj_nsup = max(tj_tiles // TPG, 1)
             # measure at the PRODUCTION operating point (round 5): the
-            # density-aware dispatch chunk (~500 queries/tile) and the
+            # density-aware dispatch chunk (~500 queries/tile unbanded;
+            # ~900 for the banded gather2b form, whose per-BAND Poisson
+            # variance needs the mean ~12% under the cap) and the
             # quantile bin cap chosen exactly as _select_tile_cap does on
             # a real multinomial draw of homes — the derated rate then
             # reflects the fill/overflow production actually gets
-            tj_n = min(max(500 * tj_tiles, 4 << 20), 16 << 20)
+            tj_banded = tj_form == "gather2b"
+            tj_target, tj_fcap = (900, 1800) if tj_banded else (500, 1000)
+            tj_n = min(max(tj_target * tj_tiles,
+                           min(4 << 20, tj_fcap * tj_tiles)), 16 << 20)
             tj_rngc = np.random.default_rng(13)
-            tj_counts = np.bincount(
-                tj_rngc.integers(0, tj_tiles, tj_n), minlength=tj_tiles)
             tj_budget = float(os.environ.get("KMER_TILEJOIN_OVERFLOW",
                                              0.01)) * tj_n
             tj_mean = tj_n / tj_tiles
             tj_legacy = max(128, -(-int(tj_mean + 8 * tj_mean ** 0.5 + 72)
                                    // 128) * 128)
-            tj_cap = 128
-            while tj_cap < tj_legacy:
-                tj_big = tj_counts[tj_counts > tj_cap]
-                if (tj_big.size == 0
-                        or float((tj_big - tj_cap).sum()) <= tj_budget):
-                    break
-                tj_cap += 128
-            tj_overflow = int(np.maximum(tj_counts - tj_cap, 0).sum())
+            if tj_banded:
+                from kmergutsjava_tpu.lookup.pallas_tilejoin import (
+                    band_geometry, banded_quantile_cap)
+
+                tj_counts8 = np.bincount(
+                    tj_rngc.integers(0, tj_tiles * 8, tj_n),
+                    minlength=tj_tiles * 8).reshape(-1, 8)
+                tj_cap = banded_quantile_cap(tj_counts8, tj_budget,
+                                             tj_legacy, W)
+                tj_nb = band_geometry(W, tj_cap // 128)[0]
+                tj_cn = tj_counts8.reshape(tj_tiles, tj_nb,
+                                           8 // tj_nb).sum(2)
+                tj_overflow = int(
+                    np.maximum(tj_cn - tj_cap // tj_nb, 0).sum())
+            else:
+                tj_counts = np.bincount(
+                    tj_rngc.integers(0, tj_tiles, tj_n),
+                    minlength=tj_tiles)
+                tj_cap = 128
+                while tj_cap < tj_legacy:
+                    tj_big = tj_counts[tj_counts > tj_cap]
+                    if (tj_big.size == 0
+                            or float((tj_big - tj_cap).sum()) <= tj_budget):
+                        break
+                    tj_cap += 128
+                tj_nb = 1
+                tj_overflow = int(np.maximum(tj_counts - tj_cap, 0).sum())
             tj_cells = tj_tiles * tj_cap
             kt1, kt2 = jax.random.split(jax.random.key(31), 2)
-            if tj_form in ("gather2", "gather2u"):
+            if tj_form.startswith("gather2"):
                 # packed plane: two random u16 fingerprints per i32 lane
                 tj_plane = jax.lax.bitcast_convert_type(
                     jax.random.bits(kt1, (tj_nsup * TPG, 64, 128),
@@ -575,6 +597,7 @@ def bench_tpu_sparse_big(reps: int):
                 out["sparse_big_tilejoin_lookups_per_sec"] = round(
                     cr * (tj_n - tj_overflow) / tj_cells, 1)
                 out["sparse_big_tilejoin_cap"] = tj_cap
+                out["sparse_big_tilejoin_bands"] = tj_nb
                 out["sparse_big_tilejoin_form"] = tj_form
                 out["sparse_big_tilejoin_chunk"] = tj_n
                 out["sparse_big_tilejoin_fill"] = round(tj_n / tj_cells, 4)
@@ -881,10 +904,14 @@ def bench_host_pipeline(table, values):
     homes_big = rng.integers(0, n_tiles * 128 * stride, n).astype(np.int32)
 
     def run_bin():
-        from kmergutsjava_tpu.lookup.pallas_tilejoin import \
-            bin_queries_tiles_dense
+        from kmergutsjava_tpu.lookup.pallas_tilejoin import (
+            band_geometry, bin_queries_tiles_dense)
 
-        return bin_queries_tiles_dense(qfp, homes_big, stride, cap, n_tiles)
+        # band-partitioned cells (the gather2b production layout — one
+        # extra div per query vs the flat layout)
+        return bin_queries_tiles_dense(
+            qfp, homes_big, stride, cap, n_tiles,
+            n_bands=band_geometry(w1, cap // 128)[0])
 
     c_bin = stage("tilejoin_bin", n, run_bin)
     out["host_tilejoin_bin_cap"] = cap

@@ -81,6 +81,53 @@ TPG = int(os.environ.get("KMER_TILEJOIN_TPG", "8"))
 #                   (KMER_TILEJOIN_TPG overrides for sweeps).
 
 
+def band_geometry(w: int, cap128: int):
+    """Static band layout shared by the banded kernel form ("gather2b")
+    and the host binners. A tile's query cells are partitioned into
+    ``n_bands`` home-offset bands (band b owns offsets
+    [b*bw, min((b+1)*bw, stride))), each owning ``gpb`` consecutive
+    128-lane groups — so every group's probe windows live in a STATIC
+    ~(bw+w)/2-sublane slice of the packed tile instead of all
+    TILE_OFF2=64, which is what cuts the kernel's per-cell VPU
+    gather+scan cost ~3x. n_bands is the largest power of two <= 8
+    dividing cap128 (a power of two keeps 8/n_bands integral, so the
+    n_bands*bw span always covers [0, stride) and the cap-selection
+    histogram at 8-band granularity aggregates exactly).
+    Returns (n_bands, gpb, bw)."""
+    stride = LANES - w
+    n_bands = 1
+    while n_bands < 8 and cap128 % (n_bands * 2) == 0:
+        n_bands *= 2
+    bu = -(-stride // 8)
+    bw = bu * (8 // n_bands)
+    return n_bands, cap128 // n_bands, bw
+
+
+BANDED_CAPS = (128, 256, 512, 1024, 2048, 3072, 4096)
+#   the banded form's candidate cap ladder: cap128 = 1,2,4,8,16,24,32
+#   all keep n_bands maximal for their size (1,2,4,8,8,8,8) — a 128-step
+#   ladder would pass through caps like 896 (cap128=7) whose only legal
+#   band count is 1, silently degrading the kernel to the full-tile scan
+
+
+def banded_quantile_cap(counts8: np.ndarray, budget: float,
+                        ceil_cap: int, w: int) -> int:
+    """Smallest BANDED_CAPS entry whose per-(tile, band) overflow —
+    queries past their band's cap/n_bands cell capacity, which the
+    resolver routes to the exact host pass — stays under ``budget``
+    queries (or the first entry >= ceil_cap). ``counts8`` is the
+    [n_tiles, 8] histogram at 8-band granularity; coarser band counts
+    aggregate exactly because every bw is a multiple of the 8-band unit
+    (band_geometry)."""
+    for cap in BANDED_CAPS:
+        n_bands = band_geometry(w, cap // 128)[0]
+        cn = counts8.reshape(len(counts8), n_bands, 8 // n_bands).sum(2)
+        over = cn - cap // n_bands
+        if float(over[over > 0].sum()) <= budget or cap >= ceil_cap:
+            return cap
+    return BANDED_CAPS[-1]
+
+
 def _pack_out(out_ref, t: int, g4: int, cap128: int, fst: list) -> None:
     # pack four groups' first-event codes per int32 lane (each code
     # <= 2w <= 128 fits a byte): 4x less output HBM/D2H per cell —
@@ -108,32 +155,55 @@ def _tilejoin_kernel(w: int, cap128: int, tpg: int, form: str, ids_ref,
 
     big2 = jnp.int32(2 * w)
     g4 = -(-cap128 // 4)
-    if form in ("gather2", "gather2u"):
+    if form in ("gather2", "gather2u", "gather2b"):
         # packed plane element (o2, r) = fp[2*o2, r] | fp[2*o2+1, r]<<16:
         # the extract gathers HALF the sublanes and skips the u16->i32
         # conversion; the first-event scan runs per half with the same
         # rel*2(+empty) code algebra (b_lo = 2*rel at the even offset).
         # "gather2u" folds the two-sided window test into ONE unsigned
-        # compare (negative b bitcasts to a huge u32) — experimental,
-        # gated by the same compile+correctness self-probe.
-        o4 = jax.lax.broadcasted_iota(jnp.int32, (TILE_OFF2, LANES), 0) * 4
+        # compare (negative b bitcasts to a huge u32). "gather2b" adds
+        # home-offset BANDING on top (band_geometry): group g's queries
+        # all live in a static offset band, so its gather+scan touch only
+        # the ~(bw+w)/2 sublanes that band's windows can reach instead of
+        # all TILE_OFF2=64 — the host binner routes each query to its
+        # band's groups (bin_queries_tiles n_bands).
         emp = jnp.int32(FP_EMPTY)
         ubig = jnp.uint32(2 * w)
+        banded = form == "gather2b"
+        if banded:
+            stride = LANES - w
+            n_bands, gpb, bw = band_geometry(w, cap128)
 
         def in_win(b):
-            if form == "gather2u":
-                return jax.lax.bitcast_convert_type(b, jnp.uint32) < ubig
-            return (b >= 0) & (b < big2)
+            if form == "gather2":
+                return (b >= 0) & (b < big2)
+            return jax.lax.bitcast_convert_type(b, jnp.uint32) < ubig
+
+        def slice_of(g):
+            # static sublane window of group g's band (full tile unbanded)
+            if not banded:
+                return 0, TILE_OFF2
+            b = g // gpb
+            s_lo = (b * bw) // 2
+            s_hi = (min((b + 1) * bw, stride) - 1 + w - 1) // 2
+            return s_lo, min(s_hi, TILE_OFF2 - 1) - s_lo + 1
 
         for t in range(tpg):                # static unroll
-            tileP = planeT_ref[t]           # [off2, row] int32, no cvt
+            band_tiles = {}
             fst = []
             for g in range(cap128):         # static unroll
+                s_lo, ns = slice_of(g)
+                if (s_lo, ns) not in band_tiles:
+                    band_tiles[(s_lo, ns)] = (
+                        planeT_ref[t, s_lo:s_lo + ns],   # [ns, row] int32
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (ns, LANES), 0) * 4 + 4 * s_lo)
+                tileP, o4 = band_tiles[(s_lo, ns)]
                 p = packed_ref[0, t, g:g + 1, :]          # [1, 128] int32
                 rr = (p >> 7) & 127
                 off2 = (p & 127) * 2
                 qfp = p >> 14
-                idx = jnp.broadcast_to(rr, (TILE_OFF2, LANES))
+                idx = jnp.broadcast_to(rr, tileP.shape)
                 win = jnp.take_along_axis(tileP, idx, axis=1)
                 lo = win & 0xFFFF
                 hi = jax.lax.shift_right_logical(win, 16)
@@ -215,7 +285,7 @@ def tilejoin_probe(plane3T, tile_ids, packed_b, w, cap128, tpg=TPG,
 
     nblocks = packed_b.shape[0]
     g4 = -(-cap128 // 4)
-    plane_rows = (TILE_OFF2 if form in ("gather2", "gather2u")
+    plane_rows = (TILE_OFF2 if form.startswith("gather2")
                   else TILE_ROWS)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -273,7 +343,7 @@ def plane_tiles(fp2d: np.ndarray, tpg: int = TPG,
                            np.uint16)])
     tiles = np.ascontiguousarray(
         fp2d.reshape(t, TILE_ROWS, LANES).transpose(0, 2, 1))
-    if form in ("gather2", "gather2u"):
+    if form.startswith("gather2"):
         t32 = tiles.astype(np.uint32)
         return np.ascontiguousarray(
             t32[:, 0::2, :] | (t32[:, 1::2, :] << 16)).view(np.int32)
@@ -287,7 +357,8 @@ def pack_query(q_fp, rr, off):
 
 
 def bin_queries_tiles(q_fp: np.ndarray, homes: np.ndarray, stride: int,
-                      cap: int, pad_blocks_to: int = 1, tpg: int = TPG):
+                      cap: int, pad_blocks_to: int = 1, tpg: int = TPG,
+                      n_bands: int = 1):
     """Host-side merge-join routing: group queries by home SUPER-tile
     (``tpg`` consecutive plane tiles) into [nblocks, tpg, cap/128, 128]
     PACKED int32 bins (the kernel's layout-native shape; cap, the
@@ -300,7 +371,13 @@ def bin_queries_tiles(q_fp: np.ndarray, homes: np.ndarray, stride: int,
     pass. nblocks is padded up to ``pad_blocks_to`` (repeating super-tile
     0) so distinct batches share compiled executables. Empty cells pack
     qfp=0 / rr=127 / off=127 — whatever they compute, the host only ever
-    reads cells whose rank_of maps to a real query."""
+    reads cells whose rank_of maps to a real query.
+
+    ``n_bands`` > 1 (the banded kernel form "gather2b"): a tile's cap
+    cells are partitioned by home-offset band (band_geometry) — band b
+    owns the cap/n_bands cells starting at b*cap/n_bands, and a query
+    overflows when its rank WITHIN ITS BAND reaches the band capacity
+    (still resolved by the exact host pass)."""
     assert cap % 128 == 0
     n = len(homes)
     r = (homes // stride).astype(np.int64)
@@ -309,12 +386,23 @@ def bin_queries_tiles(q_fp: np.ndarray, homes: np.ndarray, stride: int,
     sub = (t - sup * tpg).astype(np.int64)
     rr = (r & 127).astype(np.int32)
     off = (homes - r * stride).astype(np.int32)
-    order = np.argsort(t, kind="stable")    # rank within (sup, sub) = tile
-    t_s = t[order]
-    _, starts, counts = np.unique(t_s, return_index=True,
+    if n_bands > 1:
+        assert (cap // 128) % n_bands == 0
+        bw = -(-stride // 8) * (8 // n_bands)
+        bcap = cap // n_bands           # per-band cell capacity
+        base = (off // bw).astype(np.int64) * bcap  # band cell base
+        key = t * n_bands + base // bcap
+    else:
+        bcap = cap
+        base = np.int64(0)
+        key = t
+    order = np.argsort(key, kind="stable")  # rank within (tile[, band])
+    k_s = key[order]
+    _, starts, counts = np.unique(k_s, return_index=True,
                                   return_counts=True)
-    tile_block = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
-    rank_sorted = np.arange(n, dtype=np.int64) - starts[tile_block]
+    key_block = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+    rank_sorted = np.arange(n, dtype=np.int64) - starts[key_block]
+    base_s = base[order] if n_bands > 1 else base
     sup_s = sup[order]
     super_ids = np.unique(sup_s)
     nuse = len(super_ids)
@@ -323,9 +411,10 @@ def bin_queries_tiles(q_fp: np.ndarray, homes: np.ndarray, stride: int,
     if pad_blocks_to > 1:
         nblocks = -(-nblocks // pad_blocks_to) * pad_blocks_to
     packed_b = np.full((nblocks, tpg * cap), 0x3F80 | 127, np.int32)
-    ok = rank_sorted < cap
+    ok = rank_sorted < bcap
     bo = block_of_sorted[ok]
-    cell = sub[order][ok] * cap + rank_sorted[ok]
+    cell = sub[order][ok] * cap + (base_s[ok] if n_bands > 1 else 0) \
+        + rank_sorted[ok]
     sel = order[ok]
     packed_b[bo, cell] = pack_query(q_fp[sel], rr[sel], off[sel])
     ids = np.zeros(nblocks, np.int32)
@@ -337,28 +426,32 @@ def bin_queries_tiles(q_fp: np.ndarray, homes: np.ndarray, stride: int,
     # resolver's single `rank_of < tpg*cap` test routes them to the
     # exact host pass (a non-overflowed rank in a later sub-tile is
     # legitimately >= cap, so the per-sub-tile test can't be used there)
-    rank_of[order] = np.where(rank_sorted < cap,
-                              sub[order] * cap + rank_sorted, tpg * cap)
+    rank_of[order] = np.where(rank_sorted < bcap,
+                              sub[order] * cap + base_s + rank_sorted,
+                              tpg * cap)
     return (ids, packed_b.reshape(nblocks, tpg, cap // 128, 128), block_of,
             rank_of)
 
 
 def bin_queries_tiles_dense(q_fp: np.ndarray, homes: np.ndarray,
                             stride: int, cap: int, n_tiles: int,
-                            tpg: int = TPG):
+                            tpg: int = TPG, n_bands: int = 1):
     """Dense-block binning: every super-tile gets a block, so ids are
     simply arange(n_tiles/tpg) and the bins shard evenly over a table
     mesh (parallel/tilejoin_shards.py). Prefers the threaded native
     binner; the numpy fallback expands the compressed binner's blocks
-    into the dense layout (same packed cells, same ranks)."""
+    into the dense layout (same packed cells, same ranks). ``n_bands``
+    partitions each tile's cells by home-offset band for the banded
+    kernel form (band_geometry semantics in both implementations)."""
     from ..utils.native import bin_tiles_dense_native
 
     res = bin_tiles_dense_native(homes.astype(np.int32, copy=False), q_fp,
-                                 stride, tpg, n_tiles, cap)
+                                 stride, tpg, n_tiles, cap,
+                                 n_bands=n_bands)
     if res is not None:
         return res
     ids_u, pb, bo, rk = bin_queries_tiles(q_fp, homes, stride, cap,
-                                          tpg=tpg)
+                                          tpg=tpg, n_bands=n_bands)
     nsup = n_tiles // tpg
     dense = np.full((nsup,) + pb.shape[1:], 0x3F80 | 127, np.int32)
     dense[ids_u] = pb
@@ -398,7 +491,8 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
     env = force if force is not None else os.environ.get("KMER_TILEJOIN")
     if env == "0":
         return None
-    if env in ("gather", "gather2", "gather2u", "mxu", "force"):
+    if env in ("gather", "gather2", "gather2u", "gather2b", "mxu",
+               "force"):
         return "gather" if env == "force" else env
     if _FORM is not None:
         return _FORM or None
@@ -409,7 +503,7 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
 
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
                              "kmergutsjava_tpu")
-    key = f"tilejoin5/{jax.__version__}/{jax.devices()[0].device_kind}"
+    key = f"tilejoin6/{jax.__version__}/{jax.devices()[0].device_kind}"
     cache_path = os.path.join(cache_dir, "kernel_probes.json")
     import time
 
@@ -437,11 +531,12 @@ def tilejoin_form(force: Optional[str] = None) -> Optional[str]:
 
     def probe() -> None:
         # preference order = measured speed on the toolchains that compile
-        # each form at the production point (512MB plane, cap=512, TPG=8;
-        # round-5 confirm sweeps, docs/performance.md): gather2u 3.42B /
-        # gather2 3.38B / gather 3.03B cells/s; mxu is the guaranteed-
-        # compile fallback
-        for form in ("gather2u", "gather2", "gather", "mxu"):
+        # each form at the production point (512MB plane, TPG=8; round-5
+        # confirm sweeps, docs/performance.md): gather2b 9.6B cells/s at
+        # its cap=1024 operating point (5.9B at cap=512) / gather2u 3.42B
+        # / gather2 3.38B / gather 3.03B at cap=512; mxu is the
+        # guaranteed-compile fallback
+        for form in ("gather2b", "gather2u", "gather2", "gather", "mxu"):
             try:
                 if _probe_correct(interpret=False, form=form):
                     result["form"] = form
@@ -513,7 +608,11 @@ def _probe_correct(interpret: bool, form: str = "gather") -> bool:
     t3, rr3, o3 = qs[3][:3]
     row3 = plane[t3 * TILE_ROWS + rr3]
     row3[o3: o3 + w] = np.arange(100, 100 + w, dtype=np.uint16)
-    ids, packed_b, bo, rk = bin_queries_tiles(qfp, homes, stride, cap)
+    if form == "gather2b":
+        cap = 512            # cap128=4 -> 4 real bands to exercise
+    nbands = band_geometry(w, cap // 128)[0] if form == "gather2b" else 1
+    ids, packed_b, bo, rk = bin_queries_tiles(qfp, homes, stride, cap,
+                                              n_bands=nbands)
     fst = tilejoin_probe(
         plane_tiles(plane, form=form), jnp.asarray(ids),
         jnp.asarray(packed_b), w, cap // 128, form=form,

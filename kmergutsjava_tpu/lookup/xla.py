@@ -528,10 +528,23 @@ class XlaLookup:
                     # planes, but on mid-size planes it would push the
                     # per-tile mean far past the 4096 cap ceiling
                     # (mass overflow to the host pass) — so the floor
-                    # itself is density-capped at ~1000 queries/tile
-                    # (cap lands on ~1024-1152, fill ~90%)
-                    floor = min(4 << 20, 1000 * self.n_tiles)
-                    self.chunk = min(max(500 * self.n_tiles, floor),
+                    # itself is density-capped per tile. Unbanded forms
+                    # target ~500/tile (cap lands on 512, fill ~95-98%)
+                    # with the floor at ~1000/tile; the banded form
+                    # ("gather2b") targets ~900/tile — cap 1024 at 8
+                    # bands, per-BAND fill ~88% with ~0.3% overflow (the
+                    # band split raises the relative Poisson variance:
+                    # at 950/tile the per-band overflow sits right AT
+                    # the 1% budget and the quantile cap can tip to
+                    # 2048, halving fill — 900 keeps a solid margin) —
+                    # with the floor at ~1800/tile (cap 2048, same
+                    # per-band economics).
+                    if self._tj_form == "gather2b":
+                        target, fcap = 900, 1800
+                    else:
+                        target, fcap = 500, 1000
+                    floor = min(4 << 20, fcap * self.n_tiles)
+                    self.chunk = min(max(target * self.n_tiles, floor),
                                      16 << 20)
                 return
             # chunk the plane when forced, or when the 128-lane plane is
@@ -642,23 +655,48 @@ class XlaLookup:
             return min(max(128, -(-int(cap_env) // 128) * 128), 4096)
         if os.environ.get("KMER_TILEJOIN_CAP_MODE") == "legacy":
             return self._tile_cap(nb)
-        counts = np.bincount(
-            (homes.astype(np.int64) // self.stride) >> 7,
-            minlength=self._occ_tiles)
         budget = float(os.environ.get("KMER_TILEJOIN_OVERFLOW",
                                       0.01)) * n
         ceil_cap = self._tile_cap(nb)
-        cap = 128
-        while cap < ceil_cap:
-            big = counts[counts > cap]
-            if big.size == 0 or float((big - cap).sum()) <= budget:
-                break
-            cap += 128
+        if getattr(self, "_tj_form", None) == "gather2b":
+            # banded form: overflow happens per (tile, BAND) — histogram
+            # once at 8-band granularity and let the shared helper walk
+            # the banded cap ladder (pallas_tilejoin.banded_quantile_cap)
+            from .pallas_tilejoin import banded_quantile_cap
+
+            h64 = homes.astype(np.int64)
+            r = h64 // self.stride
+            bw8 = -(-self.stride // 8)
+            counts8 = np.bincount(
+                ((r >> 7) << 3) + (h64 - r * self.stride) // bw8,
+                minlength=self._occ_tiles * 8).reshape(-1, 8)
+            cap = banded_quantile_cap(counts8, budget, ceil_cap, self.w1)
+        else:
+            counts = np.bincount(
+                (homes.astype(np.int64) // self.stride) >> 7,
+                minlength=self._occ_tiles)
+            cap = 128
+            while cap < ceil_cap:
+                big = counts[counts > cap]
+                if big.size == 0 or float((big - cap).sum()) <= budget:
+                    break
+                cap += 128
         sticky = getattr(self, "_cap_sticky", 0)
         if sticky >= cap:
             return sticky
         self._cap_sticky = cap
         return cap
+
+    def _tj_bands(self, cap: int) -> int:
+        """Band count for the tile-join bins: the banded kernel form
+        partitions each tile's cells by home-offset band (band_geometry —
+        the binners MUST use the same split the kernel assumes); every
+        other form uses the flat per-tile layout."""
+        if getattr(self, "_tj_form", None) == "gather2b":
+            from .pallas_tilejoin import band_geometry
+
+            return band_geometry(self.w1, cap // 128)[0]
+        return 1
 
     def _chunk_cap(self, n: int) -> int:
         """Per-chunk bin capacity for the chunked probe: mean + 8 sigma
@@ -731,6 +769,7 @@ class XlaLookup:
 
             nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
             cap = self._select_tile_cap(homes, n, nb)
+            nbands = self._tj_bands(cap)
             if n >= 2 * self.n_tiles:
                 # dense load: bins over ALL super-tiles (threaded native
                 # binner when built, numpy expansion otherwise) — at
@@ -738,10 +777,11 @@ class XlaLookup:
                 # static grid means ONE executable per (cap, table)
                 # instead of one per used-super-count bucket
                 res = bin_queries_tiles_dense(q_fp, homes, self.stride,
-                                              cap, self.n_tiles)
+                                              cap, self.n_tiles,
+                                              n_bands=nbands)
             else:
                 res = bin_queries_tiles(q_fp, homes, self.stride, cap,
-                                        pad_blocks_to=64)
+                                        pad_blocks_to=64, n_bands=nbands)
             ids, packed_b, block_of, rank_of = res
             out = tilejoin_probe(
                 self.tbl_fp, jnp.asarray(ids), jnp.asarray(packed_b),

@@ -571,49 +571,65 @@ extern "C" void bin_queries(
 // Bit-identical ranks at any thread count (same per-thread histogram +
 // exclusive-cursor scheme as bin_queries above; pinned against the
 // numpy twin by tests/test_tilejoin.py).
+// n_bands > 1 (the banded kernel form "gather2b",
+// pallas_tilejoin.band_geometry): a tile's cap cells split into n_bands
+// home-offset bands of bcap = cap/n_bands cells each (band = in-row
+// offset / bw, bw = ceil(stride/8) * 8/n_bands); ranks count within
+// (tile, band) and overflow at bcap. n_bands = 1 is the classic layout.
 extern "C" void bin_tiles_dense(
     const int32_t* homes, const uint16_t* qfp, int64_t n,
     int64_t stride, int64_t tpg, int64_t n_tiles, int64_t cap,
+    int64_t n_bands,
     int32_t* packed_b,  // [n_tiles*cap] pre-filled with the pad word
     int64_t* block_of,  // out [n]
     int64_t* rank_of)   // out [n]
 {
     const int64_t tile_span = stride * 128;
+    const int64_t bw = ((stride + 7) / 8) * (8 / n_bands);
+    const int64_t bcap = cap / n_bands;
+    const int64_t n_keys = n_tiles * n_bands;
     const int T0 = num_threads();
     const int T = n < (int64_t)1 << 15 ? 1
         : (int)(n / 16384 < T0 ? n / 16384 : T0);
     const int64_t step = (n + T - 1) / T;
     if (T <= 1) {
-        std::vector<int64_t> cur(n_tiles, 0);
+        std::vector<int64_t> cur(n_keys, 0);
         for (int64_t i = 0; i < n; i++) {
             const int64_t h = homes[i];
             const int64_t t = h / tile_span;
-            const int64_t r = cur[(size_t)t]++;
+            const int64_t row = h / stride;
+            const int64_t off = h - row * stride;
+            const int64_t band = n_bands > 1 ? off / bw : 0;
+            const int64_t r = cur[(size_t)(t * n_bands + band)]++;
             const int64_t sub = t % tpg;
             block_of[i] = t / tpg;
-            rank_of[i] = r < cap ? sub * cap + r : tpg * cap;
-            if (r < cap) {
-                const int64_t row = h / stride;
-                packed_b[t * cap + r] =
+            const int64_t base = band * bcap;
+            rank_of[i] = r < bcap ? sub * cap + base + r : tpg * cap;
+            if (r < bcap) {
+                packed_b[t * cap + base + r] =
                     (int32_t)(((int64_t)qfp[i] << 14)
-                              | ((row & 127) << 7) | (h - row * stride));
+                              | ((row & 127) << 7) | off);
             }
         }
         return;
     }
-    std::vector<int64_t> hist((size_t)T * n_tiles, 0);
+    std::vector<int64_t> hist((size_t)T * n_keys, 0);
     parallel_for_threads(T, [&](int t) {
         const int64_t a = t * step;
         const int64_t b = a + step < n ? a + step : n;
-        int64_t* h_t = hist.data() + (size_t)t * n_tiles;
+        int64_t* h_t = hist.data() + (size_t)t * n_keys;
         for (int64_t i = a; i < b; i++) {
-            h_t[homes[i] / tile_span]++;
+            const int64_t h = homes[i];
+            const int64_t tl = h / tile_span;
+            const int64_t band = n_bands > 1
+                ? (h - (h / stride) * stride) / bw : 0;
+            h_t[tl * n_bands + band]++;
         }
     });
-    for (int64_t c = 0; c < n_tiles; c++) {
+    for (int64_t c = 0; c < n_keys; c++) {
         int64_t run = 0;
         for (int t = 0; t < T; t++) {
-            const size_t k = (size_t)t * n_tiles + c;
+            const size_t k = (size_t)t * n_keys + c;
             const int64_t v = hist[k];
             hist[k] = run;
             run += v;
@@ -622,19 +638,22 @@ extern "C" void bin_tiles_dense(
     parallel_for_threads(T, [&](int t) {
         const int64_t a = t * step;
         const int64_t b = a + step < n ? a + step : n;
-        int64_t* cur_t = hist.data() + (size_t)t * n_tiles;
+        int64_t* cur_t = hist.data() + (size_t)t * n_keys;
         for (int64_t i = a; i < b; i++) {
             const int64_t h = homes[i];
             const int64_t tl = h / tile_span;
-            const int64_t r = cur_t[tl]++;
+            const int64_t row = h / stride;
+            const int64_t off = h - row * stride;
+            const int64_t band = n_bands > 1 ? off / bw : 0;
+            const int64_t r = cur_t[tl * n_bands + band]++;
             const int64_t sub = tl % tpg;
             block_of[i] = tl / tpg;
-            rank_of[i] = r < cap ? sub * cap + r : tpg * cap;
-            if (r < cap) {
-                const int64_t row = h / stride;
-                packed_b[tl * cap + r] =
+            const int64_t base = band * bcap;
+            rank_of[i] = r < bcap ? sub * cap + base + r : tpg * cap;
+            if (r < bcap) {
+                packed_b[tl * cap + base + r] =
                     (int32_t)(((int64_t)qfp[i] << 14)
-                              | ((row & 127) << 7) | (h - row * stride));
+                              | ((row & 127) << 7) | off);
             }
         }
     });

@@ -104,7 +104,8 @@ class TileJoinShardedLookup(XlaLookup):
         nb = n if n == self.chunk else max(_round_up_pow2(n), 4096)
         cap = self._select_tile_cap(homes, n, nb)
         _, packed_b, block_of, rank_of = bin_queries_tiles_dense(
-            q_fp, homes, self.stride, cap, self.n_tiles)
+            q_fp, homes, self.stride, cap, self.n_tiles,
+            n_bands=self._tj_bands(cap))
         pk = jax.device_put(
             packed_b, NamedSharding(self.mesh, P(TABLE_AXIS, None, None,
                                                  None)))

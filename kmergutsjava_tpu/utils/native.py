@@ -144,6 +144,7 @@ def _bind_scatter(lib) -> None:
         _I32P, _U16P, ctypes.c_int64,                 # homes, qfp, n
         ctypes.c_int64, ctypes.c_int64,               # stride, tpg
         ctypes.c_int64, ctypes.c_int64,               # n_tiles, cap
+        ctypes.c_int64,                               # n_bands
         _I32P,                                        # packed bins out
         _I64P, _I64P,                                 # block_of, rank_of out
     ]
@@ -221,13 +222,16 @@ def bin_queries_native(homes: np.ndarray, q_fp: np.ndarray, stride: int,
 
 
 def bin_tiles_dense_native(homes: np.ndarray, q_fp: np.ndarray,
-                           stride: int, tpg: int, n_tiles: int, cap: int):
+                           stride: int, tpg: int, n_tiles: int, cap: int,
+                           n_bands: int = 1):
     """Threaded DENSE tile binner for the tile-join kernel (scatter.cpp
     bin_tiles_dense): bins cover every super-tile, so the kernel grid is
     simply arange(n_tiles/tpg). Returns (ids, packed_b, block_of,
     rank_of) with lookup/pallas_tilejoin.bin_queries_tiles semantics
-    (ranks = input encounter order per tile; overflow sentinel tpg*cap).
-    None without the toolchain (or under KMER_NO_NATIVE_SCATTER)."""
+    (ranks = input encounter order per tile; overflow sentinel tpg*cap;
+    n_bands > 1 partitions each tile's cells by home-offset band for the
+    banded kernel form). None without the toolchain (or under
+    KMER_NO_NATIVE_SCATTER)."""
     lib = load_scatter()
     if lib is None:
         return None
@@ -241,7 +245,7 @@ def bin_tiles_dense_native(homes: np.ndarray, q_fp: np.ndarray,
     rank_of = np.empty(n, np.int64)
     lib.bin_tiles_dense(np.ascontiguousarray(homes, np.int32),
                         np.ascontiguousarray(q_fp, np.uint16), n,
-                        stride, tpg, n_tiles, cap,
+                        stride, tpg, n_tiles, cap, n_bands,
                         packed_b, block_of, rank_of)
     ids = np.arange(nblocks, dtype=np.int32)
     return (ids, packed_b.reshape(nblocks, tpg, cap // 128, 128),

@@ -144,6 +144,7 @@ def run_round(seed: int, tmp: str) -> None:
         variants.append(("xla", {"_tilejoin": rng.choice(["gather",
                                                           "gather2",
                                                           "gather2u",
+                                                          "gather2b",
                                                           "mxu"])}))
     if rng.random() < 0.3:
         variants.append(("xla", {"prepare_impl": "numpy"}))

@@ -116,7 +116,7 @@ def section_tilejoin():
     stride = 128 - W
     with jax.enable_x64(False):
         k1, k2, k4 = jax.random.split(jax.random.key(42), 3)
-        if form in ("gather2", "gather2u"):
+        if form.startswith("gather2"):
             # packed plane: two random u16 fingerprints per int32 lane
             plane3 = jax.lax.bitcast_convert_type(
                 jax.random.bits(k1, (tiles, 64, 128), dtype=jnp.uint32),

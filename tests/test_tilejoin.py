@@ -41,7 +41,8 @@ def _sorted_cols(hits):
              hits.fi, hits.wt)]
 
 
-@pytest.mark.parametrize("form", ["gather", "gather2", "gather2u", "mxu"])
+@pytest.mark.parametrize("form", ["gather", "gather2", "gather2u",
+                                  "gather2b", "mxu"])
 @pytest.mark.parametrize("load_factor", [0.5, 0.8])
 def test_tilejoin_matches_parity(load_factor, form, monkeypatch):
     monkeypatch.setenv("KMER_TJ_FORM", form)
@@ -208,7 +209,7 @@ def test_probe_correct_all_forms_interpret():
     in interpret mode (the TPU probe runs the same contract compiled)."""
     from kmergutsjava_tpu.lookup.pallas_tilejoin import _probe_correct
 
-    for form in ("gather", "gather2", "gather2u", "mxu"):
+    for form in ("gather", "gather2", "gather2u", "gather2b", "mxu"):
         assert _probe_correct(interpret=True, form=form), form
 
 
@@ -274,7 +275,7 @@ def test_tilejoin_form_timeout_cache(monkeypatch, tmp_path):
     monkeypatch.delenv("KMER_TILEJOIN", raising=False)
     cache_dir = tmp_path / ".cache" / "kmergutsjava_tpu"
     cache_dir.mkdir(parents=True)
-    key = f"tilejoin5/{jax.__version__}/{jax.devices()[0].device_kind}"
+    key = f"tilejoin6/{jax.__version__}/{jax.devices()[0].device_kind}"
     path = cache_dir / "kernel_probes.json"
 
     probes = {"n": 0}
@@ -291,9 +292,9 @@ def test_tilejoin_form_timeout_cache(monkeypatch, tmp_path):
     # stale marker: re-probe and arm the first (fastest) form
     path.write_text(json.dumps({key: "timeout@100.0"}))
     tj._FORM = None
-    assert tj.tilejoin_form() == "gather2u"
+    assert tj.tilejoin_form() == "gather2b"
     assert probes["n"] == 1
-    assert json.loads(path.read_text())[key] == "gather2u"
+    assert json.loads(path.read_text())[key] == "gather2b"
     tj._FORM = None  # leave module state clean for other tests
 
 
@@ -328,3 +329,92 @@ def test_tilejoin_zipf_skew_matches_parity():
     got2 = st.finish()
     want2 = lookup_stream(table, values, np.zeros(n, np.int64), pos)
     assert len(got2) == len(want2)
+
+def test_banded_binner_native_matches_numpy():
+    """scatter.cpp bin_tiles_dense with n_bands > 1 (the gather2b form's
+    band-partitioned cells) vs the numpy twin: packed cells, block ids
+    and ranks (incl. per-BAND overflow sentinels) must agree exactly."""
+    from kmergutsjava_tpu.lookup.pallas_tilejoin import (TPG,
+                                                         band_geometry,
+                                                         bin_queries_tiles)
+    from kmergutsjava_tpu.utils.native import bin_tiles_dense_native
+
+    rng = np.random.default_rng(31)
+    stride, n_tiles, cap = 112, 4 * TPG, 512
+    nbands = band_geometry(16, cap // 128)[0]
+    assert nbands == 4
+    # skewed homes so some (tile, band) bins genuinely overflow
+    n = 3 * n_tiles * cap // 2
+    homes = (rng.integers(0, n_tiles * stride * 128, size=n)
+             * rng.choice([0, 1], size=n, p=[0.3, 0.7])).astype(np.int64)
+    qfp = rng.integers(0, 65535, size=n).astype(np.uint16)
+    res = bin_tiles_dense_native(homes.astype(np.int32), qfp, stride, TPG,
+                                 n_tiles, cap, n_bands=nbands)
+    if res is None:
+        pytest.skip("native scatter toolchain unavailable")
+    ids_n, pb_n, bo_n, rk_n = res
+    ids_p, pb_p, bo_p, rk_p = bin_queries_tiles(qfp, homes, stride, cap,
+                                                n_bands=nbands)
+    assert (rk_p >= TPG * cap).any()  # the skew really overflowed bands
+    np.testing.assert_array_equal(rk_n, rk_p)
+    ok = rk_p < TPG * cap
+    np.testing.assert_array_equal(ids_n[bo_n[ok]], ids_p[bo_p[ok]])
+    flat_n = pb_n.reshape(len(ids_n), TPG * cap)
+    flat_p = pb_p.reshape(len(ids_p), TPG * cap)
+    np.testing.assert_array_equal(flat_n[bo_n[ok], rk_n[ok]],
+                                  flat_p[bo_p[ok], rk_p[ok]])
+    # every in-bin query sits inside its band's cell range
+    band_of_cell = ((rk_p[ok] % cap) * nbands) // cap
+    r = homes[ok] // stride
+    off = homes[ok] - r * stride
+    bw = band_geometry(16, cap // 128)[2]
+    np.testing.assert_array_equal(band_of_cell, off // bw)
+
+
+def test_banded_quantile_cap_ladder():
+    """banded_quantile_cap walks the banded ladder (no cap128 without a
+    real band split) and sizes against per-BAND overflow, which exceeds
+    the per-tile overflow at the same cap."""
+    from kmergutsjava_tpu.lookup.pallas_tilejoin import (BANDED_CAPS,
+                                                         banded_quantile_cap)
+
+    rng = np.random.default_rng(33)
+    tiles = 256
+    # uniform ~900/tile (the production banded chunk density): per-band
+    # mean ~112.5 of 128 -> cap 1024 fits the 1% budget with margin
+    counts8 = rng.poisson(900 / 8, size=(tiles, 8))
+    n = counts8.sum()
+    cap = banded_quantile_cap(counts8, 0.01 * n, 4096, 16)
+    assert cap == 1024
+    over = (counts8.reshape(tiles, 8, 1).sum(2) - 128)
+    assert over[over > 0].sum() <= 0.01 * n
+    # ~1250/tile: per-band mean ~156 > 128 -> the ladder must jump to
+    # 2048 (bcap 256), NOT to an unbandable 1152/1280
+    counts8b = rng.poisson(1250 / 8, size=(tiles, 8))
+    capb = banded_quantile_cap(counts8b, 0.01 * counts8b.sum(), 4096, 16)
+    assert capb == 2048 and capb in BANDED_CAPS
+    # ceiling respected
+    assert banded_quantile_cap(counts8b, 0.0, 256, 16) == 256
+
+
+def test_tilejoin_banded_overflow_end_to_end(monkeypatch):
+    """gather2b under band-overflow load (per-band capacity is 1/n_bands
+    of the tile cap, so bands overflow before tiles do): the mixed
+    device/host-exact resolution must match parity exactly."""
+    monkeypatch.setenv("KMER_TJ_FORM", "gather2b")
+    table, kmers = _fixture(n_sigs=150_000, seed=35)
+    lk = XlaLookup(table, probe_impl="tilejoin")
+    assert lk._tj_form == "gather2b"
+    rng = np.random.default_rng(36)
+    n = 140 * lk._occ_tiles
+    values = _mixed_queries(kmers, n, seed=36)
+    # concentrate a slice of queries into one band of one tile
+    span = min(lk.stride * 14, table.num_sigs)  # ~ band 0 of tile 0
+    values[: n // 10] = rng.integers(0, span, size=n // 10, dtype=np.int64)
+    cnt = np.zeros(n, np.int64)
+    pos = np.arange(n, dtype=np.int64)
+    want = lookup_stream(table, values, cnt, pos)
+    got = lk.lookup(values, cnt, pos)
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)

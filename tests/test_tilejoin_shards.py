@@ -30,6 +30,25 @@ def test_sharded_matches_parity_and_single(n_shards):
     assert len(single) == len(want)
 
 
+def test_sharded_banded_form_matches_parity(monkeypatch):
+    """The banded kernel form (gather2b) through the SHARDED dispatcher:
+    the per-shard bins must carry the same band-partitioned cell layout
+    the kernel assumes (dispatch_probe passes _tj_bands through
+    bin_queries_tiles_dense)."""
+    monkeypatch.setenv("KMER_TJ_FORM", "gather2b")
+    table, kmers = _fixture(n_sigs=60_000, seed=25)
+    lk = TileJoinShardedLookup(table, mesh=make_tilejoin_mesh(2))
+    assert lk._tj_form == "gather2b"
+    values = _mixed_queries(kmers, 6000, seed=26)
+    cnt = np.zeros(len(values), np.int64)
+    pos = np.arange(len(values), dtype=np.int64)
+    want = lookup_stream(table, values, cnt, pos)
+    got = lk.lookup(values, cnt, pos)
+    assert len(got) == len(want)
+    for a, b in zip(_sorted_cols(got), _sorted_cols(want)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_sharded_streaming_front_end():
     from kmergutsjava_tpu.lookup.xla import StreamingLookup
 
