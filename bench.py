@@ -899,22 +899,36 @@ def bench_host_pipeline(table, values):
                       * 2**19)  # u16 plane bytes -> slots
     occ_rows = (plane_slots - 1) // stride + 1
     n_tiles = -(-(-(-occ_rows // 128)) // TPG) * TPG
-    cap = min(max(128, -(-int(n / max(n_tiles, 1) + 64) // 128) * 128),
-              4096)
     homes_big = rng.integers(0, n_tiles * 128 * stride, n).astype(np.int32)
+    # cap + band count chosen exactly as production _select_tile_cap
+    # would for this (n, n_tiles) — the banded ladder, NOT an ad-hoc
+    # mean-based cap (a 128-step cap like 384 maps to n_bands=1 and the
+    # stage would silently measure the FLAT binner while claiming the
+    # banded production layout)
+    from kmergutsjava_tpu.lookup.pallas_tilejoin import (band_geometry,
+                                                         banded_quantile_cap)
+
+    r_big = homes_big.astype(np.int64) // stride
+    bw8 = -(-stride // 8)
+    counts8 = np.bincount(
+        ((r_big >> 7) << 3) + (homes_big - r_big * stride) // bw8,
+        minlength=n_tiles * 8).reshape(-1, 8)
+    mean_t = n / max(n_tiles, 1)
+    ceil_cap = max(128, -(-int(mean_t + 8 * mean_t ** 0.5 + 72)
+                          // 128) * 128)
+    cap = banded_quantile_cap(counts8, 0.01 * n, ceil_cap, w1)
+    n_bands = band_geometry(w1, cap // 128)[0]
 
     def run_bin():
-        from kmergutsjava_tpu.lookup.pallas_tilejoin import (
-            band_geometry, bin_queries_tiles_dense)
+        from kmergutsjava_tpu.lookup.pallas_tilejoin import \
+            bin_queries_tiles_dense
 
-        # band-partitioned cells (the gather2b production layout — one
-        # extra div per query vs the flat layout)
-        return bin_queries_tiles_dense(
-            qfp, homes_big, stride, cap, n_tiles,
-            n_bands=band_geometry(w1, cap // 128)[0])
+        return bin_queries_tiles_dense(qfp, homes_big, stride, cap,
+                                       n_tiles, n_bands=n_bands)
 
     c_bin = stage("tilejoin_bin", n, run_bin)
     out["host_tilejoin_bin_cap"] = cap
+    out["host_tilejoin_bin_bands"] = n_bands
 
     # --- verify + compact (mirrors StreamingLookup._resolve_item) --------
     lk_host = XlaLookup(table, host_only=True)

@@ -387,11 +387,12 @@ def bin_queries_tiles(q_fp: np.ndarray, homes: np.ndarray, stride: int,
     rr = (r & 127).astype(np.int32)
     off = (homes - r * stride).astype(np.int32)
     if n_bands > 1:
-        assert (cap // 128) % n_bands == 0
-        bw = -(-stride // 8) * (8 // n_bands)
+        nb_, _, bw = band_geometry(LANES - stride, cap // 128)
+        assert nb_ == n_bands           # caller and geometry must agree
         bcap = cap // n_bands           # per-band cell capacity
-        base = (off // bw).astype(np.int64) * bcap  # band cell base
-        key = t * n_bands + base // bcap
+        band = (off // bw).astype(np.int64)
+        base = band * bcap              # band cell base within the tile
+        key = t * n_bands + band
     else:
         bcap = cap
         base = np.int64(0)
@@ -593,13 +594,21 @@ def _probe_correct(interpret: bool, form: str = "gather") -> bool:
     rng = np.random.default_rng(7)
     plane = rng.integers(0, 60000, (3 * TILE_ROWS, LANES)).astype(np.uint16)
     plane[5, 20:] = FP_EMPTY          # empty run inside tile 0, row 5
+    plane[2 * TILE_ROWS + 20, 105:] = FP_EMPTY  # empty run, band-3 range
     cap = 128
-    # queries: (tile, rr, off) with planted outcomes
+    # queries: (tile, rr, off) with planted outcomes. Offsets span EVERY
+    # band of the banded form's cap=512 probe (bw=28: 10/15 band 0, 50
+    # band 1, 70 band 2, 100 band 3) so the gate exercises all four
+    # static sublane slices — including the non-8-aligned upper ones
+    # (s_lo 28/42) a miscompiling Mosaic could get wrong while bands
+    # 0-1 still pass.
     qs = [
         (0, 5, 10, plane[5, 13], 3, 1),     # candidate at off 3 (< empty)
         (0, 5, 15, 1, 5, 2),                # empty first at rel 5 -> miss
         (2, 100, 50, plane[2 * TILE_ROWS + 100, 57], 7, 1),  # cand off 7
         (1, 64, 0, 1, 0, 0),                # occupied, no match: unresolved
+        (1, 10, 70, plane[TILE_ROWS + 10, 74], 4, 1),        # cand, band 2
+        (2, 20, 100, 1, 5, 2),              # empty first at rel 5, band 3
     ]
     homes = np.array([((t * TILE_ROWS + rr_) * stride + o)
                       for t, rr_, o, _, _, _ in qs], np.int64)
@@ -608,6 +617,10 @@ def _probe_correct(interpret: bool, form: str = "gather") -> bool:
     t3, rr3, o3 = qs[3][:3]
     row3 = plane[t3 * TILE_ROWS + rr3]
     row3[o3: o3 + w] = np.arange(100, 100 + w, dtype=np.uint16)
+    # ... and accidental matches BEFORE the planted events of q4/q5
+    plane[TILE_ROWS + 10, 70:74] = np.arange(200, 204, dtype=np.uint16)
+    plane[2 * TILE_ROWS + 20, 100:105] = np.arange(300, 305,
+                                                   dtype=np.uint16)
     if form == "gather2b":
         cap = 512            # cap128=4 -> 4 real bands to exercise
     nbands = band_geometry(w, cap // 128)[0] if form == "gather2b" else 1
